@@ -1,0 +1,217 @@
+"""Config system — SURVEY.md A1.
+
+Frozen dataclasses, one named preset per BASELINE.json config, and simple
+``key.subkey=value`` dot-overrides for the CLI. No gin/hydra dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+__all__ = [
+    "DataConfig",
+    "ModelConfig",
+    "SGDConfig",
+    "ALSConfig",
+    "BPRConfig",
+    "ParallelConfig",
+    "TrainConfig",
+    "PRESETS",
+    "preset",
+    "apply_overrides",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "ml-100k"
+    root: str | None = None  # defaults to $MFX_DATA_ROOT
+    test_frac: float = 0.1
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    rank: int = 16
+    use_bias: bool = False
+    init_scale: float | None = None  # None -> 1/sqrt(rank)
+    dtype: str = "float32"  # factor-table dtype
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SGDConfig:
+    lr: float = 0.01
+    reg: float = 0.02
+    lr_decay: float = 1.0  # per-epoch multiplicative decay
+    epochs: int = 20
+    batch_size: int = 8192
+    # 'fixed'          — permutation batches + segment-sum reduction
+    # 'conflict_free'  — greedy matching rounds (no dup user/item per batch)
+    # 'blocked'        — DSGD strata driving the blocked one-hot kernel
+    partitioner: str = "fixed"
+    # 'jnp'            — XLA gather/scatter reference path (K4)
+    # 'blocked_jnp'    — block-stratified one-hot MXU path, pure XLA
+    # 'pallas'         — fused Pallas TPU kernel (K1)
+    kernel: str = "jnp"
+    ublock: int = 512  # user rows per block (blocked paths)
+    iblock: int = 512  # item rows per block
+    tile: int = 256  # ratings per update tile inside a stratum
+
+
+@dataclasses.dataclass(frozen=True)
+class ALSConfig:
+    reg: float = 0.05
+    sweeps: int = 10
+    user_chunk: int = 8192  # rows solved per batched-Cholesky call
+    rating_chunk: int = 1 << 20  # ratings per normal-equation accumulation step
+
+
+@dataclasses.dataclass(frozen=True)
+class BPRConfig:
+    lr: float = 0.05
+    reg: float = 0.002
+    epochs: int = 10
+    batch_size: int = 16384
+    neg_seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    # 'single'  — one device
+    # 'dp'      — data-parallel SGD, sparse delta all-gather (P1)
+    # 'sharded' — row-sharded factor tables, DSGD ring over ICI (P2)
+    mode: str = "single"
+    data_axis: int = 1  # mesh size along 'data'
+    model_axis: int = 1  # mesh size along 'model'
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    name: str = "default"
+    solver: str = "sgd"  # 'sgd' | 'als' | 'bpr'
+    data: DataConfig = DataConfig()
+    model: ModelConfig = ModelConfig()
+    sgd: SGDConfig = SGDConfig()
+    als: ALSConfig = ALSConfig()
+    bpr: BPRConfig = BPRConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    eval_every: int = 1
+    target_rmse: float | None = None
+    clip_predictions: bool = True
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0  # epochs; 0 disables
+    log_path: str | None = None  # JSONL sink
+    profile_dir: str | None = None  # jax.profiler trace output
+
+
+# ---- BASELINE.json config ladder (configs[0..4]) ---------------------------
+
+PRESETS: dict[str, TrainConfig] = {
+    # configs[0]: "MovieLens-100K, rank-16 plain SGD with L2 (single-host CPU,
+    # matches Java reference RMSE)"
+    "ml100k_rank16": TrainConfig(
+        name="ml100k_rank16",
+        data=DataConfig(dataset="ml-100k"),
+        model=ModelConfig(rank=16, use_bias=False),
+        sgd=SGDConfig(
+            lr=0.01, reg=0.05, epochs=30, batch_size=2048, partitioner="conflict_free"
+        ),
+    ),
+    # configs[1]: "MovieLens-1M, rank-32 biased MF (user/item/global bias
+    # terms, learning-rate decay)"
+    "ml1m_rank32_biased": TrainConfig(
+        name="ml1m_rank32_biased",
+        data=DataConfig(dataset="ml-1m"),
+        model=ModelConfig(rank=32, use_bias=True),
+        sgd=SGDConfig(lr=0.01, reg=0.04, lr_decay=0.92, epochs=30, batch_size=8192),
+    ),
+    # configs[2]: "MovieLens-25M, rank-64 minibatch SGD with conflict-free
+    # partitioning on one TPU chip"
+    "ml25m_rank64": TrainConfig(
+        name="ml25m_rank64",
+        data=DataConfig(dataset="ml-25m"),
+        model=ModelConfig(rank=64, use_bias=True),
+        sgd=SGDConfig(
+            lr=0.008,
+            reg=0.04,
+            lr_decay=0.95,
+            epochs=20,
+            batch_size=1 << 16,
+            partitioner="blocked",
+            kernel="pallas",
+        ),
+        target_rmse=0.92,
+    ),
+    # configs[3]: "Netflix-Prize-scale 100M ratings, rank-128, data-parallel
+    # SGD + ALS cross-check on v5p-8"
+    "netflix100m_rank128_dp": TrainConfig(
+        name="netflix100m_rank128_dp",
+        solver="sgd",
+        data=DataConfig(dataset="netflix"),
+        model=ModelConfig(rank=128, use_bias=True),
+        sgd=SGDConfig(
+            lr=0.006,
+            reg=0.05,
+            lr_decay=0.95,
+            epochs=15,
+            batch_size=1 << 17,
+            partitioner="blocked",
+            kernel="pallas",
+        ),
+        als=ALSConfig(reg=0.05, sweeps=8),
+        parallel=ParallelConfig(mode="dp", data_axis=8),
+    ),
+    # configs[4]: "Billion-rating implicit-feedback (BPR negative sampling),
+    # sharded factor tables on v5p-32"
+    "billion_bpr_sharded": TrainConfig(
+        name="billion_bpr_sharded",
+        solver="bpr",
+        data=DataConfig(dataset="billion-implicit", test_frac=0.001),
+        model=ModelConfig(rank=64, use_bias=False),
+        bpr=BPRConfig(lr=0.05, reg=0.002, epochs=5, batch_size=1 << 17),
+        parallel=ParallelConfig(mode="sharded", model_axis=32),
+    ),
+}
+
+
+def preset(name: str) -> TrainConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; known: {sorted(PRESETS)}")
+    return PRESETS[name]
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if current is None:
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                pass
+        return None if value in ("none", "None", "null") else value
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    return type(current)(value)
+
+
+def apply_overrides(cfg: TrainConfig, overrides: list[str]) -> TrainConfig:
+    """Apply ``a.b=c`` style overrides to a (possibly nested) config."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must look like key=value, got {ov!r}")
+        key, value = ov.split("=", 1)
+        path = key.split(".")
+        cfg = _set_path(cfg, path, value)
+    return cfg
+
+
+def _set_path(obj, path: list[str], value: str):
+    field = path[0]
+    if not hasattr(obj, field):
+        raise KeyError(f"{type(obj).__name__} has no field {field!r}")
+    if len(path) == 1:
+        return dataclasses.replace(obj, **{field: _coerce(value, getattr(obj, field))})
+    return dataclasses.replace(
+        obj, **{field: _set_path(getattr(obj, field), path[1:], value)}
+    )

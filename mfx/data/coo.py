@@ -1,0 +1,122 @@
+"""RatingsCOO — the sparse ratings container (SURVEY.md C1).
+
+The reference project (``/root/reference/README.md:1-2``) implies a Java
+program loading ``user \t item \t rating`` triples into memory; here the
+container is a host-side NumPy struct-of-arrays in COO layout, with helpers
+to move onto TPU devices. int32 ids + float32 ratings throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["RatingsCOO"]
+
+
+@dataclasses.dataclass
+class RatingsCOO:
+    """Sparse ratings in coordinate format (host memory).
+
+    Attributes:
+      user: int32 [n] user ids in ``[0, num_users)``.
+      item: int32 [n] item ids in ``[0, num_items)``.
+      rating: float32 [n] rating values (explicit feedback) or all-ones
+        (implicit feedback).
+      num_users: number of user rows in the factor table P.
+      num_items: number of item rows in the factor table Q.
+    """
+
+    user: np.ndarray
+    item: np.ndarray
+    rating: np.ndarray
+    num_users: int
+    num_items: int
+
+    def __post_init__(self):
+        self.user = np.asarray(self.user, dtype=np.int32)
+        self.item = np.asarray(self.item, dtype=np.int32)
+        self.rating = np.asarray(self.rating, dtype=np.float32)
+        if not (self.user.shape == self.item.shape == self.rating.shape):
+            raise ValueError(
+                f"COO arrays must share shape; got {self.user.shape}, "
+                f"{self.item.shape}, {self.rating.shape}"
+            )
+        if self.user.ndim != 1:
+            raise ValueError("COO arrays must be 1-D")
+
+    @property
+    def n_ratings(self) -> int:
+        return int(self.user.shape[0])
+
+    def __len__(self) -> int:
+        return self.n_ratings
+
+    @property
+    def global_mean(self) -> float:
+        return float(self.rating.mean()) if self.n_ratings else 0.0
+
+    @property
+    def density(self) -> float:
+        denom = float(self.num_users) * float(self.num_items)
+        return self.n_ratings / denom if denom else 0.0
+
+    def validate(self) -> None:
+        """Bounds-check ids; raises on corruption (debug aid)."""
+        if self.n_ratings == 0:
+            return
+        if self.user.min() < 0 or self.user.max() >= self.num_users:
+            raise ValueError(
+                f"user ids out of range [0, {self.num_users}): "
+                f"[{self.user.min()}, {self.user.max()}]"
+            )
+        if self.item.min() < 0 or self.item.max() >= self.num_items:
+            raise ValueError(
+                f"item ids out of range [0, {self.num_items}): "
+                f"[{self.item.min()}, {self.item.max()}]"
+            )
+
+    def select(self, idx: np.ndarray) -> "RatingsCOO":
+        """A new COO with rows gathered at ``idx`` (shares num_users/items)."""
+        return RatingsCOO(
+            user=self.user[idx],
+            item=self.item[idx],
+            rating=self.rating[idx],
+            num_users=self.num_users,
+            num_items=self.num_items,
+        )
+
+    def concat(self, other: "RatingsCOO") -> "RatingsCOO":
+        if (other.num_users, other.num_items) != (self.num_users, self.num_items):
+            raise ValueError("cannot concat COOs with different table shapes")
+        return RatingsCOO(
+            user=np.concatenate([self.user, other.user]),
+            item=np.concatenate([self.item, other.item]),
+            rating=np.concatenate([self.rating, other.rating]),
+            num_users=self.num_users,
+            num_items=self.num_items,
+        )
+
+    # ---- persistence ------------------------------------------------------
+
+    def save_npz(self, path) -> None:
+        np.savez_compressed(
+            path,
+            user=self.user,
+            item=self.item,
+            rating=self.rating,
+            num_users=np.int64(self.num_users),
+            num_items=np.int64(self.num_items),
+        )
+
+    @staticmethod
+    def load_npz(path) -> "RatingsCOO":
+        with np.load(path) as z:
+            return RatingsCOO(
+                user=z["user"],
+                item=z["item"],
+                rating=z["rating"],
+                num_users=int(z["num_users"]),
+                num_items=int(z["num_items"]),
+            )

@@ -1,0 +1,178 @@
+"""Dataset loaders (SURVEY.md C2).
+
+Parsers for the MovieLens file formats (100K ``u.data`` tab-separated,
+1M ``ratings.dat`` ``::``-separated, 25M ``ratings.csv``) plus a
+Netflix-Prize directory parser, a generic triples parser, an ``.npz`` cache,
+and seeded synthetic fallbacks for every BASELINE config shape (the build
+environment has no network egress, so real downloads are the user's job;
+``load_dataset`` transparently falls back to a synthetic dataset of the
+matching shape when the raw files are absent).
+
+Raw ids are remapped to dense ``[0, num_users) × [0, num_items)`` index
+space, since factor tables are dense row arrays on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+
+from mfx.data.coo import RatingsCOO
+from mfx.data import synthetic as syn
+
+__all__ = [
+    "load_dataset",
+    "parse_triples",
+    "parse_ml100k",
+    "parse_ml1m",
+    "parse_ml25m",
+    "parse_netflix",
+    "dataset_names",
+]
+
+DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser()
+
+
+def _densify(raw_u: np.ndarray, raw_i: np.ndarray, ratings: np.ndarray) -> RatingsCOO:
+    """Remap arbitrary raw ids to dense contiguous ids."""
+    uniq_u, u = np.unique(raw_u, return_inverse=True)
+    uniq_i, i = np.unique(raw_i, return_inverse=True)
+    return RatingsCOO(
+        u.astype(np.int32),
+        i.astype(np.int32),
+        ratings.astype(np.float32),
+        num_users=len(uniq_u),
+        num_items=len(uniq_i),
+    )
+
+
+def parse_triples(path, sep: str | None = None, skip_header: bool = False) -> RatingsCOO:
+    """Generic ``user<sep>item<sep>rating[<sep>timestamp]`` parser."""
+    rows_u, rows_i, rows_r = [], [], []
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        if skip_header:
+            next(f, None)
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(sep) if sep != "::" else line.split("::")
+            rows_u.append(int(parts[0]))
+            rows_i.append(int(parts[1]))
+            rows_r.append(float(parts[2]))
+    return _densify(
+        np.asarray(rows_u, np.int64),
+        np.asarray(rows_i, np.int64),
+        np.asarray(rows_r, np.float32),
+    )
+
+
+def parse_ml100k(root) -> RatingsCOO:
+    """MovieLens-100K ``u.data``: ``user \t item \t rating \t ts``."""
+    return parse_triples(Path(root) / "u.data", sep="\t")
+
+
+def parse_ml1m(root) -> RatingsCOO:
+    """MovieLens-1M ``ratings.dat``: ``user::item::rating::ts``."""
+    return parse_triples(Path(root) / "ratings.dat", sep="::")
+
+
+def parse_ml25m(root) -> RatingsCOO:
+    """MovieLens-25M ``ratings.csv``: ``userId,movieId,rating,timestamp``."""
+    path = Path(root) / "ratings.csv"
+    data = np.loadtxt(path, delimiter=",", skiprows=1, usecols=(0, 1, 2))
+    return _densify(
+        data[:, 0].astype(np.int64), data[:, 1].astype(np.int64), data[:, 2]
+    )
+
+
+def parse_netflix(root) -> RatingsCOO:
+    """Netflix Prize ``training_set/mv_*.txt`` directory layout.
+
+    Each file: first line ``movieid:`` then ``user,rating,date`` lines.
+    """
+    root = Path(root)
+    files = sorted((root / "training_set").glob("mv_*.txt"))
+    if not files:
+        files = sorted(root.glob("mv_*.txt"))
+    rows_u, rows_i, rows_r = [], [], []
+    for fp in files:
+        with open(fp, "r") as f:
+            movie = int(f.readline().strip().rstrip(":"))
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 2:
+                    continue
+                rows_u.append(int(parts[0]))
+                rows_i.append(movie)
+                rows_r.append(float(parts[1]))
+    return _densify(
+        np.asarray(rows_u, np.int64),
+        np.asarray(rows_i, np.int64),
+        np.asarray(rows_r, np.float32),
+    )
+
+
+# ---- registry ---------------------------------------------------------------
+
+# name -> (raw subdir, parser, synthetic fallback)
+def _synth(shape, rank, seed) -> Callable[[], RatingsCOO]:
+    return lambda: syn.make_synthetic(*shape, rank=rank, seed=seed)
+
+
+_REGISTRY: dict[str, tuple[str, Callable, Callable[[], RatingsCOO]]] = {
+    "ml-100k": ("ml-100k", parse_ml100k, _synth(syn.ML100K_SHAPE, 16, 100)),
+    "ml-1m": ("ml-1m", parse_ml1m, _synth(syn.ML1M_SHAPE, 32, 101)),
+    "ml-25m": ("ml-25m", parse_ml25m, _synth(syn.ML25M_SHAPE, 64, 102)),
+    "netflix": ("netflix", parse_netflix, _synth(syn.NETFLIX_SHAPE, 128, 103)),
+    "billion-implicit": (
+        "billion-implicit",
+        None,
+        lambda: syn.make_implicit_synthetic(*syn.BILLION_SHAPE, rank=64, seed=104),
+    ),
+    # small synthetic smoke datasets for tests / CI
+    "synthetic-small": (
+        "synthetic-small",
+        None,
+        lambda: syn.make_synthetic(256, 512, 20_000, rank=8, seed=7),
+    ),
+}
+
+
+def dataset_names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def load_dataset(
+    name: str,
+    root: os.PathLike | str | None = None,
+    cache: bool = True,
+    allow_synthetic: bool = True,
+) -> RatingsCOO:
+    """Load a named dataset, preferring (in order): npz cache, raw files,
+    seeded synthetic fallback of the same shape."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown dataset {name!r}; known: {dataset_names()}")
+    subdir, parser, fallback = _REGISTRY[name]
+    root = Path(root) if root is not None else DEFAULT_ROOT
+    cache_path = root / f"{name}.npz"
+    if cache and cache_path.exists():
+        return RatingsCOO.load_npz(cache_path)
+    raw_dir = root / subdir
+    coo = None
+    if parser is not None and raw_dir.exists():
+        coo = parser(raw_dir)
+    elif allow_synthetic:
+        coo = fallback()
+    else:
+        raise FileNotFoundError(f"no raw data at {raw_dir} and synthetic disabled")
+    if cache:
+        try:
+            root.mkdir(parents=True, exist_ok=True)
+            coo.save_npz(cache_path)
+        except OSError:
+            pass  # cache is best-effort
+    return coo

@@ -1,0 +1,212 @@
+"""Minibatch partitioning (SURVEY.md C4 + C5).
+
+This module replaces the reference's sequential / Hogwild update loop (the
+implied design of ``MatrixFactorizationSGD.java``, a concurrent-programming
+course assignment — ``/root/reference/README.md:1-2``) with deterministic,
+TPU-friendly epoch partitions per BASELINE.json's north star:
+
+- ``partition_fixed``: permutation → fixed-shape ``[num_batches, B]`` padded
+  minibatches. Duplicate rows within a batch are allowed; the update kernels
+  apply segment-sum gradient reduction, so results are bitwise-deterministic.
+- ``partition_conflict_free``: greedy matching-based rounds where no user row
+  and no item row repeats within a batch, so rank-1 scatter updates are
+  race-free by construction (the deterministic answer to Hogwild).
+- ``BlockedPartition``: DSGD-style (Gemulla et al.) block stratification of
+  the rating matrix into (user-block, item-block) strata. Strata that share
+  no block are trivially conflict-free across parallel workers; this drives
+  both the single-chip blocked one-hot Pallas kernel (factor blocks stay
+  VMEM-resident) and the multi-chip ring schedule where item blocks rotate
+  over ICI (``mfx.parallel.sharded``).
+
+All functions are seeded/pure: same inputs → same partition, a precondition
+for bitwise-deterministic training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = [
+    "pad_to_batches",
+    "partition_fixed",
+    "partition_conflict_free",
+    "BlockedPartition",
+    "make_blocked_partition",
+]
+
+# Sentinel-free padding: padded slots get id 0 and weight 0. Update rules
+# multiply every delta by the weight, so padded slots are exact no-ops.
+PAD_ID = 0
+
+
+def pad_to_batches(
+    user: np.ndarray,
+    item: np.ndarray,
+    rating: np.ndarray,
+    order: np.ndarray | list[np.ndarray],
+    batch_size: int,
+) -> dict[str, np.ndarray]:
+    """Materialize padded ``[num_batches, B]`` epoch tensors.
+
+    ``order`` is either a flat index array (split into consecutive batches)
+    or a list of per-batch index arrays (each of length <= batch_size).
+    Returns dict with int32 ``users``/``items``, float32 ``ratings``/
+    ``weights`` (1.0 real, 0.0 padding).
+    """
+    if isinstance(order, np.ndarray):
+        n = len(order)
+        nb = max(1, -(-n // batch_size))
+        batches = [order[b * batch_size : (b + 1) * batch_size] for b in range(nb)]
+    else:
+        batches = list(order)
+        nb = len(batches)
+
+    users = np.full((nb, batch_size), PAD_ID, np.int32)
+    items = np.full((nb, batch_size), PAD_ID, np.int32)
+    ratings = np.zeros((nb, batch_size), np.float32)
+    weights = np.zeros((nb, batch_size), np.float32)
+    for b, idx in enumerate(batches):
+        m = len(idx)
+        if m > batch_size:
+            raise ValueError(f"batch {b} has {m} > batch_size={batch_size} entries")
+        users[b, :m] = user[idx]
+        items[b, :m] = item[idx]
+        ratings[b, :m] = rating[idx]
+        weights[b, :m] = 1.0
+    return {"users": users, "items": items, "ratings": ratings, "weights": weights}
+
+
+def partition_fixed(n: int, batch_size: int, perm: np.ndarray) -> np.ndarray:
+    """Fixed-size batches in permutation order (flat order array)."""
+    if len(perm) != n:
+        raise ValueError("perm length mismatch")
+    return perm
+
+
+def partition_conflict_free(
+    user: np.ndarray,
+    item: np.ndarray,
+    batch_size: int,
+    perm: np.ndarray,
+    max_rounds: int | None = None,
+) -> list[np.ndarray]:
+    """Greedy conflict-free rounds: within each returned batch no user id and
+    no item id repeats (a matching in the bipartite rating graph).
+
+    Vectorized NumPy: each pass selects, among unassigned ratings in
+    permutation order, those that are the first occurrence of BOTH their user
+    and their item; that set is conflict-free by construction and is capped
+    at ``batch_size`` per emitted batch. The number of passes is bounded by
+    the max node degree (Vizing bound on edge-coloring rounds).
+
+    Suitable for <= a few million ratings on the host; larger datasets should
+    use ``BlockedPartition`` (strata + segment-sum), which is O(n) total.
+    """
+    remaining = np.asarray(perm, np.int64)
+    out: list[np.ndarray] = []
+    rounds = 0
+    while remaining.size:
+        u = user[remaining]
+        i = item[remaining]
+        # first-occurrence masks in current order
+        _, first_u = np.unique(u, return_index=True)
+        _, first_i = np.unique(i, return_index=True)
+        mask = np.zeros(remaining.size, bool)
+        mask_i = np.zeros(remaining.size, bool)
+        mask[first_u] = True
+        mask_i[first_i] = True
+        mask &= mask_i
+        chosen = np.flatnonzero(mask)
+        # cap to batch_size per round; the rest go back to the pool
+        for s in range(0, chosen.size, batch_size):
+            out.append(remaining[chosen[s : s + batch_size]])
+        keep = np.ones(remaining.size, bool)
+        keep[chosen] = False
+        remaining = remaining[keep]
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(f"conflict-free partition exceeded {max_rounds} rounds")
+    return out
+
+
+def validate_conflict_free(
+    user: np.ndarray, item: np.ndarray, batches: list[np.ndarray]
+) -> None:
+    """Debug validator: asserts the no-duplicate-row property and coverage."""
+    seen = 0
+    for b, idx in enumerate(batches):
+        if len(np.unique(user[idx])) != len(idx):
+            raise AssertionError(f"batch {b}: duplicate user row")
+        if len(np.unique(item[idx])) != len(idx):
+            raise AssertionError(f"batch {b}: duplicate item row")
+        seen += len(idx)
+    total = sum(len(b) for b in batches)
+    if seen != total:
+        raise AssertionError("coverage mismatch")
+
+
+# ---- DSGD block stratification ------------------------------------------------
+
+
+@dataclasses.dataclass
+class BlockedPartition:
+    """Ratings regrouped into (user-block, item-block) strata.
+
+    Attributes:
+      order: int64 [n] — index into the epoch's COO arrays, sorted by
+        (stratum, original permutation position).
+      offsets: int64 [num_ublocks*num_iblocks + 1] — CSR offsets into
+        ``order`` for stratum ``a * num_iblocks + b``.
+      num_ublocks / num_iblocks: grid shape.
+      ublock_size / iblock_size: rows of P / Q per block (last block padded
+        conceptually; ids are never out of range).
+    """
+
+    order: np.ndarray
+    offsets: np.ndarray
+    num_ublocks: int
+    num_iblocks: int
+    ublock_size: int
+    iblock_size: int
+
+    def stratum(self, a: int, b: int) -> np.ndarray:
+        s = a * self.num_iblocks + b
+        return self.order[self.offsets[s] : self.offsets[s + 1]]
+
+    def max_stratum_nnz(self) -> int:
+        return int(np.max(np.diff(self.offsets))) if len(self.offsets) > 1 else 0
+
+
+def make_blocked_partition(
+    user: np.ndarray,
+    item: np.ndarray,
+    num_users: int,
+    num_items: int,
+    ublock_size: int,
+    iblock_size: int,
+    perm: np.ndarray,
+) -> BlockedPartition:
+    """Stratify ``perm``-ordered ratings by (user // ublock_size,
+    item // iblock_size). O(n) with two stable counting sorts."""
+    perm = np.asarray(perm, np.int64)
+    a = user[perm].astype(np.int64) // ublock_size
+    b = item[perm].astype(np.int64) // iblock_size
+    num_ub = -(-num_users // ublock_size)
+    num_ib = -(-num_items // iblock_size)
+    strat = a * num_ib + b
+    # stable sort keeps permutation order within each stratum (determinism)
+    sorter = np.argsort(strat, kind="stable")
+    order = perm[sorter]
+    counts = np.bincount(strat, minlength=num_ub * num_ib)
+    offsets = np.zeros(num_ub * num_ib + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return BlockedPartition(
+        order=order,
+        offsets=offsets,
+        num_ublocks=num_ub,
+        num_iblocks=num_ib,
+        ublock_size=ublock_size,
+        iblock_size=iblock_size,
+    )

@@ -1,0 +1,107 @@
+"""Synthetic rating generators (SURVEY.md C2, billion-scale path).
+
+The environment has zero network egress, so benchmark-scale datasets
+(MovieLens-25M shapes, Netflix-Prize 100M, billion-rating implicit) are
+generated from a seeded ground-truth low-rank model. Ratings are
+``clip(mu + p_u . q_i + noise)``, so held-out RMSE has a known noise floor
+and convergence targets are meaningful.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mfx.data.coo import RatingsCOO
+
+__all__ = [
+    "make_synthetic",
+    "make_implicit_synthetic",
+    "ML100K_SHAPE",
+    "ML1M_SHAPE",
+    "ML25M_SHAPE",
+    "NETFLIX_SHAPE",
+    "BILLION_SHAPE",
+]
+
+# (num_users, num_items, n_ratings) matching BASELINE.json's config ladder.
+ML100K_SHAPE = (943, 1682, 100_000)
+ML1M_SHAPE = (6040, 3706, 1_000_209)
+ML25M_SHAPE = (162_541, 59_047, 25_000_095)
+NETFLIX_SHAPE = (480_189, 17_770, 100_480_507)
+BILLION_SHAPE = (10_000_000, 1_000_000, 1_000_000_000)
+
+
+def make_synthetic(
+    num_users: int,
+    num_items: int,
+    n_ratings: int,
+    rank: int = 16,
+    noise: float = 0.35,
+    mean: float = 3.5,
+    clip: tuple[float, float] = (0.5, 5.0),
+    seed: int = 0,
+    chunk: int = 8_000_000,
+) -> RatingsCOO:
+    """Seeded explicit-feedback synthetic dataset from a true low-rank model.
+
+    Generated in chunks so 100M+ rating datasets stay within host memory;
+    (user, item) pairs are sampled iid (duplicates possible, harmless for
+    SGD benchmarking). Popularity is Zipf-tilted on items to mimic the
+    long-tail degree distribution of MovieLens/Netflix data.
+    """
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / np.sqrt(rank)
+    true_p = rng.normal(0.0, scale, size=(num_users, rank)).astype(np.float32)
+    true_q = rng.normal(0.0, scale, size=(num_items, rank)).astype(np.float32)
+    # Zipf-ish item popularity via squared-uniform index mapping.
+    users = np.empty(n_ratings, np.int32)
+    items = np.empty(n_ratings, np.int32)
+    ratings = np.empty(n_ratings, np.float32)
+    lo, hi = clip
+    for start in range(0, n_ratings, chunk):
+        stop = min(start + chunk, n_ratings)
+        m = stop - start
+        u = rng.integers(0, num_users, size=m, dtype=np.int32)
+        v = rng.random(m, dtype=np.float32) ** 1.6  # tilt toward popular items
+        i = np.minimum((v * num_items).astype(np.int32), num_items - 1)
+        r = mean + np.einsum("bk,bk->b", true_p[u], true_q[i])
+        r += rng.normal(0.0, noise, size=m).astype(np.float32)
+        users[start:stop] = u
+        items[start:stop] = i
+        ratings[start:stop] = np.clip(r, lo, hi, dtype=np.float32, casting="unsafe")
+    return RatingsCOO(users, items, ratings, num_users, num_items)
+
+
+def make_implicit_synthetic(
+    num_users: int,
+    num_items: int,
+    n_ratings: int,
+    rank: int = 16,
+    seed: int = 0,
+    chunk: int = 8_000_000,
+) -> RatingsCOO:
+    """Implicit-feedback positives (rating==1.0) for BPR training.
+
+    Positive (u, i) pairs are sampled with probability tilted by a true
+    low-rank affinity, so learned rankings are recoverable.
+    """
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / np.sqrt(rank)
+    true_p = rng.normal(0.0, scale, size=(num_users, rank)).astype(np.float32)
+    true_q = rng.normal(0.0, scale, size=(num_items, rank)).astype(np.float32)
+    users = np.empty(n_ratings, np.int32)
+    items = np.empty(n_ratings, np.int32)
+    for start in range(0, n_ratings, chunk):
+        stop = min(start + chunk, n_ratings)
+        m = stop - start
+        u = rng.integers(0, num_users, size=m, dtype=np.int32)
+        # two candidate items per positive; keep the higher-affinity one
+        c0 = rng.integers(0, num_items, size=m, dtype=np.int32)
+        c1 = rng.integers(0, num_items, size=m, dtype=np.int32)
+        s0 = np.einsum("bk,bk->b", true_p[u], true_q[c0])
+        s1 = np.einsum("bk,bk->b", true_p[u], true_q[c1])
+        users[start:stop] = u
+        items[start:stop] = np.where(s0 >= s1, c0, c1)
+    return RatingsCOO(
+        users, items, np.ones(n_ratings, np.float32), num_users, num_items
+    )

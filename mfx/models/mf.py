@@ -1,0 +1,94 @@
+"""MFModel — factor-model state (SURVEY.md M1).
+
+The model the reference implies (``R ≈ P·Qᵀ`` with optional user/item/global
+bias; ``/root/reference/README.md:1-2`` names the algorithm, BASELINE.json
+``configs[1]`` requires the biased variant). State is a JAX pytree of dense
+arrays so it jits, shards, and checkpoints like any other JAX model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["MFModel", "init_model"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MFModel:
+    """Matrix-factorization state.
+
+    P: [num_users, rank] user factors.
+    Q: [num_items, rank] item factors.
+    bu: [num_users] user biases (zeros when use_bias=False; kept in the
+        pytree so jitted update functions have a static structure).
+    bi: [num_items] item biases.
+    mu: scalar global mean (not trained; set from the training data).
+    """
+
+    P: jax.Array
+    Q: jax.Array
+    bu: jax.Array
+    bi: jax.Array
+    mu: jax.Array
+
+    @property
+    def rank(self) -> int:
+        return self.P.shape[-1]
+
+    @property
+    def num_users(self) -> int:
+        return self.P.shape[0]
+
+    @property
+    def num_items(self) -> int:
+        return self.Q.shape[0]
+
+    def predict(self, users: jax.Array, items: jax.Array) -> jax.Array:
+        """Batched prediction mu + bu + bi + p·q for id vectors."""
+        pu = jnp.take(self.P, users, axis=0)
+        qi = jnp.take(self.Q, items, axis=0)
+        return (
+            jnp.sum(pu * qi, axis=-1)
+            + jnp.take(self.bu, users)
+            + jnp.take(self.bi, items)
+            + self.mu
+        )
+
+    def astype(self, dtype) -> "MFModel":
+        return MFModel(
+            P=self.P.astype(dtype),
+            Q=self.Q.astype(dtype),
+            bu=self.bu.astype(dtype),
+            bi=self.bi.astype(dtype),
+            mu=self.mu.astype(dtype),
+        )
+
+
+def init_model(
+    rng: jax.Array | int,
+    num_users: int,
+    num_items: int,
+    rank: int,
+    global_mean: float = 0.0,
+    init_scale: float | None = None,
+    dtype: Any = jnp.float32,
+) -> MFModel:
+    """Scaled-normal init; ``init_scale`` defaults to 1/sqrt(rank) so initial
+    predictions have O(1) variance around the global mean."""
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    if init_scale is None:
+        init_scale = 1.0 / jnp.sqrt(rank)
+    kp, kq = jax.random.split(rng)
+    return MFModel(
+        P=(jax.random.normal(kp, (num_users, rank), dtype) * init_scale),
+        Q=(jax.random.normal(kq, (num_items, rank), dtype) * init_scale),
+        bu=jnp.zeros((num_users,), dtype),
+        bi=jnp.zeros((num_items,), dtype),
+        mu=jnp.asarray(global_mean, dtype),
+    )
