@@ -1,0 +1,99 @@
+"""Device-side layout conversion between MFModel and the packed kernel state.
+
+Kernel state (see sgd_pallas.py): one merged array per table,
+``(num_blocks * (block/pack + 8), 128)`` f32 — per block: ``block/pack``
+rank-packed factor rows followed by 8 bias rows (bias of local row x lives
+at row ``x // 128``, lane ``x % 128``; block sizes up to 1024 rows).
+
+All conversions are pure jnp reshape/pad (jittable, cheap on device).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfx.kernels.blocked_host import pack_factor
+
+BIAS_ROWS = 8
+
+__all__ = ["pack_state", "unpack_state", "merged_shape", "BIAS_ROWS"]
+
+
+def _pad_rows(x, rows):
+    return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def merged_shape(num_rows: int, rank: int, block: int) -> tuple[int, int]:
+    pack = pack_factor(rank)
+    nblocks = -(-num_rows // block)
+    return (nblocks * (block // pack + BIAS_ROWS), 128)
+
+
+def _pack_table(F, b, num_rows: int, rank: int, block: int):
+    """(rows, rank) factors + (rows,) bias -> merged (stride*blocks, 128)."""
+    pack = pack_factor(rank)
+    nb = -(-num_rows // block)
+    sup = block // pack
+    F = _pad_rows(F.astype(jnp.float32), nb * block).reshape(nb, sup, 128)
+    b = _pad_rows(b.astype(jnp.float32)[:, None], nb * block)
+    brows = block // 128
+    bias = b.reshape(nb, brows, 128)
+    bias = jnp.pad(bias, ((0, 0), (0, BIAS_ROWS - brows), (0, 0)))
+    return jnp.concatenate([F, bias], axis=1).reshape(nb * (sup + BIAS_ROWS), 128)
+
+
+def _unpack_table(M, num_rows: int, rank: int, block: int):
+    pack = pack_factor(rank)
+    nb = -(-num_rows // block)
+    sup = block // pack
+    brows = block // 128
+    M = M.reshape(nb, sup + BIAS_ROWS, 128)
+    F = M[:, :sup, :].reshape(nb * block, rank)[:num_rows]
+    bias = M[:, sup : sup + brows, :].reshape(nb * block)[:num_rows]
+    return F, bias
+
+
+def pack_state(model, su: int, si: int):
+    """MFModel -> (Pm, Qm) merged kernel tables."""
+    if su % 128 or si % 128:
+        raise ValueError("block sizes must be multiples of 128")
+    if su > 128 * BIAS_ROWS or si > 128 * BIAS_ROWS:
+        raise ValueError(f"block sizes must be <= {128 * BIAS_ROWS}")
+    Pm = _pack_table(model.P, model.bu, model.num_users, model.rank, su)
+    Qm = _pack_table(model.Q, model.bi, model.num_items, model.rank, si)
+    return Pm, Qm
+
+
+def unpack_state(Pm, Qm, mu, num_users: int, num_items: int, rank: int, su: int, si: int):
+    """(Pm, Qm) -> MFModel with original (unpadded) row counts."""
+    from mfx.models.mf import MFModel
+
+    P, bu = _unpack_table(Pm, num_users, rank, su)
+    Q, bi = _unpack_table(Qm, num_items, rank, si)
+    return MFModel(P=P, Q=Q, bu=bu, bi=bi, mu=jnp.asarray(mu, P.dtype))
+
+
+def sweep_arrays(plan) -> dict[str, jax.Array]:
+    """SweepPlan -> device arrays for blocked_sgd_sweep_pallas."""
+    return {
+        "sa": jnp.asarray(plan.sa),
+        "tc": jnp.asarray(plan.tc),
+        "tl": jnp.asarray(plan.tl),
+    }
+
+
+def q_stride(rank: int, si: int) -> int:
+    return si // pack_factor(rank) + BIAS_ROWS
+
+
+def q_segment(Qm, win0: int, nwin: int, rank: int, si: int):
+    """Slice the merged item table to one sweep's windows."""
+    s = q_stride(rank, si)
+    return Qm[win0 * s : (win0 + nwin) * s]
+
+
+def q_segment_restore(Qm, Qs, win0: int, rank: int, si: int):
+    s = q_stride(rank, si)
+    return jax.lax.dynamic_update_slice(Qm, Qs, (win0 * s, 0))

@@ -1,0 +1,341 @@
+"""K1 — fused blocked SGD Pallas TPU kernel (SURVEY.md §2.2 K1, §3.3).
+
+One kernel invocation executes an item-sweep of minibatch SGD: gather of
+user/item factor rows → fused dot-product residual with bias and L2 terms →
+rank-1 scatter-add updates — the single-Pallas-kernel pipeline required by
+BASELINE.json's north star, replacing the per-rating loop of the reference
+Java program (/root/reference/README.md:1-2 — design intent; the snapshot
+ships no code).
+
+TPU-native design (tile plan: mfx/kernels/blocked_host.py):
+
+- **Gather/scatter are MXU matmuls.** Arbitrary row gather/scatter does not
+  vectorize on TPU (no hardware gather; XLA scatter measured ~0.02e9
+  upd/s; per-row DMA is descriptor-bound). Ratings are stratified into
+  (user-block × item-window) tiles; row access becomes block-local one-hot
+  matmuls: ``pu = onehot @ Pblk``, ``Pblk += onehotᵀ @ delta``. The
+  one-hotᵀ matmul performs the segment-sum gradient reduction over
+  duplicate rows (K2) *inside* the MXU, deterministically.
+- **Rank packing.** Factors are stored ``(rows/pack, 128)`` with
+  ``pack = 128 // rank`` so rank-32/64 matmuls use all 128 MXU lanes.
+- **Biases ride in the block**: each block's bias vector occupies 8 extra
+  128-wide rows of the same buffer (bias of local row x at row ``x//128``,
+  lane ``x%128``), so bias gather/scatter is two skinny MXU matmuls and a
+  block moves in one DMA.
+- **Q is VMEM-resident.** The item table (merged layout) is held entirely
+  in VMEM scratch for the duration of a sweep; when it exceeds the VMEM
+  budget the epoch runs as several item-sweeps, each re-streaming P
+  (measured VMEM capacity: 16 MB). Item windows are addressed by dynamic
+  slice — no DMA, no conditionals on the tile path.
+- **P streams via the Mosaic pipeline.** The current user block is a
+  pipelined, input/output-aliased BlockSpec indexed by a scalar-prefetched
+  per-step block id. Each block is visited in one contiguous run (plan is
+  user-block-major), so aliased prefetch never races a write-back.
+- **Sequential grid = deterministic.** Grid steps run in order; tiles
+  apply in plan order, bitwise-reproducibly. A bare grid step costs
+  ~1.6 µs, so each step processes ``tpg`` tiles from one packed int32
+  stream.
+
+The pure-XLA mirror (blocked_jnp.py) is the numeric oracle for this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["blocked_sgd_sweep_pallas", "BIAS_ROWS"]
+
+# Bias rows appended to each block buffer (8 = sublane alignment; supports
+# block sizes up to 8*128 = 1024 rows).
+BIAS_ROWS = 8
+
+# Scalar-prefetch tile arrays live in SMEM (~1 MB budget); cap tiles per
+# kernel call so the int32[chunk] window-id array leaves ample headroom.
+TILE_CHUNK = 98304
+
+
+def _kernel_body(
+    su: int,
+    si: int,
+    rank: int,
+    pack: int,
+    tile: int,
+    tpg: int,
+    nwin: int,
+    use_bias: bool,
+    exact: bool,
+):
+    sup, sip = su // pack, si // pack
+    qstride = sip + BIAS_ROWS
+    prec = lax.Precision.HIGHEST if exact else None
+    f32 = jnp.float32
+    T = tile
+
+    def dot(x, y):
+        return jnp.dot(x, y, precision=prec, preferred_element_type=f32)
+
+    def dot_t(x, y):  # xᵀ @ y without materializing the transpose
+        return lax.dot_general(
+            x, y, (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=f32,
+        )
+
+    def kernel(
+        hp_ref, sa_ref, tc_ref,  # scalar prefetch: f32[3], i32[NG], i32[NT]
+        tl_ref,  # (tpg, 3, T) packed tiles: rows = (u, i_local, bitcast(r))
+        P_in,  # pipelined (sup+8, 128) user block (aliased input)
+        Q_in,  # ANY; donated alias of Q_hbm
+        P_out, Q_hbm, sse_ref,  # outputs
+        Qseg, acc_ref, sem,  # scratch
+    ):
+        del Q_in
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        lr = hp_ref[0]
+        reg = hp_ref[1]
+        mu = hp_ref[2]
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[0] = 0.0
+            cp = pltpu.make_async_copy(
+                Q_hbm.at[pl.ds(0, nwin * qstride), :], Qseg, sem
+            )
+            cp.start()
+            cp.wait()
+
+        # first visit of this user block in the sweep: seed the aliased
+        # output block from the pipelined input block
+        prev_g = jnp.maximum(g - 1, 0)
+
+        @pl.when(jnp.logical_or(g == 0, sa_ref[g] != sa_ref[prev_g]))
+        def _():
+            P_out[:, :] = P_in[:, :]
+
+        sse = jnp.zeros((), f32)
+        for j in range(tpg):  # static unroll: tpg tiles per grid step
+            t = g * tpg + j
+            c = tc_ref[t]
+            qs = c * qstride
+
+            u = tl_ref[j, 0, :]  # (T,) int32; pad sentinel == su
+            i = tl_ref[j, 1, :]  # window-local item ids; pad sentinel == si
+            r = pltpu.bitcast(tl_ref[j, 2:3, :], f32)[0, :]
+
+            up = u // pack  # packed-row index; pad -> sup (out of range)
+            ip = i // pack
+            ou = (
+                up[:, None] == lax.broadcasted_iota(jnp.int32, (T, sup), 1)
+            ).astype(f32)
+            oi = (
+                ip[:, None] == lax.broadcasted_iota(jnp.int32, (T, sip), 1)
+            ).astype(f32)
+
+            gu = dot(ou, P_out[:sup, :])  # (T, 128): all `pack` slots
+            gi = dot(oi, Qseg[pl.ds(qs, sip), :])
+            if pack > 1:
+                sou = (
+                    (u % pack)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, pack), 1)
+                ).astype(f32)
+                soi = (
+                    (i % pack)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, pack), 1)
+                ).astype(f32)
+                pu = sou[:, 0:1] * gu[:, :rank]
+                qi = soi[:, 0:1] * gi[:, :rank]
+                for s in range(1, pack):
+                    pu = pu + sou[:, s : s + 1] * gu[:, s * rank : (s + 1) * rank]
+                    qi = qi + soi[:, s : s + 1] * gi[:, s * rank : (s + 1) * rank]
+            else:
+                pu, qi = gu, gi
+
+            pred = jnp.sum(pu * qi, axis=-1) + mu
+            mask = (u < su).astype(f32)
+            if use_bias:
+                # bias of local row x lives at block row x//128, lane x%128
+                orow_u = (
+                    (u // 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, BIAS_ROWS), 1)
+                ).astype(f32)
+                orow_i = (
+                    (i // 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, BIAS_ROWS), 1)
+                ).astype(f32)
+                ocol_u = (
+                    (u % 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                ).astype(f32)
+                ocol_i = (
+                    (i % 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                ).astype(f32)
+                bub = jnp.sum(dot(orow_u, P_out[sup:, :]) * ocol_u, axis=1)
+                bib = jnp.sum(
+                    dot(orow_i, Qseg[pl.ds(qs + sip, BIAS_ROWS), :]) * ocol_i,
+                    axis=1,
+                )
+                pred = pred + bub + bib
+
+            e = r - pred  # garbage in pad slots; killed by zero one-hots
+
+            d_pu = lr * (e[:, None] * qi - reg * pu)  # (T, rank)
+            d_qi = lr * (e[:, None] * pu - reg * qi)
+            if pack > 1:
+                d_pu128 = jnp.concatenate(
+                    [d_pu * sou[:, s : s + 1] for s in range(pack)], axis=1
+                )
+                d_qi128 = jnp.concatenate(
+                    [d_qi * soi[:, s : s + 1] for s in range(pack)], axis=1
+                )
+            else:
+                d_pu128, d_qi128 = d_pu, d_qi
+            P_out[:sup, :] = P_out[:sup, :] + dot_t(ou, d_pu128)
+            Qseg[pl.ds(qs, sip), :] = Qseg[pl.ds(qs, sip), :] + dot_t(oi, d_qi128)
+            if use_bias:
+                d_bu = lr * (e - reg * bub) * mask  # (T,)
+                d_bi = lr * (e - reg * bib) * mask
+                P_out[sup:, :] = P_out[sup:, :] + dot_t(
+                    orow_u, ocol_u * d_bu[:, None]
+                )
+                Qseg[pl.ds(qs + sip, BIAS_ROWS), :] = Qseg[
+                    pl.ds(qs + sip, BIAS_ROWS), :
+                ] + dot_t(orow_i, ocol_i * d_bi[:, None])
+
+            sse = sse + jnp.sum((e * mask) ** 2)
+
+        acc_ref[0] = acc_ref[0] + sse
+
+        @pl.when(g == ng - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                Qseg, Q_hbm.at[pl.ds(0, nwin * qstride), :], sem
+            )
+            cp.start()
+            cp.wait()
+            sse_ref[:, :] = acc_ref[0][None, None]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("su", "si", "rank", "tpg", "use_bias", "exact", "interpret"),
+)
+def blocked_sgd_sweep_pallas(
+    Pm: jax.Array,  # (A*(su/pack+8), 128) f32 merged user table
+    Qs: jax.Array,  # (nwin*(si/pack+8), 128) f32 merged item-sweep segment
+    sweep: dict[str, jax.Array],  # sa (NG,) i32; tc (NT,) i32; tl (NT,3,T) i32
+    lr,
+    reg,
+    mu,
+    *,
+    su: int,
+    si: int,
+    rank: int,
+    tpg: int = 8,
+    use_bias: bool = True,
+    exact: bool = False,
+    interpret: bool = False,
+):
+    """One item-sweep of fused SGD. The sweep's Q segment must fit the VMEM
+    budget (epochs over larger item tables run as several sweeps — see
+    mfx.solvers.blocked). Tables are donated. Returns (Pm, Qs, sse).
+
+    Chunked into multiple kernel calls only to bound SMEM prefetch size;
+    blocks write back at chunk edges, so the result is identical to one
+    monolithic call.
+    """
+    nt = sweep["tc"].shape[0]
+    ng = sweep["sa"].shape[0]
+    if nt != ng * tpg:
+        raise ValueError(f"tc length {nt} != sa length {ng} * tpg {tpg}")
+    pack = 128 // rank
+    nwin = Qs.shape[0] // (si // pack + BIAS_ROWS)
+    f32 = jnp.float32
+    sse = jnp.zeros((1, 1), f32)
+    step = (TILE_CHUNK // tpg) * tpg
+    for off in range(0, nt, step):
+        chunk = {
+            "sa": sweep["sa"][off // tpg : (off + step) // tpg],
+            "tc": sweep["tc"][off : off + step],
+            "tl": sweep["tl"][off : off + step],
+        }
+        Pm, Qs, s = _sweep_chunk_call(
+            Pm, Qs, chunk, lr, reg, mu,
+            su=su, si=si, rank=rank, tpg=tpg, nwin=nwin,
+            use_bias=use_bias, exact=exact, interpret=interpret,
+        )
+        sse = sse + s
+    return Pm, Qs, sse
+
+
+def _sweep_chunk_call(
+    Pm, Qs, sweep, lr, reg, mu,
+    *, su, si, rank, tpg, nwin, use_bias, exact, interpret,
+):
+    pack = 128 // rank
+    pstride = su // pack + BIAS_ROWS
+    ng = sweep["sa"].shape[0]
+    tile = sweep["tl"].shape[2]
+    f32 = jnp.float32
+    hp = jnp.stack(
+        [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
+    )
+    kernel = _kernel_body(
+        su, si, rank, pack, tile, tpg, nwin, use_bias, exact
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # hp, sa, tc
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(
+                (tpg, 3, tile), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # user block: one contiguous visit run per block id
+            pl.BlockSpec(
+                (pstride, 128),
+                lambda g, hp, sa, tc: (sa[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # Q segment (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (pstride, 128),
+                lambda g, hp, sa, tc: (sa[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nwin * (si // pack + BIAS_ROWS), 128), f32),
+            pltpu.SMEM((1,), f32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(Pm.shape, f32),
+        jax.ShapeDtypeStruct(Qs.shape, f32),
+        jax.ShapeDtypeStruct((1, 1), f32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        # positional indices incl. scalar-prefetch args:
+        # hp=0, sa=1, tc=2, tl=3, P=4, Q=5
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),  # sequential grid, required
+        ),
+        interpret=interpret,
+    )(hp, sweep["sa"], sweep["tc"], sweep["tl"], Pm, Qs)

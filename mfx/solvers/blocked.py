@@ -1,0 +1,116 @@
+"""Blocked SGD trainer — drives the Pallas K1 kernel (SURVEY.md M2/K1).
+
+Epoch = a sequence of item-sweeps (Q segment VMEM-resident per sweep; see
+mfx/kernels/sgd_pallas.py). Model state stays in the packed device layout
+across epochs; unpacking for eval/checkpoint is a cheap device reshape.
+
+Host-side planning (mfx/kernels/blocked_host.py) runs once per epoch with
+the epoch's permutation; on large datasets the plan can be reused across
+epochs (``replan_every``) since stratified order already randomizes within
+strata — the determinism guarantees are unaffected (seeded either way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+
+from mfx.config import SGDConfig
+from mfx.data.coo import RatingsCOO
+from mfx.data.split import epoch_permutation
+from mfx.kernels import blocked_host as bh
+from mfx.kernels import packing as pk
+from mfx.kernels.blocked_jnp import blocked_epoch_jnp, pad_tables, unpad_tables
+from mfx.kernels.sgd_pallas import BIAS_ROWS, blocked_sgd_sweep_pallas
+
+__all__ = ["train_epochs_blocked", "sweep_geometry"]
+
+# Per-sweep VMEM budget for the resident Q segment (measured capacity 16 MB;
+# leave room for the P block, tile stream, and pipeline buffers).
+VMEM_Q_BUDGET = 11 * 1024 * 1024
+
+
+def sweep_geometry(num_items: int, rank: int, si: int) -> int:
+    """Windows per sweep so the merged Q segment fits the VMEM budget."""
+    pack = 128 // rank
+    qstride = si // pack + BIAS_ROWS
+    c = -(-num_items // si)
+    nwin = max(1, VMEM_Q_BUDGET // (qstride * 128 * 4))
+    return min(c, nwin)
+
+
+def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, epoch):
+    perm = epoch_permutation(train.n_ratings, seed, epoch)
+    return bh.build_sweep_plans(
+        train.user, train.item, train.rating,
+        train.num_users, train.num_items,
+        cfg.ublock, cfg.iblock, cfg.tile, tpg, nwin, perm,
+    )
+
+
+def train_epochs_blocked(
+    model,
+    train: RatingsCOO,
+    cfg: SGDConfig,
+    use_bias: bool,
+    seed: int = 0,
+    start_epoch: int = 0,
+    tpg: int = 8,
+    replan_every: int = 1,
+    exact: bool = False,
+    interpret: bool = False,
+) -> Iterator[tuple[int, object, float]]:
+    """Yields (epoch, model, train_rmse) like mfx.solvers.sgd.train_epochs,
+    running the fused Pallas kernel (cfg.kernel == 'pallas') or the pure-XLA
+    blocked mirror ('blocked_jnp')."""
+    su, si = cfg.ublock, cfg.iblock
+    U, I, rank = model.num_users, model.num_items, model.rank
+    mu = float(model.mu)
+
+    if cfg.kernel == "pallas":
+        nwin = sweep_geometry(I, rank, si)
+        Pm, Qm = pk.pack_state(model, su, si)
+        plans = None
+        for epoch in range(start_epoch, cfg.epochs):
+            lr = cfg.lr * (cfg.lr_decay**epoch)
+            if plans is None or (replan_every and epoch % replan_every == 0):
+                plans = _plan_epoch(train, cfg, tpg, nwin, seed, epoch)
+            sse = 0.0
+            for p in plans:
+                Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+                Pm, Qs, s = blocked_sgd_sweep_pallas(
+                    Pm, Qs, pk.sweep_arrays(p), lr, cfg.reg, mu,
+                    su=su, si=si, rank=rank, tpg=tpg,
+                    use_bias=use_bias, exact=exact, interpret=interpret,
+                )
+                Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+                sse += float(s[0, 0])
+            model = pk.unpack_state(Pm, Qm, mu, U, I, rank, su, si)
+            yield epoch, model, float(jnp.sqrt(sse / max(1, train.n_ratings)))
+    elif cfg.kernel == "blocked_jnp":
+        padded = pad_tables(model, su, si)
+        plan = None
+        for epoch in range(start_epoch, cfg.epochs):
+            lr = cfg.lr * (cfg.lr_decay**epoch)
+            if plan is None or (replan_every and epoch % replan_every == 0):
+                perm = epoch_permutation(train.n_ratings, seed, epoch)
+                plan = bh.build_tile_plan(
+                    train.user, train.item, train.rating, U, I,
+                    su, si, cfg.tile, perm,
+                )
+            tiles = {
+                "ta": jnp.asarray(plan.ta), "tc": jnp.asarray(plan.tc),
+                "tu": jnp.asarray(plan.tu), "ti": jnp.asarray(plan.ti),
+                "tr": jnp.asarray(plan.tr),
+            }
+            padded, sse = blocked_epoch_jnp(
+                padded, tiles, lr, cfg.reg,
+                su=su, si=si, use_bias=use_bias, exact=exact,
+            )
+            model = unpad_tables(padded, U, I)
+            yield epoch, model, float(jnp.sqrt(sse / max(1, train.n_ratings)))
+    else:
+        raise ValueError(f"unknown blocked kernel {cfg.kernel!r}")

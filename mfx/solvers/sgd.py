@@ -137,8 +137,17 @@ def train_epochs(
     """Generator driving SGD epochs; yields (epoch, model, train_rmse).
 
     The training driver (mfx.train.driver) wraps this with eval cadence,
-    logging, checkpointing, and throughput metering.
+    logging, checkpointing, and throughput metering. The 'blocked'
+    partitioner (DSGD strata driving the Pallas K1 kernel or its XLA
+    mirror) is delegated to mfx.solvers.blocked.
     """
+    if cfg.partitioner == "blocked":
+        from mfx.solvers.blocked import train_epochs_blocked
+
+        yield from train_epochs_blocked(
+            model, train, cfg, use_bias, seed=seed, start_epoch=start_epoch
+        )
+        return
     epoch_fn = make_epoch_fn(cfg, use_bias)
     for epoch in range(start_epoch, cfg.epochs):
         lr = cfg.lr * (cfg.lr_decay**epoch)

@@ -1,0 +1,90 @@
+"""K1 Pallas kernel vs. the K4 reference oracle (SURVEY.md §4.2).
+
+Runs in Pallas interpreter mode on the CPU test platform; the same kernel
+is verified compiled on real TPU hardware by the bench/driver path (see
+.claude/skills/verify and bench.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfx.data import synthetic, epoch_permutation
+from mfx.kernels import blocked_host as bh
+from mfx.kernels import packing as pk
+from mfx.kernels.blocked_jnp import pad_tables, unpad_tables
+from mfx.kernels.jnp_ref import sgd_minibatch_update
+from mfx.kernels.sgd_pallas import blocked_sgd_sweep_pallas
+from mfx.models import init_model
+
+
+def _reference(model, plans, su, si, tpg, lr, reg, use_bias):
+    ref = pad_tables(model, su, si)
+    for p in plans:
+        for t in range(p.num_tiles):
+            a = p.sa[t // tpg]
+            c = p.win0 + p.tc[t]
+            lu = p.tl[t, 0]
+            li = p.tl[t, 1]
+            r = p.tl[t, 2].view(np.float32)
+            real = lu < su
+            gu = np.where(real, a * su + lu, 0).astype(np.int32)
+            gi = np.where(real, c * si + li, 0).astype(np.int32)
+            ref, _ = sgd_minibatch_update(
+                ref, gu, gi, r, real.astype(np.float32), lr, reg,
+                use_bias=use_bias,
+            )
+    return unpad_tables(ref, model.num_users, model.num_items)
+
+
+def test_pallas_sweep_kernel_matches_reference_interpret():
+    su, si, T, tpg, nwin, rank = 128, 128, 32, 4, 2, 64
+    coo = synthetic.make_synthetic(300, 260, 3000, seed=5)
+    perm = epoch_permutation(3000, 0, 0)
+    plans = bh.build_sweep_plans(
+        coo.user, coo.item, coo.rating, 300, 260, su, si, T, tpg, nwin, perm
+    )
+    for use_bias in (True, False):
+        model = init_model(2, 300, 260, rank, global_mean=coo.global_mean)
+        refu = _reference(model, plans, su, si, tpg, 0.05, 0.02, use_bias)
+        Pm, Qm = pk.pack_state(model, su, si)
+        for p in plans:
+            Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+            Pm, Qs, _ = blocked_sgd_sweep_pallas(
+                Pm, Qs, pk.sweep_arrays(p), 0.05, 0.02, float(model.mu),
+                su=su, si=si, rank=rank, tpg=tpg,
+                use_bias=use_bias, exact=True, interpret=True,
+            )
+            Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+        got = pk.unpack_state(Pm, Qm, model.mu, 300, 260, rank, su, si)
+        np.testing.assert_allclose(
+            np.asarray(got.P), np.asarray(refu.P), atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.Q), np.asarray(refu.Q), atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.bu), np.asarray(refu.bu), atol=2e-6
+        )
+
+
+def test_pallas_rank32_pack4_interpret():
+    su, si, T, tpg, nwin, rank = 128, 128, 32, 4, 2, 32
+    coo = synthetic.make_synthetic(200, 200, 1500, seed=7)
+    perm = epoch_permutation(1500, 0, 0)
+    plans = bh.build_sweep_plans(
+        coo.user, coo.item, coo.rating, 200, 200, su, si, T, tpg, nwin, perm
+    )
+    model = init_model(4, 200, 200, rank, global_mean=coo.global_mean)
+    refu = _reference(model, plans, su, si, tpg, 0.03, 0.01, True)
+    Pm, Qm = pk.pack_state(model, su, si)
+    for p in plans:
+        Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+        Pm, Qs, _ = blocked_sgd_sweep_pallas(
+            Pm, Qs, pk.sweep_arrays(p), 0.03, 0.01, float(model.mu),
+            su=su, si=si, rank=rank, tpg=tpg,
+            use_bias=True, exact=True, interpret=True,
+        )
+        Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+    got = pk.unpack_state(Pm, Qm, model.mu, 200, 200, rank, su, si)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(refu.P), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), np.asarray(refu.Q), atol=2e-6)
