@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rmse_mae", "rmse"]
+__all__ = ["rmse_mae", "rmse", "sampled_auc"]
 
 
 @functools.partial(jax.jit, static_argnames=("clip",))
@@ -54,3 +54,41 @@ def rmse_mae(model, coo, chunk: int = 1 << 20, clip=None) -> tuple[float, float]
 
 def rmse(model, coo, **kw) -> float:
     return rmse_mae(model, coo, **kw)[0]
+
+
+@jax.jit
+def _auc_chunk(model, users, pos, neg, weights):
+    pu = jnp.take(model.P, users, axis=0)
+    s_pos = jnp.sum(pu * jnp.take(model.Q, pos, axis=0), axis=-1)
+    s_neg = jnp.sum(pu * jnp.take(model.Q, neg, axis=0), axis=-1)
+    wins = ((s_pos > s_neg) + 0.5 * (s_pos == s_neg)) * weights
+    return jnp.sum(wins), jnp.sum(weights)
+
+
+def sampled_auc(model, coo, seed: int = 0, chunk: int = 1 << 20) -> float:
+    """Implicit-feedback ranking quality: P(score(pos) > score(neg)) with
+    one uniform negative per held-out positive (standard sampled AUC)."""
+    from mfx.data.bpr import sample_negatives
+
+    n = coo.n_ratings
+    if n == 0:
+        return 0.5
+    neg = sample_negatives(n, coo.num_items, seed, epoch=0xE7A1)  # eval-only stream
+    chunk = min(chunk, max(1024, n))
+    wins = cnt = 0.0
+    u = np.zeros(chunk, np.int32)
+    p = np.zeros(chunk, np.int32)
+    q = np.zeros(chunk, np.int32)
+    w = np.zeros(chunk, np.float32)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        m = stop - start
+        u[:m] = coo.user[start:stop]
+        p[:m] = coo.item[start:stop]
+        q[:m] = neg[start:stop]
+        w[:] = 0.0
+        w[:m] = 1.0
+        a, c = _auc_chunk(model, u, p, q, w)
+        wins += float(a)
+        cnt += float(c)
+    return wins / cnt

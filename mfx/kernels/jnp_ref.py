@@ -18,7 +18,60 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sgd_minibatch_update", "batch_sq_error"]
+__all__ = [
+    "sgd_minibatch_update",
+    "sgd_compute_deltas",
+    "sgd_apply_deltas",
+    "batch_sq_error",
+]
+
+
+def sgd_compute_deltas(
+    model, users, items, ratings, weights, lr, reg, *, use_bias: bool = True
+):
+    """Per-rating factor/bias deltas from the batch-entry snapshot.
+
+    Returns (d_pu [B,k], d_qi [B,k], d_bu [B], d_bi [B], sq_err). Split out
+    from sgd_minibatch_update so data-parallel training can compute deltas
+    locally and exchange only the sparse (ids, deltas) pairs
+    (mfx.parallel.data_parallel)."""
+    pu = jnp.take(model.P, users, axis=0)
+    qi = jnp.take(model.Q, items, axis=0)
+    pred = jnp.sum(pu * qi, axis=-1) + model.mu
+    if use_bias:
+        bu = jnp.take(model.bu, users)
+        bi = jnp.take(model.bi, items)
+        pred = pred + bu + bi
+    err = (ratings - pred) * weights
+    e = err[:, None]
+    w = weights[:, None]
+    d_pu = lr * (e * qi - reg * w * pu)
+    d_qi = lr * (e * pu - reg * w * qi)
+    if use_bias:
+        d_bu = lr * (err - reg * weights * bu)
+        d_bi = lr * (err - reg * weights * bi)
+    else:
+        d_bu = jnp.zeros_like(err)
+        d_bi = jnp.zeros_like(err)
+    return d_pu, d_qi, d_bu, d_bi, jnp.sum(err * err)
+
+
+def sgd_apply_deltas(
+    model, users, items, d_pu, d_qi, d_bu, d_bi, *,
+    use_bias: bool = True, unique_rows: bool = False
+):
+    """Scatter-add (segment-sum) deltas into the factor tables."""
+    from mfx.models.mf import MFModel
+
+    mode = "promise_in_bounds"
+    new_p = model.P.at[users].add(d_pu, unique_indices=unique_rows, mode=mode)
+    new_q = model.Q.at[items].add(d_qi, unique_indices=unique_rows, mode=mode)
+    if use_bias:
+        new_bu = model.bu.at[users].add(d_bu, unique_indices=unique_rows, mode=mode)
+        new_bi = model.bi.at[items].add(d_bi, unique_indices=unique_rows, mode=mode)
+    else:
+        new_bu, new_bi = model.bu, model.bi
+    return MFModel(P=new_p, Q=new_q, bu=new_bu, bi=new_bi, mu=model.mu)
 
 
 def sgd_minibatch_update(
@@ -40,38 +93,14 @@ def sgd_minibatch_update(
     is conflict-free (no duplicate user or item row) letting XLA skip the
     duplicate-combining scatter path.
     """
-    from mfx.models.mf import MFModel
-
-    pu = jnp.take(model.P, users, axis=0)
-    qi = jnp.take(model.Q, items, axis=0)
-    pred = jnp.sum(pu * qi, axis=-1) + model.mu
-    if use_bias:
-        bu = jnp.take(model.bu, users)
-        bi = jnp.take(model.bi, items)
-        pred = pred + bu + bi
-    err = (ratings - pred) * weights
-
-    e = err[:, None]
-    w = weights[:, None]
-    d_pu = lr * (e * qi - reg * w * pu)
-    d_qi = lr * (e * pu - reg * w * qi)
-
-    mode = "promise_in_bounds"
-    new_p = model.P.at[users].add(d_pu, unique_indices=unique_rows, mode=mode)
-    new_q = model.Q.at[items].add(d_qi, unique_indices=unique_rows, mode=mode)
-    if use_bias:
-        d_bu = lr * (err - reg * weights * bu)
-        d_bi = lr * (err - reg * weights * bi)
-        new_bu = model.bu.at[users].add(d_bu, unique_indices=unique_rows, mode=mode)
-        new_bi = model.bi.at[items].add(d_bi, unique_indices=unique_rows, mode=mode)
-    else:
-        new_bu, new_bi = model.bu, model.bi
-
-    sq_err = jnp.sum(err * err)  # weighted: padding contributes 0
-    return (
-        MFModel(P=new_p, Q=new_q, bu=new_bu, bi=new_bi, mu=model.mu),
-        sq_err,
+    d_pu, d_qi, d_bu, d_bi, sq_err = sgd_compute_deltas(
+        model, users, items, ratings, weights, lr, reg, use_bias=use_bias
     )
+    new_model = sgd_apply_deltas(
+        model, users, items, d_pu, d_qi, d_bu, d_bi,
+        use_bias=use_bias, unique_rows=unique_rows,
+    )
+    return new_model, sq_err
 
 
 def batch_sq_error(model, users, items, ratings, weights) -> jax.Array:

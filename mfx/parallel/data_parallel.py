@@ -1,0 +1,108 @@
+"""P1 — data-parallel SGD (SURVEY.md §2.2 P1; BASELINE.json configs[3]).
+
+Factor tables are replicated across the 'data' mesh axis; each minibatch is
+sharded over devices. Every device computes its shard's sparse deltas from
+the replicated snapshot, the (ids, deltas) pairs are all-gathered over ICI,
+and every replica applies the identical full scatter-add — so replicas stay
+bitwise-identical and the result equals the single-device run on the same
+batches (tested). Exchanging sparse deltas costs O(B·k) per batch instead
+of the O(U·k) a dense-gradient psum would, which is what makes DP viable
+for embedding-style models.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfx.config import SGDConfig
+from mfx.data.coo import RatingsCOO
+from mfx.data import partition as part
+from mfx.data.split import epoch_permutation
+from mfx.kernels.jnp_ref import sgd_apply_deltas, sgd_compute_deltas
+from mfx.runtime.mesh import DATA_AXIS
+
+__all__ = ["make_dp_epoch_fn", "train_epochs_dp"]
+
+
+def make_dp_epoch_fn(mesh: Mesh, use_bias: bool):
+    """Build the jitted data-parallel epoch: scan over [NB, B] batches with
+    the B dimension sharded over the 'data' axis."""
+
+    def _epoch(model, batches, lr, reg):
+        def body(m, batch):
+            d_pu, d_qi, d_bu, d_bi, sq = sgd_compute_deltas(
+                m,
+                batch["users"],
+                batch["items"],
+                batch["ratings"],
+                batch["weights"],
+                lr,
+                reg,
+                use_bias=use_bias,
+            )
+            # exchange sparse deltas; tiled=True concatenates in device
+            # order, which is the original batch order
+            g = lambda x: lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
+            m = sgd_apply_deltas(
+                m,
+                g(batch["users"]),
+                g(batch["items"]),
+                g(d_pu),
+                g(d_qi),
+                g(d_bu),
+                g(d_bi),
+                use_bias=use_bias,
+            )
+            return m, lax.psum(sq, DATA_AXIS)
+
+        model, sqs = lax.scan(body, model, batches)
+        return model, jnp.sum(sqs)
+
+    sharded = jax.shard_map(
+        _epoch,
+        mesh=mesh,
+        in_specs=(P(), {k: P(None, DATA_AXIS) for k in
+                        ("users", "items", "ratings", "weights")}, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # replicas provably identical (same gathered deltas)
+    )
+    return jax.jit(sharded)
+
+
+def train_epochs_dp(
+    model,
+    train: RatingsCOO,
+    cfg: SGDConfig,
+    use_bias: bool,
+    mesh: Mesh,
+    seed: int = 0,
+    start_epoch: int = 0,
+) -> Iterator[tuple[int, object, float]]:
+    """Data-parallel version of mfx.solvers.sgd.train_epochs."""
+    ndata = mesh.shape[DATA_AXIS]
+    bsz = -(-cfg.batch_size // ndata) * ndata  # divisible by the data axis
+    epoch_fn = make_dp_epoch_fn(mesh, use_bias)
+    batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    for epoch in range(start_epoch, cfg.epochs):
+        lr = cfg.lr * (cfg.lr_decay**epoch)
+        perm = epoch_permutation(train.n_ratings, seed, epoch)
+        arrays = part.pad_to_batches(
+            train.user, train.item, train.rating, perm, bsz
+        )
+        batches = {
+            k: jax.device_put(v, batch_sharding) for k, v in arrays.items()
+        }
+        model, sse = epoch_fn(
+            model,
+            batches,
+            jnp.asarray(lr, model.P.dtype),
+            jnp.asarray(cfg.reg, model.P.dtype),
+        )
+        yield epoch, model, float(jnp.sqrt(sse / max(1, train.n_ratings)))

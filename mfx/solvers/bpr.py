@@ -1,0 +1,100 @@
+"""BPR trainer — SURVEY.md M3 (BASELINE.json configs[4]).
+
+Bayesian Personalized Ranking (Rendle et al.): pairwise implicit-feedback
+loss ``-ln σ(p_u·(q_i − q_j)) + λ‖·‖²`` over (user, positive, sampled
+negative) triples. Minibatch SGD with the same snapshot + segment-sum
+scatter-add semantics as the explicit solver; epochs are single jitted
+``lax.scan`` programs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfx.config import BPRConfig
+from mfx.data.bpr import bpr_epoch_triples
+from mfx.data.coo import RatingsCOO
+from mfx.data.split import epoch_permutation
+from mfx.models.mf import MFModel
+
+__all__ = ["bpr_minibatch_update", "train_epochs_bpr"]
+
+
+def bpr_minibatch_update(model, users, pos, neg, weights, lr, reg):
+    """One fused BPR minibatch step. Returns (model, batch_loss_sum)."""
+    pu = jnp.take(model.P, users, axis=0)
+    qi = jnp.take(model.Q, pos, axis=0)
+    qj = jnp.take(model.Q, neg, axis=0)
+    x = jnp.sum(pu * (qi - qj), axis=-1)
+    e = jax.nn.sigmoid(-x) * weights  # d(-ln σ(x))/dx = -σ(-x)
+    w = weights[:, None]
+    d_pu = lr * (e[:, None] * (qi - qj) - reg * w * pu)
+    d_qi = lr * (e[:, None] * pu - reg * w * qi)
+    d_qj = lr * (-e[:, None] * pu - reg * w * qj)
+    mode = "promise_in_bounds"
+    new_p = model.P.at[users].add(d_pu, mode=mode)
+    new_q = model.Q.at[pos].add(d_qi, mode=mode)
+    new_q = new_q.at[neg].add(d_qj, mode=mode)
+    loss = jnp.sum(-jnp.log(jax.nn.sigmoid(x) + 1e-12) * weights)
+    return (
+        MFModel(P=new_p, Q=new_q, bu=model.bu, bi=model.bi, mu=model.mu),
+        loss,
+    )
+
+
+@jax.jit
+def _epoch_scan(model, batches, lr, reg):
+    def body(m, b):
+        m, loss = bpr_minibatch_update(
+            m, b["users"], b["pos"], b["neg"], b["weights"], lr, reg
+        )
+        return m, loss
+
+    model, losses = jax.lax.scan(body, model, batches)
+    return model, jnp.sum(losses)
+
+
+def _pad_triples(u, i, j, batch_size):
+    n = len(u)
+    nb = max(1, -(-n // batch_size))
+    users = np.zeros((nb, batch_size), np.int32)
+    pos = np.zeros((nb, batch_size), np.int32)
+    neg = np.zeros((nb, batch_size), np.int32)
+    w = np.zeros((nb, batch_size), np.float32)
+    flat = nb * batch_size
+    users.reshape(flat)[:n] = u
+    pos.reshape(flat)[:n] = i
+    neg.reshape(flat)[:n] = j
+    w.reshape(flat)[:n] = 1.0
+    return {
+        "users": jnp.asarray(users),
+        "pos": jnp.asarray(pos),
+        "neg": jnp.asarray(neg),
+        "weights": jnp.asarray(w),
+    }
+
+
+def train_epochs_bpr(
+    model: MFModel,
+    train: RatingsCOO,
+    cfg: BPRConfig,
+    seed: int = 0,
+    start_epoch: int = 0,
+) -> Iterator[tuple[int, MFModel, float]]:
+    """Yields (epoch, model, mean_pairwise_loss)."""
+    for epoch in range(start_epoch, cfg.epochs):
+        perm = epoch_permutation(train.n_ratings, seed, epoch)
+        u, i, j = bpr_epoch_triples(train, cfg.neg_seed + seed, epoch, perm)
+        batches = _pad_triples(u, i, j, cfg.batch_size)
+        model, loss = _epoch_scan(
+            model,
+            batches,
+            jnp.asarray(cfg.lr, model.P.dtype),
+            jnp.asarray(cfg.reg, model.P.dtype),
+        )
+        yield epoch, model, float(loss) / max(1, train.n_ratings)
