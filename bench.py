@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Driver benchmark entry point: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures SGD rating updates/sec/chip at rank 64 on the ML-25M-shaped
+dataset through the fused Pallas kernel (BASELINE.md throughput target:
+>= 1e9; vs_baseline is value / 1e9). Runs on whatever the default JAX
+backend is (the real TPU chip under the driver).
+"""
+
+import json
+import sys
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    # the axon backend's first device->host transfer can stall 77-300 s;
+    # pay it before any timing (see .claude/skills/verify/SKILL.md)
+    float(jnp.zeros(()))
+
+    from mfx.bench import run_bench
+
+    result = run_bench(preset="ml25m_rank64", epochs=3)
+    print(json.dumps(result, sort_keys=True), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,37 @@
+"""Public API — SURVEY.md L7.
+
+>>> import mfx.api as mfx
+>>> result = mfx.train(mfx.preset("ml100k_rank16"))
+>>> mfx.evaluate(result.model, test_coo)
+"""
+
+from __future__ import annotations
+
+from mfx.config import (
+    TrainConfig, DataConfig, ModelConfig, SGDConfig, ALSConfig, BPRConfig,
+    ParallelConfig, preset, apply_overrides, PRESETS,
+)
+from mfx.data.coo import RatingsCOO
+from mfx.data.loaders import load_dataset, dataset_names
+from mfx.data.split import train_test_split
+from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
+from mfx.models.mf import MFModel, init_model
+from mfx.train.checkpoint import load_checkpoint, save_checkpoint
+from mfx.train.driver import TrainResult, train
+
+__all__ = [
+    "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "ALSConfig",
+    "BPRConfig", "ParallelConfig", "preset", "apply_overrides", "PRESETS",
+    "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
+    "rmse", "rmse_mae", "sampled_auc", "evaluate",
+    "MFModel", "init_model", "load_checkpoint", "save_checkpoint",
+    "TrainResult", "train",
+]
+
+
+def evaluate(model: MFModel, coo: RatingsCOO, implicit: bool = False) -> dict:
+    """Held-out metrics: RMSE/MAE (explicit) or sampled AUC (implicit)."""
+    if implicit:
+        return {"auc": sampled_auc(model, coo)}
+    r, m = rmse_mae(model, coo)
+    return {"rmse": r, "mae": m}

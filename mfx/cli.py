@@ -1,0 +1,122 @@
+"""CLI — SURVEY.md A2.
+
+    python -m mfx.cli train --preset ml100k_rank16 [--set sgd.lr=0.02 ...]
+    python -m mfx.cli eval  --checkpoint ckpt/ --dataset ml-100k
+    python -m mfx.cli bench --preset ml25m_rank64 [--epochs 3]
+    python -m mfx.cli datasets | presets
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_config_args(p):
+    p.add_argument("--preset", default="ml100k_rank16",
+                   help="named config from mfx.config.PRESETS")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="dot-path config override")
+
+
+def _build_config(args):
+    from mfx.config import apply_overrides, preset
+
+    return apply_overrides(preset(args.preset), args.overrides)
+
+
+def cmd_train(args) -> int:
+    from mfx.train.driver import train
+
+    cfg = _build_config(args)
+    result = train(cfg, resume=not args.no_resume)
+    out = {
+        "preset": cfg.name,
+        "epochs_run": result.epochs_run,
+        "updates_per_sec": result.updates_per_sec,
+    }
+    if result.test_rmse is not None:
+        out["test_rmse"] = result.test_rmse
+        out["test_mae"] = result.test_mae
+    if result.test_auc is not None:
+        out["test_auc"] = result.test_auc
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from mfx.api import evaluate, load_dataset, train_test_split
+    from mfx.train.checkpoint import load_checkpoint
+
+    model, epoch, seed = load_checkpoint(args.checkpoint)
+    coo = load_dataset(args.dataset)
+    _, test = train_test_split(coo, test_frac=args.test_frac, seed=seed)
+    print(json.dumps(
+        {"checkpoint_epoch": epoch, **evaluate(model, test, args.implicit)},
+        sort_keys=True,
+    ))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from mfx.bench import run_bench
+
+    result = run_bench(preset=args.preset, epochs=args.epochs,
+                       overrides=args.overrides)
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
+def cmd_datasets(args) -> int:
+    from mfx.data.loaders import dataset_names
+
+    print("\n".join(dataset_names()))
+    return 0
+
+
+def cmd_presets(args) -> int:
+    from mfx.config import PRESETS
+
+    for name, cfg in sorted(PRESETS.items()):
+        print(f"{name}: solver={cfg.solver} dataset={cfg.data.dataset} "
+              f"rank={cfg.model.rank} parallel={cfg.parallel.mode}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="mfx", description="TPU-native matrix factorization"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a preset config")
+    _add_config_args(p)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing checkpoints")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="evaluate a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--test-frac", type=float, default=0.1)
+    p.add_argument("--implicit", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="measure updates/sec/chip")
+    _add_config_args(p)
+    p.add_argument("--epochs", type=int, default=3)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("datasets", help="list known datasets")
+    p.set_defaults(fn=cmd_datasets)
+
+    p = sub.add_parser("presets", help="list named configs")
+    p.set_defaults(fn=cmd_presets)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

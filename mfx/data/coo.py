@@ -101,7 +101,9 @@ class RatingsCOO:
     # ---- persistence ------------------------------------------------------
 
     def save_npz(self, path) -> None:
-        np.savez_compressed(
+        # uncompressed: cache files are written once and re-read often; the
+        # single-core host pays dearly for deflate on 100M+ rating arrays
+        np.savez(
             path,
             user=self.user,
             item=self.item,

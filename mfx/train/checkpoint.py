@@ -1,0 +1,92 @@
+"""Checkpoint/resume — SURVEY.md T2.
+
+Orbax-backed pytree checkpoints (sharded-array aware, so row-sharded
+tables on a mesh save/restore without gathering), with a plain ``.npz``
+fallback when Orbax is unavailable. Layout: ``<dir>/<step>/`` per epoch;
+``latest_step`` finds the resume point. Checkpointed state:
+{P, Q, bu, bi, mu, epoch, seed} — everything needed for a bitwise resume
+(the per-epoch RNG streams are derived from (seed, epoch), so no RNG state
+needs saving; see mfx.data.split.epoch_permutation).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfx.models.mf import MFModel
+
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_step"]
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _state_dict(model: MFModel, epoch: int, seed: int) -> dict:
+    return {
+        "P": model.P,
+        "Q": model.Q,
+        "bu": model.bu,
+        "bi": model.bi,
+        "mu": model.mu,
+        "epoch": jnp.asarray(epoch, jnp.int32),
+        "seed": jnp.asarray(seed, jnp.int32),
+    }
+
+
+def save_checkpoint(ckpt_dir, step: int, model: MFModel, seed: int = 0) -> str:
+    ckpt_dir = Path(ckpt_dir).absolute()
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = ckpt_dir / f"{step}"
+    state = _state_dict(model, step, seed)
+    if _HAVE_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+    else:  # pragma: no cover
+        np.savez(str(path) + ".npz", **{k: np.asarray(v) for k, v in state.items()})
+    return str(path)
+
+
+def latest_step(ckpt_dir) -> int | None:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    steps = []
+    for p in ckpt_dir.iterdir():
+        name = p.name.removesuffix(".npz")
+        if name.isdigit():
+            steps.append(int(name))
+    return max(steps) if steps else None
+
+
+def load_checkpoint(ckpt_dir, step: int | None = None) -> tuple[MFModel, int, int]:
+    """Returns (model, epoch, seed). Raises FileNotFoundError if absent."""
+    ckpt_dir = Path(ckpt_dir).absolute()
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = ckpt_dir / f"{step}"
+    if _HAVE_ORBAX and path.exists():
+        ckptr = ocp.StandardCheckpointer()
+        state = ckptr.restore(path)
+    else:  # pragma: no cover
+        with np.load(str(path) + ".npz") as z:
+            state = {k: z[k] for k in z.files}
+    model = MFModel(
+        P=jnp.asarray(state["P"]),
+        Q=jnp.asarray(state["Q"]),
+        bu=jnp.asarray(state["bu"]),
+        bi=jnp.asarray(state["bi"]),
+        mu=jnp.asarray(state["mu"]),
+    )
+    return model, int(state["epoch"]), int(state["seed"])

@@ -1,0 +1,179 @@
+"""Training driver — SURVEY.md T1.
+
+Orchestrates a full run from a TrainConfig: data loading + split, mesh
+construction, solver selection (SGD single/DP/ring/hybrid, ALS, BPR),
+eval cadence, early stop at target RMSE, throughput metering
+(updates/sec/chip — the BASELINE.json metric), JSONL metrics, checkpoints,
+optional profiler traces. Call stack per SURVEY.md §3.2(a).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+
+from mfx.config import TrainConfig
+from mfx.data.loaders import load_dataset
+from mfx.data.split import train_test_split
+from mfx.eval.metrics import rmse_mae, sampled_auc
+from mfx.models.mf import MFModel, init_model
+from mfx.runtime.mesh import make_mesh, distributed_init
+from mfx.train.checkpoint import latest_step, load_checkpoint, save_checkpoint
+from mfx.train.logging import MetricsLogger
+from mfx.train.profile import maybe_trace
+
+__all__ = ["train", "TrainResult"]
+
+
+@dataclasses.dataclass
+class TrainResult:
+    model: MFModel
+    history: list[dict]
+    test_rmse: float | None
+    test_mae: float | None
+    test_auc: float | None
+    epochs_run: int
+    updates_per_sec: float
+
+
+def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh):
+    use_bias = cfg.model.use_bias
+    if cfg.solver == "sgd":
+        mode = cfg.parallel.mode
+        if mode == "single":
+            from mfx.solvers.sgd import train_epochs
+
+            return train_epochs(
+                model, train_coo, cfg.sgd, use_bias, seed=seed,
+                start_epoch=start_epoch,
+            )
+        if mode == "dp":
+            from mfx.parallel.data_parallel import train_epochs_dp
+
+            return train_epochs_dp(
+                model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
+                start_epoch=start_epoch,
+            )
+        if mode == "sharded":
+            from mfx.parallel.sharded import train_epochs_ring
+
+            return train_epochs_ring(
+                model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
+                start_epoch=start_epoch,
+            )
+        if mode == "hybrid":
+            from mfx.parallel.hybrid import train_epochs_hybrid
+
+            return train_epochs_hybrid(
+                model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
+                start_epoch=start_epoch,
+            )
+        raise ValueError(f"unknown parallel mode {mode!r}")
+    if cfg.solver == "als":
+        from mfx.solvers.als import train_sweeps_als
+
+        def gen():
+            for sweep, m in train_sweeps_als(
+                model, train_coo, cfg.als, use_bias=use_bias
+            ):
+                yield sweep, m, float("nan")
+
+        return gen()
+    if cfg.solver == "bpr":
+        from mfx.solvers.bpr import train_epochs_bpr
+
+        return train_epochs_bpr(
+            model, train_coo, cfg.bpr, seed=seed, start_epoch=start_epoch
+        )
+    raise ValueError(f"unknown solver {cfg.solver!r}")
+
+
+def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
+    distributed_init()
+    seed = cfg.data.seed
+    coo = load_dataset(cfg.data.dataset, root=cfg.data.root)
+    train_coo, test_coo = train_test_split(coo, cfg.data.test_frac, seed=seed)
+
+    mesh = None
+    if cfg.parallel.mode != "single":
+        mesh = make_mesh(data=cfg.parallel.data_axis, model=cfg.parallel.model_axis)
+
+    start_epoch = 0
+    model = None
+    if resume and cfg.checkpoint_dir and latest_step(cfg.checkpoint_dir) is not None:
+        model, ckpt_epoch, _ = load_checkpoint(cfg.checkpoint_dir)
+        start_epoch = ckpt_epoch + 1
+    if model is None:
+        model = init_model(
+            cfg.model.seed,
+            coo.num_users,
+            coo.num_items,
+            cfg.model.rank,
+            global_mean=train_coo.global_mean,
+            init_scale=cfg.model.init_scale,
+        )
+
+    log = MetricsLogger(cfg.log_path)
+    clip = (0.5, 5.0) if cfg.clip_predictions else None
+    implicit = cfg.solver == "bpr"
+    n_chips = jax.device_count() if mesh is None else mesh.devices.size
+
+    it = _make_epoch_iter(cfg, model, train_coo, seed, start_epoch, mesh)
+    epochs_run = 0
+    last_ups = 0.0
+    test_rmse = test_mae = test_auc = None
+    t_prev = time.time()
+    with maybe_trace(cfg.profile_dir):
+        for epoch, model, train_metric in it:
+            jax.block_until_ready(model.P)
+            dt = time.time() - t_prev
+            last_ups = train_coo.n_ratings / max(1e-9, dt)
+            rec = {
+                "epoch": epoch,
+                "train_metric": round(float(train_metric), 6),
+                "epoch_s": round(dt, 3),
+                "updates_per_sec": round(last_ups, 1),
+                "updates_per_sec_per_chip": round(last_ups / n_chips, 1),
+            }
+            if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
+                if implicit:
+                    test_auc = sampled_auc(model, test_coo, seed=seed)
+                    rec["test_auc"] = round(test_auc, 5)
+                else:
+                    test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
+                    rec["test_rmse"] = round(test_rmse, 5)
+                    rec["test_mae"] = round(test_mae, 5)
+            log.log(**rec)
+            if cfg.checkpoint_dir and cfg.checkpoint_every and (
+                (epoch + 1) % cfg.checkpoint_every == 0
+            ):
+                save_checkpoint(cfg.checkpoint_dir, epoch, model, seed)
+            epochs_run = epoch + 1
+            if (
+                cfg.target_rmse is not None
+                and test_rmse is not None
+                and test_rmse <= cfg.target_rmse
+            ):
+                log.log(event="target_rmse_reached", epoch=epoch,
+                        test_rmse=round(test_rmse, 5))
+                break
+            t_prev = time.time()
+    if cfg.checkpoint_dir:
+        save_checkpoint(cfg.checkpoint_dir, max(0, epochs_run - 1), model, seed)
+    # final eval if none happened yet
+    if test_rmse is None and not implicit:
+        test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
+    if implicit and test_auc is None:
+        test_auc = sampled_auc(model, test_coo, seed=seed)
+    log.close()
+    return TrainResult(
+        model=model,
+        history=log.records,
+        test_rmse=test_rmse,
+        test_mae=test_mae,
+        test_auc=test_auc,
+        epochs_run=epochs_run,
+        updates_per_sec=last_ups,
+    )

@@ -1,0 +1,98 @@
+"""End-to-end integration: CLI → train → checkpoint → resume → eval
+(SURVEY.md §4.2 integration/bench smoke)."""
+
+import json
+import io
+import contextlib
+
+import numpy as np
+import pytest
+
+import mfx.cli
+from mfx.config import preset, apply_overrides
+from mfx.train.checkpoint import latest_step, load_checkpoint, save_checkpoint
+from mfx.train.driver import train
+from mfx.models import init_model
+
+
+def _run_cli(args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = mfx.cli.main(args)
+    return rc, buf.getvalue()
+
+
+def test_cli_train_eval_roundtrip(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    log = tmp_path / "log.jsonl"
+    rc, out = _run_cli([
+        "train", "--preset", "ml100k_rank16",
+        "--set", "sgd.epochs=3",
+        "--set", "sgd.batch_size=4096",
+        "--set", "sgd.partitioner=fixed",
+        "--set", "data.dataset=synthetic-small",
+        "--set", f"data.root={tmp_path}",
+        "--set", f"checkpoint_dir={ckpt}",
+        "--set", "checkpoint_every=1",
+        "--set", f"log_path={log}",
+    ])
+    assert rc == 0
+    summary = json.loads(out)
+    assert summary["epochs_run"] == 3
+    assert 0 < summary["test_rmse"] < 1.0
+    assert len(log.read_text().splitlines()) == 3
+    assert latest_step(ckpt) == 2
+
+    rc, out = _run_cli([
+        "eval", "--checkpoint", str(ckpt), "--dataset", "synthetic-small",
+    ])
+    assert rc == 0
+    ev = json.loads(out)
+    assert abs(ev["rmse"] - summary["test_rmse"]) < 1e-6
+
+
+def test_driver_resume_continues(tmp_path):
+    cfg = apply_overrides(
+        preset("ml100k_rank16"),
+        [
+            "sgd.epochs=2", "sgd.partitioner=fixed", "sgd.batch_size=4096",
+            "data.dataset=synthetic-small", f"data.root={tmp_path}",
+            f"checkpoint_dir={tmp_path/'ck'}", "checkpoint_every=1",
+        ],
+    )
+    r1 = train(cfg)
+    assert r1.epochs_run == 2
+    # extend to 4 epochs; resume should start from epoch 2
+    cfg4 = apply_overrides(cfg, ["sgd.epochs=4"])
+    r2 = train(cfg4, resume=True)
+    assert r2.epochs_run == 4
+    assert r2.history[0]["epoch"] == 2  # resumed, not restarted
+    assert r2.test_rmse <= r1.test_rmse + 1e-6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = init_model(0, 50, 40, 8, global_mean=3.2)
+    save_checkpoint(tmp_path / "c", 7, model, seed=3)
+    back, epoch, seed = load_checkpoint(tmp_path / "c")
+    assert epoch == 7 and seed == 3
+    np.testing.assert_array_equal(np.asarray(back.P), np.asarray(model.P))
+    np.testing.assert_array_equal(np.asarray(back.bu), np.asarray(model.bu))
+    assert float(back.mu) == pytest.approx(3.2)
+
+
+def test_cli_bench_smoke(tmp_path):
+    rc, out = _run_cli([
+        "bench", "--preset", "ml100k_rank16", "--epochs", "1",
+        "--set", "data.dataset=synthetic-small",
+        "--set", f"data.root={tmp_path}",
+        "--set", "sgd.partitioner=blocked",
+        "--set", "sgd.kernel=pallas",
+        "--set", "sgd.ublock=128",
+        "--set", "sgd.iblock=128",
+        "--set", "sgd.tile=64",
+    ])
+    assert rc == 0
+    r = json.loads(out)
+    assert r["unit"] == "updates/sec/chip"
+    assert r["value"] > 0
+    assert "vs_baseline" in r
