@@ -91,19 +91,54 @@ def partition_conflict_free(
     batch_size: int,
     perm: np.ndarray,
     max_rounds: int | None = None,
+    num_users: int | None = None,
+    num_items: int | None = None,
 ) -> list[np.ndarray]:
-    """Greedy conflict-free rounds: within each returned batch no user id and
-    no item id repeats (a matching in the bipartite rating graph).
+    """Greedy conflict-free rounds: within each returned batch no user id
+    and no item id repeats (a matching in the bipartite rating graph).
 
-    Vectorized NumPy: each pass selects, among unassigned ratings in
-    permutation order, those that are the first occurrence of BOTH their user
-    and their item; that set is conflict-free by construction and is capped
-    at ``batch_size`` per emitted batch. The number of passes is bounded by
-    the max node degree (Vizing bound on edge-coloring rounds).
-
-    Suitable for <= a few million ratings on the host; larger datasets should
-    use ``BlockedPartition`` (strata + segment-sum), which is O(n) total.
+    Prefers the native O(n) greedy (mfx.native: round = max of the user's
+    and item's next-free round, ≤ max-degree rounds); falls back to the
+    vectorized NumPy multi-pass greedy when no toolchain is available.
+    Both are seeded-deterministic; rounds are split into ≤ batch_size
+    chunks, which is conflict-free-safe (chunks of a matching are
+    matchings).
     """
+    try:
+        from mfx import native
+
+        if native.available():
+            nu = int(num_users if num_users is not None else user.max() + 1)
+            ni = int(num_items if num_items is not None else item.max() + 1)
+            rounds, n_rounds = native.conflict_free_rounds(
+                user, item, np.asarray(perm, np.int64), nu, ni
+            )
+            out: list[np.ndarray] = []
+            order = np.argsort(rounds, kind="stable")
+            bounds = np.searchsorted(rounds[order], np.arange(n_rounds + 1))
+            for rr in range(n_rounds):
+                members = perm[order[bounds[rr] : bounds[rr + 1]]]
+                for s in range(0, len(members), batch_size):
+                    out.append(members[s : s + batch_size])
+            return out
+    except Exception:
+        pass  # fall through to the NumPy path
+    return _partition_conflict_free_numpy(
+        user, item, batch_size, perm, max_rounds
+    )
+
+
+def _partition_conflict_free_numpy(
+    user: np.ndarray,
+    item: np.ndarray,
+    batch_size: int,
+    perm: np.ndarray,
+    max_rounds: int | None = None,
+) -> list[np.ndarray]:
+    """NumPy fallback: each pass selects, among unassigned ratings in
+    permutation order, those that are the first occurrence of BOTH their
+    user and their item; that set is conflict-free by construction. Passes
+    are bounded by the max node degree."""
     remaining = np.asarray(perm, np.int64)
     out: list[np.ndarray] = []
     rounds = 0

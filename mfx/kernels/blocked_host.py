@@ -199,6 +199,23 @@ def build_sweep_plans(
     n = len(user)
     if perm is None:
         perm = np.arange(n, dtype=np.int64)
+
+    # the native O(n) planner builds the identical layout ~30x faster on
+    # the single-core host; fall back to vectorized NumPy without it
+    try:
+        from mfx import native as _native
+
+        dicts = _native.plan_sweeps_native(
+            user, item, rating, perm, num_users, num_items,
+            su, si, tile, tpg, nwin,
+        )
+    except Exception:
+        dicts = None
+    if dicts is not None:
+        return [
+            SweepPlan(su=su, si=si, tile=tile, tpg=tpg, **d) for d in dicts
+        ]
+
     A = -(-num_users // su)
     C = -(-num_items // si)
     n_sweeps = -(-C // nwin)
