@@ -1,0 +1,219 @@
+"""Sharded-table BPR — BASELINE.json configs[4]: billion-rating implicit
+feedback with row-sharded factor tables.
+
+BPR triples ride the same DSGD ring as explicit SGD
+(mfx.parallel.sharded): P is row-sharded by user; Q blocks rotate over the
+'model' axis. Triples are stratified by (user shard, positive-item block);
+at sub-step t, shard s trains the (s, (s+t) mod S) stratum on the Q block
+it currently holds. Negatives are sampled uniformly from the *currently
+held block* — with the item table relabeled by a seeded random permutation
+(``item_shuffle``), blocks are uniform random subsets of the catalog, so
+over an epoch every user's negatives cover the catalog uniformly. This
+realizes the "all-to-all row exchange" of the north star as the ring
+schedule a torus all-to-all lowers to, without per-row routing machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mfx.config import BPRConfig
+from mfx.data.coo import RatingsCOO
+from mfx.data.split import epoch_permutation
+from mfx.models.mf import MFModel
+from mfx.parallel.sharded import shard_model, unshard_model
+from mfx.runtime.mesh import MODEL_AXIS
+from mfx.solvers.bpr import bpr_minibatch_update
+
+__all__ = ["item_shuffle", "plan_bpr_ring_epoch", "train_epochs_bpr_ring"]
+
+
+def item_shuffle(num_items: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded random relabeling of item ids (forward, inverse)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0x17E11]))
+    fwd = rng.permutation(num_items).astype(np.int32)
+    inv = np.empty_like(fwd)
+    inv[fwd] = np.arange(num_items, dtype=np.int32)
+    return fwd, inv
+
+
+@dataclasses.dataclass
+class BprRingPlan:
+    users: np.ndarray  # [S, S, NB, B] local user ids
+    pos: np.ndarray  # [S, S, NB, B] block-local positive item ids
+    neg: np.ndarray  # [S, S, NB, B] block-local sampled negatives
+    weights: np.ndarray  # [S, S, NB, B]
+    ublock: int
+    iblock: int
+    n_real: int
+
+
+def plan_bpr_ring_epoch(
+    coo: RatingsCOO,
+    S: int,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    item_map: np.ndarray | None = None,
+) -> BprRingPlan:
+    """Stratify one epoch of (user, pos) pairs into the S×S ring schedule
+    and sample block-local negatives. ``item_map`` is the forward relabel
+    from item_shuffle (identity if None)."""
+    perm = epoch_permutation(coo.n_ratings, seed, epoch)
+    ublock = -(-coo.num_users // S)
+    iblock = -(-coo.num_items // S)
+    u = coo.user[perm].astype(np.int64)
+    i = coo.item[perm].astype(np.int64)
+    if item_map is not None:
+        i = item_map[i].astype(np.int64)
+    s_of = u // ublock
+    b_of = i // iblock
+    t_of = (b_of - s_of) % S
+    key = t_of * S + s_of
+    sorter = np.argsort(key, kind="stable")
+    u, i, key, b_of = u[sorter], i[sorter], key[sorter], b_of[sorter]
+
+    counts = np.bincount(key, minlength=S * S)
+    nb = max(1, int(-(-counts.max() // batch_size)))
+    width = nb * batch_size
+    users = np.zeros((S * S, width), np.int32)
+    pos = np.zeros((S * S, width), np.int32)
+    weights = np.zeros((S * S, width), np.float32)
+    offsets = np.zeros(S * S + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    slot = np.arange(len(u), dtype=np.int64) - offsets[key]
+    users[key, slot] = (u % ublock).astype(np.int32)
+    pos[key, slot] = (i % iblock).astype(np.int32)
+    weights[key, slot] = 1.0
+
+    # block-local negatives: uniform over the real rows of the block each
+    # (t, s) cell holds; block b may be partial at the catalog tail
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0xBB5D, epoch]))
+    neg = rng.integers(0, iblock, size=(S * S, width), dtype=np.int32)
+    cell_block = np.empty(S * S, np.int64)
+    for t in range(S):
+        for s in range(S):
+            cell_block[t * S + s] = (s + t) % S
+    block_rows = np.minimum(
+        coo.num_items - cell_block * iblock, iblock
+    ).astype(np.int64)
+    block_rows = np.maximum(block_rows, 1)
+    neg = (neg % block_rows[:, None]).astype(np.int32)
+
+    shape = (S, S, nb, batch_size)
+    return BprRingPlan(
+        users=users.reshape(shape),
+        pos=pos.reshape(shape),
+        neg=neg.reshape(shape),
+        weights=weights.reshape(shape),
+        ublock=ublock,
+        iblock=iblock,
+        n_real=len(u),
+    )
+
+
+def make_bpr_ring_epoch_fn(mesh: Mesh):
+    S = mesh.shape[MODEL_AXIS]
+    ring = [(j, (j - 1) % S) for j in range(S)]
+
+    def _epoch(P_, Q_, users, pos, neg, weights, lr, reg):
+        zero_u = jnp.zeros((P_.shape[0],), P_.dtype)
+        zero_i = jnp.zeros((Q_.shape[0],), Q_.dtype)
+
+        def substep(carry, xs):
+            Pl, Ql = carry
+            us, po, ne, wt = xs  # [NB, B]
+            m = MFModel(P=Pl, Q=Ql, bu=zero_u, bi=zero_i,
+                        mu=jnp.zeros((), P_.dtype))
+
+            def body(mm, b):
+                mm, loss = bpr_minibatch_update(
+                    mm, b[0], b[1], b[2], b[3], lr, reg
+                )
+                return mm, loss
+
+            m, losses = lax.scan(body, m, (us, po, ne, wt))
+            Ql = lax.ppermute(m.Q, MODEL_AXIS, ring)
+            return (m.P, Ql), jnp.sum(losses)
+
+        (Pl, Ql), losses = lax.scan(
+            substep, (P_, Q_),
+            (users[:, 0], pos[:, 0], neg[:, 0], weights[:, 0]),
+        )
+        return Pl, Ql, lax.psum(jnp.sum(losses), MODEL_AXIS)
+
+    sharded = jax.shard_map(
+        _epoch,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS), P(MODEL_AXIS),
+            P(None, MODEL_AXIS), P(None, MODEL_AXIS),
+            P(None, MODEL_AXIS), P(None, MODEL_AXIS),
+            P(), P(),
+        ),
+        out_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def epoch(model: MFModel, arrays, lr, reg):
+        Pl, Ql, loss = sharded(
+            model.P, model.Q,
+            arrays["users"], arrays["pos"], arrays["neg"], arrays["weights"],
+            lr, reg,
+        )
+        return MFModel(P=Pl, Q=Ql, bu=model.bu, bi=model.bi, mu=model.mu), loss
+
+    return epoch
+
+
+def train_epochs_bpr_ring(
+    model: MFModel,
+    train: RatingsCOO,
+    cfg: BPRConfig,
+    mesh: Mesh,
+    seed: int = 0,
+    start_epoch: int = 0,
+) -> Iterator[tuple[int, MFModel, float]]:
+    """Sharded-table BPR epochs; yields (epoch, model, mean_loss). The model
+    is yielded in the ORIGINAL item labeling (the internal shuffle is
+    undone on output)."""
+    S = mesh.shape[MODEL_AXIS]
+    U, I = train.num_users, train.num_items
+    fwd, inv = item_shuffle(I, seed)
+    epoch_fn = make_bpr_ring_epoch_fn(mesh)
+    # relabel item rows once: internal Q[j] = Q_orig[inv[j]]
+    shuffled = MFModel(
+        P=model.P, Q=jnp.asarray(np.asarray(model.Q)[inv]),
+        bu=model.bu, bi=jnp.asarray(np.asarray(model.bi)[inv]), mu=model.mu,
+    )
+    padded = shard_model(shuffled, S)
+    for epoch in range(start_epoch, cfg.epochs):
+        plan = plan_bpr_ring_epoch(
+            train, S, -(-cfg.batch_size // S), seed + cfg.neg_seed, epoch,
+            item_map=fwd,
+        )
+        arrays = {
+            "users": jnp.asarray(plan.users),
+            "pos": jnp.asarray(plan.pos),
+            "neg": jnp.asarray(plan.neg),
+            "weights": jnp.asarray(plan.weights),
+        }
+        padded, loss = epoch_fn(
+            padded, arrays,
+            jnp.asarray(cfg.lr, model.P.dtype),
+            jnp.asarray(cfg.reg, model.P.dtype),
+        )
+        out = unshard_model(padded, U, I)
+        out = MFModel(
+            P=out.P, Q=jnp.asarray(np.asarray(out.Q)[fwd]),
+            bu=out.bu, bi=jnp.asarray(np.asarray(out.bi)[fwd]), mu=out.mu,
+        )
+        yield epoch, out, float(loss) / max(1, plan.n_real)

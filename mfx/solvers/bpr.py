@@ -22,11 +22,17 @@ from mfx.data.coo import RatingsCOO
 from mfx.data.split import epoch_permutation
 from mfx.models.mf import MFModel
 
-__all__ = ["bpr_minibatch_update", "train_epochs_bpr"]
+__all__ = [
+    "bpr_minibatch_update",
+    "bpr_compute_deltas",
+    "bpr_apply_deltas",
+    "train_epochs_bpr",
+]
 
 
-def bpr_minibatch_update(model, users, pos, neg, weights, lr, reg):
-    """One fused BPR minibatch step. Returns (model, batch_loss_sum)."""
+def bpr_compute_deltas(model, users, pos, neg, weights, lr, reg):
+    """Per-triple deltas from the snapshot (for DP delta exchange).
+    Returns (d_pu, d_qi, d_qj, loss_sum)."""
     pu = jnp.take(model.P, users, axis=0)
     qi = jnp.take(model.Q, pos, axis=0)
     qj = jnp.take(model.Q, neg, axis=0)
@@ -36,15 +42,24 @@ def bpr_minibatch_update(model, users, pos, neg, weights, lr, reg):
     d_pu = lr * (e[:, None] * (qi - qj) - reg * w * pu)
     d_qi = lr * (e[:, None] * pu - reg * w * qi)
     d_qj = lr * (-e[:, None] * pu - reg * w * qj)
+    loss = jnp.sum(-jnp.log(jax.nn.sigmoid(x) + 1e-12) * weights)
+    return d_pu, d_qi, d_qj, loss
+
+
+def bpr_apply_deltas(model, users, pos, neg, d_pu, d_qi, d_qj):
     mode = "promise_in_bounds"
     new_p = model.P.at[users].add(d_pu, mode=mode)
     new_q = model.Q.at[pos].add(d_qi, mode=mode)
     new_q = new_q.at[neg].add(d_qj, mode=mode)
-    loss = jnp.sum(-jnp.log(jax.nn.sigmoid(x) + 1e-12) * weights)
-    return (
-        MFModel(P=new_p, Q=new_q, bu=model.bu, bi=model.bi, mu=model.mu),
-        loss,
+    return MFModel(P=new_p, Q=new_q, bu=model.bu, bi=model.bi, mu=model.mu)
+
+
+def bpr_minibatch_update(model, users, pos, neg, weights, lr, reg):
+    """One fused BPR minibatch step. Returns (model, batch_loss_sum)."""
+    d_pu, d_qi, d_qj, loss = bpr_compute_deltas(
+        model, users, pos, neg, weights, lr, reg
     )
+    return bpr_apply_deltas(model, users, pos, neg, d_pu, d_qi, d_qj), loss
 
 
 @jax.jit

@@ -82,6 +82,21 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
 
         return gen()
     if cfg.solver == "bpr":
+        mode = cfg.parallel.mode
+        if mode == "dp":
+            from mfx.parallel.data_parallel import train_epochs_bpr_dp
+
+            return train_epochs_bpr_dp(
+                model, train_coo, cfg.bpr, mesh, seed=seed,
+                start_epoch=start_epoch,
+            )
+        if mode in ("sharded", "hybrid"):
+            from mfx.parallel.bpr_sharded import train_epochs_bpr_ring
+
+            return train_epochs_bpr_ring(
+                model, train_coo, cfg.bpr, mesh, seed=seed,
+                start_epoch=start_epoch,
+            )
         from mfx.solvers.bpr import train_epochs_bpr
 
         return train_epochs_bpr(

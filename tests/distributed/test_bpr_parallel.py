@@ -1,0 +1,80 @@
+"""Parallel BPR: DP (sparse-delta all-gather) and sharded ring."""
+
+import jax
+import numpy as np
+import pytest
+
+from mfx.config import BPRConfig
+from mfx.data import synthetic, train_test_split
+from mfx.eval.metrics import sampled_auc
+from mfx.models import init_model
+from mfx.parallel.bpr_sharded import (
+    item_shuffle,
+    plan_bpr_ring_epoch,
+    train_epochs_bpr_ring,
+)
+from mfx.parallel.data_parallel import train_epochs_bpr_dp
+from mfx.runtime.mesh import make_mesh
+from mfx.solvers.bpr import train_epochs_bpr
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_8
+def test_bpr_dp_bitwise_equals_single():
+    coo = synthetic.make_implicit_synthetic(150, 200, 8_000, rank=4, seed=2)
+    cfg = BPRConfig(lr=0.05, reg=0.01, epochs=3, batch_size=512)
+    model0 = init_model(1, 150, 200, 8, global_mean=0.0)
+    single = model0
+    for _, single, _ in train_epochs_bpr(single, coo, cfg, seed=0):
+        pass
+    mesh = make_mesh(data=4)
+    dp = model0
+    for _, dp, _ in train_epochs_bpr_dp(dp, coo, cfg, mesh, seed=0):
+        pass
+    np.testing.assert_array_equal(np.asarray(dp.P), np.asarray(single.P))
+    np.testing.assert_array_equal(np.asarray(dp.Q), np.asarray(single.Q))
+
+
+def test_bpr_ring_plan_properties():
+    coo = synthetic.make_implicit_synthetic(120, 160, 5_000, rank=4, seed=3)
+    S = 4
+    fwd, inv = item_shuffle(160, seed=7)
+    np.testing.assert_array_equal(inv[fwd], np.arange(160))
+    plan = plan_bpr_ring_epoch(coo, S, 64, seed=0, epoch=0, item_map=fwd)
+    assert plan.n_real == 5_000
+    got_pairs = set()
+    for t in range(S):
+        for s in range(S):
+            b = (s + t) % S
+            w = plan.weights[t, s].astype(bool)
+            gu = s * plan.ublock + plan.users[t, s][w]
+            gp = b * plan.iblock + plan.pos[t, s][w]
+            gn = b * plan.iblock + plan.neg[t, s]
+            # negatives stay within the block AND the real catalog
+            assert np.all(gn < min((b + 1) * plan.iblock, 160))
+            got_pairs.update(zip(gu.tolist(), inv[gp].tolist()))
+    ref = set(zip(coo.user.tolist(), coo.item.tolist()))
+    assert got_pairs == ref
+
+
+@requires_8
+def test_bpr_ring_learns_and_deterministic():
+    coo = synthetic.make_implicit_synthetic(200, 300, 40_000, rank=2, seed=3)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=4)
+    cfg = BPRConfig(lr=0.1, reg=0.002, epochs=12, batch_size=2048)
+    outs = []
+    for _ in range(2):
+        model = init_model(1, 200, 300, 8, global_mean=0.0)
+        for _, model, loss in train_epochs_bpr_ring(
+            model, train, cfg, mesh, seed=0
+        ):
+            pass
+        outs.append(model)
+    np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
+    np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
+    auc = sampled_auc(outs[0], test, seed=9)
+    assert auc > 0.58, auc
