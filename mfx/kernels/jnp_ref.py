@@ -64,11 +64,20 @@ def sgd_apply_deltas(
     from mfx.models.mf import MFModel
 
     mode = "promise_in_bounds"
-    new_p = model.P.at[users].add(d_pu, unique_indices=unique_rows, mode=mode)
-    new_q = model.Q.at[items].add(d_qi, unique_indices=unique_rows, mode=mode)
+    dt = model.P.dtype  # deltas may be f32 when batches are (bf16 tables)
+    new_p = model.P.at[users].add(
+        d_pu.astype(dt), unique_indices=unique_rows, mode=mode
+    )
+    new_q = model.Q.at[items].add(
+        d_qi.astype(dt), unique_indices=unique_rows, mode=mode
+    )
     if use_bias:
-        new_bu = model.bu.at[users].add(d_bu, unique_indices=unique_rows, mode=mode)
-        new_bi = model.bi.at[items].add(d_bi, unique_indices=unique_rows, mode=mode)
+        new_bu = model.bu.at[users].add(
+            d_bu.astype(dt), unique_indices=unique_rows, mode=mode
+        )
+        new_bi = model.bi.at[items].add(
+            d_bi.astype(dt), unique_indices=unique_rows, mode=mode
+        )
     else:
         new_bu, new_bi = model.bu, model.bi
     return MFModel(P=new_p, Q=new_q, bu=new_bu, bi=new_bi, mu=model.mu)

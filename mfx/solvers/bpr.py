@@ -48,9 +48,10 @@ def bpr_compute_deltas(model, users, pos, neg, weights, lr, reg):
 
 def bpr_apply_deltas(model, users, pos, neg, d_pu, d_qi, d_qj):
     mode = "promise_in_bounds"
-    new_p = model.P.at[users].add(d_pu, mode=mode)
-    new_q = model.Q.at[pos].add(d_qi, mode=mode)
-    new_q = new_q.at[neg].add(d_qj, mode=mode)
+    dt = model.P.dtype
+    new_p = model.P.at[users].add(d_pu.astype(dt), mode=mode)
+    new_q = model.Q.at[pos].add(d_qi.astype(dt), mode=mode)
+    new_q = new_q.at[neg].add(d_qj.astype(dt), mode=mode)
     return MFModel(P=new_p, Q=new_q, bu=model.bu, bi=model.bi, mu=model.mu)
 
 

@@ -121,6 +121,15 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
         model, ckpt_epoch, _ = load_checkpoint(cfg.checkpoint_dir)
         start_epoch = ckpt_epoch + 1
     if model is None:
+        import jax.numpy as jnp
+
+        dtype = jnp.dtype(cfg.model.dtype)
+        if dtype != jnp.float32 and cfg.sgd.kernel == "pallas":
+            raise ValueError(
+                "the fused Pallas kernel keeps factor tables in float32 "
+                "(bf16 accumulation loses SGD deltas); use kernel='jnp' or "
+                "'blocked_jnp' for low-precision tables"
+            )
         model = init_model(
             cfg.model.seed,
             coo.num_users,
@@ -128,6 +137,7 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             cfg.model.rank,
             global_mean=train_coo.global_mean,
             init_scale=cfg.model.init_scale,
+            dtype=dtype,
         )
 
     log = MetricsLogger(cfg.log_path)

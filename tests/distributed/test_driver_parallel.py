@@ -1,0 +1,78 @@
+"""Driver-level routing of the parallel modes on the virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from mfx.config import apply_overrides, preset
+from mfx.train.driver import train
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _small(overrides, tmp_path):
+    base = [
+        "data.dataset=synthetic-small",
+        f"data.root={tmp_path}",
+        "sgd.epochs=2",
+        "sgd.batch_size=2048",
+        "sgd.partitioner=fixed",
+        "model.rank=8",
+    ]
+    return apply_overrides(preset("ml100k_rank16"), base + overrides)
+
+
+@requires_8
+@pytest.mark.parametrize(
+    "mode,axes",
+    [
+        ("dp", ["parallel.data_axis=4"]),
+        ("sharded", ["parallel.model_axis=4"]),
+        ("hybrid", ["parallel.data_axis=2", "parallel.model_axis=4"]),
+    ],
+)
+def test_driver_parallel_modes(tmp_path, mode, axes):
+    cfg = _small([f"parallel.mode={mode}"] + axes, tmp_path)
+    result = train(cfg, resume=False)
+    assert result.epochs_run == 2
+    assert 0 < result.test_rmse < 1.5
+    assert result.history[0]["updates_per_sec_per_chip"] > 0
+
+
+@requires_8
+def test_driver_bpr_sharded(tmp_path):
+    cfg = apply_overrides(
+        preset("billion_bpr_sharded"),
+        [
+            "data.dataset=synthetic-small",
+            f"data.root={tmp_path}",
+            "data.test_frac=0.1",
+            "bpr.epochs=2",
+            "bpr.batch_size=1024",
+            "model.rank=8",
+            "parallel.model_axis=4",
+        ],
+    )
+    result = train(cfg, resume=False)
+    assert result.epochs_run == 2
+    assert result.test_auc is not None and 0.3 < result.test_auc < 1.0
+
+
+def test_driver_bf16_tables(tmp_path):
+    cfg = _small(["model.dtype=bfloat16"], tmp_path)
+    result = train(cfg, resume=False)
+    import jax.numpy as jnp
+
+    assert result.model.P.dtype == jnp.bfloat16
+    assert result.epochs_run == 2
+
+
+def test_driver_rejects_bf16_pallas(tmp_path):
+    cfg = _small(
+        ["model.dtype=bfloat16", "sgd.partitioner=blocked", "sgd.kernel=pallas"],
+        tmp_path,
+    )
+    with pytest.raises(ValueError, match="float32"):
+        train(cfg, resume=False)
