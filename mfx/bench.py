@@ -40,7 +40,7 @@ def run_bench(
     epochs: int = 3,
     overrides: list[str] | tuple = (),
     dataset: str | None = None,
-    tpg: int = 8,
+    tpg: int = 4,
 ) -> dict:
     cfg = apply_overrides(get_preset(preset), list(overrides))
     t0 = time.time()

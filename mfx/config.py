@@ -141,6 +141,7 @@ PRESETS: dict[str, TrainConfig] = {
             batch_size=1 << 16,
             partitioner="blocked",
             kernel="pallas",
+            tile=256,  # best measured real-plan geometry on v5e (STATUS.md)
         ),
         target_rmse=0.92,
     ),
@@ -159,6 +160,7 @@ PRESETS: dict[str, TrainConfig] = {
             batch_size=1 << 17,
             partitioner="blocked",
             kernel="pallas",
+            tile=256,
         ),
         als=ALSConfig(reg=0.05, sweeps=8),
         parallel=ParallelConfig(mode="dp", data_axis=8),

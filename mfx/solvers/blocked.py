@@ -58,7 +58,7 @@ def train_epochs_blocked(
     use_bias: bool,
     seed: int = 0,
     start_epoch: int = 0,
-    tpg: int = 8,
+    tpg: int = 4,
     replan_every: int = 1,
     exact: bool = False,
     interpret: bool = False,
