@@ -1,3 +1,3 @@
-from mfx.solvers import sgd
+from mfx.solvers import sgd, als, bpr, blocked
 
-__all__ = ["sgd"]
+__all__ = ["sgd", "als", "bpr", "blocked"]
