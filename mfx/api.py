@@ -29,9 +29,15 @@ __all__ = [
 ]
 
 
-def evaluate(model: MFModel, coo: RatingsCOO, implicit: bool = False) -> dict:
-    """Held-out metrics: RMSE/MAE (explicit) or sampled AUC (implicit)."""
+def evaluate(
+    model: MFModel,
+    coo: RatingsCOO,
+    implicit: bool = False,
+    clip: tuple[float, float] | None = (0.5, 5.0),
+) -> dict:
+    """Held-out metrics: RMSE/MAE (explicit; predictions clipped to the
+    rating scale, matching the training driver) or sampled AUC (implicit)."""
     if implicit:
         return {"auc": sampled_auc(model, coo)}
-    r, m = rmse_mae(model, coo)
+    r, m = rmse_mae(model, coo, clip=clip)
     return {"rmse": r, "mae": m}

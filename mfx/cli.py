@@ -50,7 +50,7 @@ def cmd_eval(args) -> int:
     from mfx.train.checkpoint import load_checkpoint
 
     model, epoch, seed = load_checkpoint(args.checkpoint)
-    coo = load_dataset(args.dataset)
+    coo = load_dataset(args.dataset, root=args.root)
     _, test = train_test_split(coo, test_frac=args.test_frac, seed=seed)
     print(json.dumps(
         {"checkpoint_epoch": epoch, **evaluate(model, test, args.implicit)},
@@ -99,6 +99,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("eval", help="evaluate a checkpoint")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--dataset", required=True)
+    p.add_argument("--root", default=None, help="dataset root directory")
     p.add_argument("--test-frac", type=float, default=0.1)
     p.add_argument("--implicit", action="store_true")
     p.set_defaults(fn=cmd_eval)

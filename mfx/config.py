@@ -58,6 +58,9 @@ class SGDConfig:
     ublock: int = 512  # user rows per block (blocked paths)
     iblock: int = 512  # item rows per block
     tile: int = 256  # ratings per update tile inside a stratum
+    # strata denser than this run the dense DSGD fast path (Zipf head);
+    # 0 disables. Requires kernel='pallas', rank 64, ublock == iblock.
+    dense_chi: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +145,7 @@ PRESETS: dict[str, TrainConfig] = {
             partitioner="blocked",
             kernel="pallas",
             tile=256,  # best measured real-plan geometry on v5e (STATUS.md)
+            dense_chi=0.01,  # dense fast path for the Zipf head
         ),
         target_rmse=0.92,
     ),

@@ -35,6 +35,10 @@ __all__ = [
 
 DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser()
 
+# bumped whenever synthetic generation changes, so stale caches never leak
+# into new runs (the cache filename carries this version)
+GENERATOR_VERSION = 2
+
 
 def _densify(raw_u: np.ndarray, raw_i: np.ndarray, ratings: np.ndarray) -> RatingsCOO:
     """Remap arbitrary raw ids to dense contiguous ids."""
@@ -158,7 +162,7 @@ def load_dataset(
         raise KeyError(f"unknown dataset {name!r}; known: {dataset_names()}")
     subdir, parser, fallback = _REGISTRY[name]
     root = Path(root) if root is not None else DEFAULT_ROOT
-    cache_path = root / f"{name}.npz"
+    cache_path = root / f"{name}.v{GENERATOR_VERSION}.npz"
     if cache and cache_path.exists():
         return RatingsCOO.load_npz(cache_path)
     raw_dir = root / subdir

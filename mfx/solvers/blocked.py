@@ -73,16 +73,48 @@ def train_epochs_blocked(
     if cfg.kernel == "pallas":
         nwin = sweep_geometry(I, rank, si)
         Pm, Qm = pk.pack_state(model, su, si)
+
+        # dense fast path: carve Zipf-head strata out of the sparse stream
+        dense_tensors = None
+        sparse_train = train
+        if cfg.dense_chi > 0 and su == si and 128 // rank == 2:
+            from mfx.solvers import dense_prep as dp
+
+            split = dp.split_dense_strata(
+                train.user, train.item, U, I, su, si,
+                chi_min=cfg.dense_chi,
+                nwin_head=min(32, -(-I // si)),
+                pack=128 // rank,
+            )
+            if split.num_strata:
+                dense_tensors = dp.build_dense_tensors(
+                    split, train.rating, su, si, 128 // rank
+                )
+                sparse_train = train.select(split.sparse_idx)
+
         plans = None
+        arrays = None
         for epoch in range(start_epoch, cfg.epochs):
             lr = cfg.lr * (cfg.lr_decay**epoch)
             if plans is None or (replan_every and epoch % replan_every == 0):
-                plans = _plan_epoch(train, cfg, tpg, nwin, seed, epoch)
+                plans = _plan_epoch(sparse_train, cfg, tpg, nwin, seed, epoch)
+                # device tile streams are cached with the plan: rebuilding
+                # them is a large host-side copy per epoch otherwise
+                arrays = [pk.sweep_arrays(p) for p in plans]
             sse = 0.0
-            for p in plans:
+            if dense_tensors is not None:
+                from mfx.solvers.dense_prep import run_dense_phase
+
+                Pm, Qm, s = run_dense_phase(
+                    Pm, Qm, dense_tensors, lr, cfg.reg, mu,
+                    su=su, si=si, rank=rank, use_bias=use_bias,
+                    exact=exact, interpret=interpret,
+                )
+                sse += float(s)
+            for p, a in zip(plans, arrays):
                 Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
                 Pm, Qs, s = blocked_sgd_sweep_pallas(
-                    Pm, Qs, pk.sweep_arrays(p), lr, cfg.reg, mu,
+                    Pm, Qs, a, lr, cfg.reg, mu,
                     su=su, si=si, rank=rank, tpg=tpg,
                     use_bias=use_bias, exact=exact, interpret=interpret,
                 )

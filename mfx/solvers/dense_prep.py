@@ -1,0 +1,266 @@
+"""Dense-stratum preparation + phase driver (pairs with
+mfx/kernels/dense_pallas.py; see its docstring for the math and layout).
+
+Split: once per training run, strata with density ≥ ``chi_min`` whose item
+window lies inside the VMEM-resident head are carved out of the COO; their
+ratings are densified on device into the decimated (ND, 4·sup, sip) tensor
+(duplicated (u, i) pairs stay in the sparse set so per-rating semantics are
+preserved). Each epoch then runs: dense phase (this module) → sparse phase
+(the regular sweep kernel on the remaining ratings).
+
+Note: dense strata are only useful when popular items cluster in the first
+item windows. The seeded synthetic datasets are popularity-sorted by
+construction; for raw MovieLens/Netflix ids, relabel items by frequency
+first (planned; see STATUS.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfx.kernels.dense_pallas import dense_sgd_phase_pallas
+from mfx.kernels.sgd_pallas import BIAS_ROWS
+
+__all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
+           "run_dense_phase"]
+
+
+@dataclasses.dataclass
+class DenseSplit:
+    """Host-side split result."""
+
+    sparse_idx: np.ndarray  # rating indices staying on the sparse path
+    dense_idx: np.ndarray  # rating indices handled densely (deduped (u,i))
+    sa: np.ndarray  # (ND,) user block per dense stratum, sorted by (a, c)
+    sc: np.ndarray  # (ND,) head window per dense stratum
+    flat_pos: np.ndarray  # (len(dense_idx),) position in the R tensor
+    deg_us: np.ndarray  # (ND, su) per-stratum user-row degree (factor reg)
+    deg_is: np.ndarray  # (ND, si) per-stratum item-row degree
+    deg_u: np.ndarray  # (A, su) dense-phase TOTAL degree (bias reg)
+    deg_i: np.ndarray  # (nwin_head, si)
+    nwin_head: int
+
+    @property
+    def num_strata(self) -> int:
+        return int(self.sa.shape[0])
+
+
+def split_dense_strata(
+    user: np.ndarray,
+    item: np.ndarray,
+    num_users: int,
+    num_items: int,
+    su: int,
+    si: int,
+    chi_min: float,
+    nwin_head: int,
+    pack: int,
+) -> DenseSplit:
+    if su != si:
+        raise ValueError("dense path requires su == si")
+    A = -(-num_users // su)
+    C = -(-num_items // si)
+    nwin_head = min(nwin_head, C)
+    a = (user // su).astype(np.int64)
+    c = (item // si).astype(np.int64)
+    strat = a * C + c
+    counts = np.bincount(strat, minlength=A * C)
+    thresh = max(1.0, chi_min * su * si)
+    eligible = (counts >= thresh).reshape(A, C)
+    eligible[:, nwin_head:] = False
+    eligible = eligible.reshape(-1)
+
+    in_dense_stratum = eligible[strat]
+    # dedup (u, i): only the first occurrence goes dense (a dense cell can
+    # hold one rating; later duplicates keep exact sparse semantics)
+    key = user.astype(np.int64) * num_items + item
+    order = np.argsort(key, kind="stable")
+    dup = np.zeros(len(user), bool)
+    sorted_key = key[order]
+    dup_sorted = np.zeros(len(user), bool)
+    dup_sorted[1:] = sorted_key[1:] == sorted_key[:-1]
+    dup[order] = dup_sorted
+    dense_mask = in_dense_stratum & ~dup
+    dense_idx = np.flatnonzero(dense_mask)
+    sparse_idx = np.flatnonzero(~dense_mask)
+
+    dense_strata = np.flatnonzero(eligible)  # sorted by (a, c) already
+    remap = np.full(A * C, -1, np.int64)
+    remap[dense_strata] = np.arange(len(dense_strata))
+    sa = (dense_strata // C).astype(np.int32)
+    sc = (dense_strata % C).astype(np.int32)
+
+    sup, sip = su // pack, si // pack
+    st = remap[strat[dense_idx]]
+    lu = (user[dense_idx] % su).astype(np.int64)
+    li = (item[dense_idx] % si).astype(np.int64)
+    parity = (lu % pack) * pack + (li % pack)  # ee, eo, oe, oo
+    flat_pos = (
+        st * (4 * sup * sip)
+        + parity * (sup * sip)
+        + (lu // pack) * sip
+        + (li // pack)
+    )
+
+    deg_us = np.zeros((len(dense_strata), su), np.int32)
+    np.add.at(deg_us, (st, lu), 1)
+    deg_is = np.zeros((len(dense_strata), si), np.int32)
+    np.add.at(deg_is, (st, li), 1)
+    deg_u = np.zeros((A, su), np.int32)
+    np.add.at(deg_u, (a[dense_idx], lu), 1)
+    deg_i = np.zeros((nwin_head, si), np.int32)
+    np.add.at(deg_i, (c[dense_idx], li), 1)
+    return DenseSplit(
+        sparse_idx=sparse_idx,
+        dense_idx=dense_idx,
+        sa=sa,
+        sc=sc,
+        flat_pos=flat_pos.astype(np.int64),
+        deg_us=deg_us,
+        deg_is=deg_is,
+        deg_u=deg_u,
+        deg_i=deg_i,
+        nwin_head=nwin_head,
+    )
+
+
+def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack):
+    """Device tensors for the dense phase (built once per run)."""
+    sup, sip = su // pack, si // pack
+    nd = split.num_strata
+    # bf16: half the per-epoch HBM stream; rating values (quarter steps,
+    # <= 5) are exactly representable
+    R = (
+        jnp.zeros((nd * 4 * sup * sip,), jnp.bfloat16)
+        .at[jnp.asarray(split.flat_pos)]
+        .set(jnp.asarray(rating[split.dense_idx], jnp.bfloat16))
+        .reshape(nd, 4 * sup, sip)
+    )
+    # degree columns, decimated: per-stratum (factor reg) + totals (bias reg)
+    def dec(deg, blocks, size):  # (blocks, size) -> (blocks, size/pack, pack)
+        return jnp.asarray(deg, jnp.float32).reshape(blocks, size // pack, pack)
+
+    return {
+        "sa": jnp.asarray(split.sa),
+        "sc": jnp.asarray(split.sc),
+        "R": R,
+        "du_s": dec(split.deg_us, nd, su),  # (ND, sup, 2)
+        "di_s": dec(split.deg_is, nd, si),  # (ND, sip, 2)
+        "du_tot": dec(split.deg_u, split.deg_u.shape[0], su),  # (A, sup, 2)
+        "di_tot": dec(split.deg_i, split.nwin_head, si),  # (nwin, sip, 2)
+    }
+
+
+def _bias_from_merged(T, stride, sup, size):
+    """(blocks*stride, 128) merged table -> (blocks, size) bias vectors."""
+    blocks = T.shape[0] // stride
+    rows = T.reshape(blocks, stride, 128)[:, sup : sup + BIAS_ROWS, :]
+    return rows.reshape(blocks, BIAS_ROWS * 128)[:, :size]
+
+
+def _bias_to_merged(T, stride, sup, size, new_bias):
+    blocks = T.shape[0] // stride
+    padded = jnp.zeros((blocks, BIAS_ROWS * 128), T.dtype)
+    padded = padded.at[:, :size].set(new_bias)
+    Tr = T.reshape(blocks, stride, 128)
+    Tr = Tr.at[:, sup : sup + BIAS_ROWS, :].set(
+        padded.reshape(blocks, BIAS_ROWS, 128)
+    )
+    return Tr.reshape(blocks * stride, 128)
+
+
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("su", "si", "rank", "use_bias", "exact", "interpret"),
+    donate_argnums=(0, 1),
+)
+def run_dense_phase(
+    Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
+    exact=False, interpret=False,
+):
+    """One dense phase over all dense strata. Qm is the FULL merged item
+    table, donated; the kernel addresses only its head rows. Returns
+    (Pm, Qm, sse). Fully jitted: aux assembly, the Pallas phase, and the
+    batched bias update compile into one program.
+    """
+    pack = 128 // rank
+    sup, sip = su // pack, si // pack
+    pstride, qstride = sup + BIAS_ROWS, sip + BIAS_ROWS
+    nwin = tensors["di_tot"].shape[0]
+    Qh = Qm  # the kernel only touches rows [0, nwin*qstride)
+    sa, sc = tensors["sa"], tensors["sc"]
+    nd = sa.shape[0]
+
+    # per-stratum aux arrays from the CURRENT biases (frozen for the phase)
+    bu_full = _bias_from_merged(Pm, pstride, sup, su)  # (A, su)
+    bi_full = _bias_from_merged(
+        Qh[: nwin * qstride], qstride, sip, si
+    )  # (nwin, si)
+    bu_dec = bu_full.reshape(-1, sup, pack)
+    bi_dec = bi_full.reshape(-1, sip, pack)
+    if not use_bias:
+        bu_dec = jnp.zeros_like(bu_dec)
+        bi_dec = jnp.zeros_like(bi_dec)
+    aux_u = jnp.concatenate(
+        [
+            bu_dec[sa],  # cols 0-1: frozen user biases
+            tensors["du_s"],  # cols 2-3: per-stratum user degrees
+            tensors["di_s"],  # cols 4-5: per-stratum item degrees (su == si)
+            jnp.zeros((nd, sup, 2), jnp.float32),
+        ],
+        axis=2,
+    )
+    bi_rows = jnp.swapaxes(bi_dec[sc], 1, 2)  # (ND, 2, sip)
+    aux_i = jnp.concatenate(
+        [bi_rows, jnp.zeros((nd, 6, sip), jnp.float32)], axis=1
+    )
+
+    dense = {"sa": sa, "sc": sc, "R": tensors["R"], "aux_u": aux_u,
+             "aux_i": aux_i}
+    Pm, Qh, dbu, dbi, sse = dense_sgd_phase_pallas(
+        Pm, Qh, dense, lr, reg, mu,
+        su=su, si=si, rank=rank, nwin=nwin, use_bias=use_bias,
+        exact=exact, interpret=interpret,
+    )
+
+    if use_bias:
+        # post-phase batched bias update: Δb = lr (ΣE − reg · deg · b)
+        lrf = jnp.asarray(lr, jnp.float32)
+        regf = jnp.asarray(reg, jnp.float32)
+        esum_u = (
+            jnp.zeros((bu_dec.shape[0], sup, pack), jnp.float32)
+            .at[sa]
+            .add(dbu[:, :, :pack])
+            .reshape(-1, su)
+        )
+        esum_i = (
+            jnp.zeros((nwin, sip, pack), jnp.float32)
+            .at[sc]
+            .add(jnp.swapaxes(dbi[:, :pack, :], 1, 2))
+            .reshape(nwin, si)
+        )
+        deg_u = tensors["du_tot"].reshape(-1, su)
+        deg_i = tensors["di_tot"].reshape(nwin, si)
+        # same per-row trust scaling as the factor updates (the bias GD
+        # step has curvature lr·deg, unstable for heavy rows otherwise)
+        from mfx.kernels.dense_pallas import DSTAR
+
+        s_u = jnp.minimum(1.0, DSTAR / jnp.maximum(deg_u, 1.0))
+        s_i = jnp.minimum(1.0, DSTAR / jnp.maximum(deg_i, 1.0))
+        new_bu = bu_full + lrf * s_u * (esum_u - regf * deg_u * bu_full)
+        new_bi = bi_full + lrf * s_i * (esum_i - regf * deg_i * bi_full)
+        Pm = _bias_to_merged(Pm, pstride, sup, su, new_bu)
+        Qh = jax.lax.dynamic_update_slice(
+            Qh,
+            _bias_to_merged(Qh[: nwin * qstride], qstride, sip, si, new_bi),
+            (0, 0),
+        )
+
+    return Pm, Qh, sse[0, 0]

@@ -48,7 +48,9 @@ def test_dp_deterministic_and_learns():
     coo = synthetic.make_synthetic(300, 250, 12_000, rank=4, noise=0.3, seed=7)
     train, test = train_test_split(coo, test_frac=0.1, seed=0)
     mesh = make_mesh(data=8)
-    cfg = SGDConfig(lr=0.03, reg=0.03, lr_decay=0.9, epochs=5, batch_size=1024)
+    # batch small enough that hot-item duplicate updates stay stable under
+    # Zipf skew (lr * max_dup < 2; see STATUS.md known gaps)
+    cfg = SGDConfig(lr=0.02, reg=0.03, lr_decay=0.9, epochs=5, batch_size=256)
     outs = []
     for _ in range(2):
         model = init_model(2, 300, 250, 8, global_mean=train.global_mean)

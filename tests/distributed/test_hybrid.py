@@ -46,7 +46,8 @@ def test_hybrid_learns_and_deterministic():
     coo = synthetic.make_synthetic(300, 260, 15_000, rank=4, noise=0.3, seed=8)
     train, test = train_test_split(coo, test_frac=0.1, seed=0)
     mesh = make_mesh(data=2, model=4)
-    cfg = SGDConfig(lr=0.03, reg=0.03, lr_decay=0.9, epochs=5, batch_size=512)
+    # small batch: hot-row duplicate stability under Zipf skew (STATUS.md)
+    cfg = SGDConfig(lr=0.02, reg=0.03, lr_decay=0.9, epochs=5, batch_size=256)
     outs = []
     for _ in range(2):
         model = init_model(6, 300, 260, 8, global_mean=train.global_mean)

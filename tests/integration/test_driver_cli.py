@@ -45,6 +45,7 @@ def test_cli_train_eval_roundtrip(tmp_path):
 
     rc, out = _run_cli([
         "eval", "--checkpoint", str(ckpt), "--dataset", "synthetic-small",
+        "--root", str(tmp_path),
     ])
     assert rc == 0
     ev = json.loads(out)

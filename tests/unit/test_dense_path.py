@@ -1,0 +1,115 @@
+"""Dense-stratum fast path vs. a NumPy mirror (interpret mode on CPU;
+compiled-TPU correctness verified in the bench/driver flow)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfx.data import synthetic
+from mfx.kernels import packing as pk
+from mfx.kernels.dense_pallas import DSTAR
+from mfx.models import init_model
+from mfx.solvers import dense_prep as dp
+
+
+def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
+    P = np.array(model.P, np.float64)
+    Q = np.array(model.Q, np.float64)
+    bu0 = np.array(model.bu, np.float64)
+    bi0 = np.array(model.bi, np.float64)
+    ebu = np.zeros(U0)
+    ebi = np.zeros(I0)
+    degu = np.zeros(U0)
+    degi = np.zeros(I0)
+    C = -(-I0 // si)
+    strat_all = (coo.user // su).astype(np.int64) * C + (coo.item // si)
+    for k in range(split.num_strata):
+        a, c = int(split.sa[k]), int(split.sc[k])
+        sel = split.dense_idx[strat_all[split.dense_idx] == a * C + c]
+        u, i = coo.user[sel], coo.item[sel]
+        # R travels in bf16 (exact for real quarter-step ratings; the
+        # continuous synthetic ratings round, so the mirror rounds too)
+        r = np.asarray(
+            jnp.asarray(coo.rating[sel], jnp.bfloat16).astype(jnp.float32),
+            np.float64,
+        )
+        pred = np.einsum("bk,bk->b", P[u], Q[i]) + bu0[u] + bi0[i] + mu
+        e = r - pred
+        dP = np.zeros_like(P)
+        dQ = np.zeros_like(Q)
+        np.add.at(dP, u, e[:, None] * Q[i])
+        np.add.at(dQ, i, e[:, None] * P[u])
+        cnt_u = np.zeros(U0)
+        np.add.at(cnt_u, u, 1.0)
+        cnt_i = np.zeros(I0)
+        np.add.at(cnt_i, i, 1.0)
+        s_u = np.minimum(1.0, DSTAR / np.maximum(cnt_u, 1.0))[:, None]
+        s_i = np.minimum(1.0, DSTAR / np.maximum(cnt_i, 1.0))[:, None]
+        P += lr * s_u * (dP - reg * cnt_u[:, None] * P)
+        Q += lr * s_i * (dQ - reg * cnt_i[:, None] * Q)
+        np.add.at(ebu, u, e)
+        np.add.at(ebi, i, e)
+        degu += cnt_u
+        degi += cnt_i
+    su_b = np.minimum(1.0, DSTAR / np.maximum(degu, 1.0))
+    si_b = np.minimum(1.0, DSTAR / np.maximum(degi, 1.0))
+    bu = bu0 + lr * su_b * (ebu - reg * degu * bu0)
+    bi = bi0 + lr * si_b * (ebi - reg * degi * bi0)
+    return P, Q, bu, bi
+
+
+def test_dense_phase_matches_mirror_interpret():
+    U0, I0, rank, su, si = 600, 600, 64, 256, 256
+    pack = 2
+    coo = synthetic.make_synthetic(U0, I0, 25_000, rank=8, seed=3)
+    split = dp.split_dense_strata(
+        coo.user, coo.item, U0, I0, su, si,
+        chi_min=0.01, nwin_head=3, pack=pack,
+    )
+    assert split.num_strata > 0
+    assert len(split.dense_idx) + len(split.sparse_idx) == coo.n_ratings
+
+    model = init_model(2, U0, I0, rank, global_mean=coo.global_mean)
+    model = model.__class__(
+        P=model.P, Q=model.Q,
+        bu=model.bu + 0.05, bi=model.bi - 0.03, mu=model.mu,
+    )
+    tensors = dp.build_dense_tensors(split, coo.rating, su, si, pack)
+    Pm, Qm = pk.pack_state(model, su, si)
+    lr, reg, mu = 0.008, 0.02, float(model.mu)
+    Pm2, Qm2, sse = dp.run_dense_phase(
+        Pm, Qm, tensors, lr, reg, mu,
+        su=su, si=si, rank=rank, use_bias=True, exact=True, interpret=True,
+    )
+    got = pk.unpack_state(Pm2, Qm2, model.mu, U0, I0, rank, su, si)
+    P, Q, bu, bi = _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si)
+    np.testing.assert_allclose(np.asarray(got.P), P, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), Q, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.bu), bu, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.bi), bi, atol=2e-6)
+    assert float(sse) > 0
+
+
+def test_blocked_trainer_with_dense_path_interpret():
+    """End-to-end hybrid epoch (dense phase + sparse sweeps) on CPU."""
+    import dataclasses
+
+    from mfx.config import SGDConfig
+    from mfx.data import train_test_split
+    from mfx.eval import rmse
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    coo = synthetic.make_synthetic(600, 600, 25_000, rank=4, noise=0.3, seed=9)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    model = init_model(1, 600, 600, 64, global_mean=train.global_mean)
+    cfg = SGDConfig(
+        lr=0.01, reg=0.03, epochs=3, partitioner="blocked", kernel="pallas",
+        ublock=256, iblock=256, tile=64, dense_chi=0.01,
+    )
+    first = last = None
+    for ep, model, tr in train_epochs_blocked(
+        model, train, cfg, use_bias=True, seed=0, tpg=4, interpret=True
+    ):
+        first = tr if first is None else first
+        last = tr
+    assert last < first
+    assert rmse(model, test) < 1.0
