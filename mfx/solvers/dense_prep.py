@@ -74,17 +74,12 @@ def split_dense_strata(
     eligible[:, nwin_head:] = False
     eligible = eligible.reshape(-1)
 
-    in_dense_stratum = eligible[strat]
-    # dedup (u, i): only the first occurrence goes dense (a dense cell can
-    # hold one rating; later duplicates keep exact sparse semantics)
-    key = user.astype(np.int64) * num_items + item
-    order = np.argsort(key, kind="stable")
-    dup = np.zeros(len(user), bool)
-    sorted_key = key[order]
-    dup_sorted = np.zeros(len(user), bool)
-    dup_sorted[1:] = sorted_key[1:] == sorted_key[:-1]
-    dup[order] = dup_sorted
-    dense_mask = in_dense_stratum & ~dup
+    # duplicate (u, i) pairs inside a dense cell are merged by AVERAGING
+    # device-side (build_dense_tensors): exact for real rating data (no
+    # duplicate pairs) and a documented ~0.1% approximation for the iid
+    # synthetic generators. An exact host-side dedup needs a 25M-key sort,
+    # which costs minutes on this throttled host.
+    dense_mask = eligible[strat]
     dense_idx = np.flatnonzero(dense_mask)
     sparse_idx = np.flatnonzero(~dense_mask)
 
@@ -106,14 +101,21 @@ def split_dense_strata(
         + (li // pack)
     )
 
-    deg_us = np.zeros((len(dense_strata), su), np.int32)
-    np.add.at(deg_us, (st, lu), 1)
-    deg_is = np.zeros((len(dense_strata), si), np.int32)
-    np.add.at(deg_is, (st, li), 1)
-    deg_u = np.zeros((A, su), np.int32)
-    np.add.at(deg_u, (a[dense_idx], lu), 1)
-    deg_i = np.zeros((nwin_head, si), np.int32)
-    np.add.at(deg_i, (c[dense_idx], li), 1)
+    # degrees (raw rating counts; bincount — np.add.at is a slow scalar
+    # loop on this single-core host)
+    nds = len(dense_strata)
+    deg_us = np.bincount(st * su + lu, minlength=nds * su).reshape(
+        nds, su
+    ).astype(np.int32)
+    deg_is = np.bincount(st * si + li, minlength=nds * si).reshape(
+        nds, si
+    ).astype(np.int32)
+    deg_u = np.bincount(
+        a[dense_idx] * su + lu, minlength=A * su
+    ).reshape(A, su).astype(np.int32)
+    deg_i = np.bincount(
+        c[dense_idx] * si + li, minlength=nwin_head * si
+    ).reshape(nwin_head, si).astype(np.int32)
     return DenseSplit(
         sparse_idx=sparse_idx,
         dense_idx=dense_idx,
@@ -133,13 +135,22 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack):
     sup, sip = su // pack, si // pack
     nd = split.num_strata
     # bf16: half the per-epoch HBM stream; rating values (quarter steps,
-    # <= 5) are exactly representable
-    R = (
-        jnp.zeros((nd * 4 * sup * sip,), jnp.bfloat16)
-        .at[jnp.asarray(split.flat_pos)]
-        .set(jnp.asarray(rating[split.dense_idx], jnp.bfloat16))
-        .reshape(nd, 4 * sup, sip)
+    # <= 5) are exactly representable. Duplicate (u, i) pairs (absent in
+    # real data) merge by averaging: sum / count per cell.
+    pos = jnp.asarray(split.flat_pos)
+    rsum = (
+        jnp.zeros((nd * 4 * sup * sip,), jnp.float32)
+        .at[pos]
+        .add(jnp.asarray(rating[split.dense_idx]))
     )
+    cnt = (
+        jnp.zeros((nd * 4 * sup * sip,), jnp.float32)
+        .at[pos]
+        .add(1.0)
+    )
+    R = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0).astype(
+        jnp.bfloat16
+    ).reshape(nd, 4 * sup, sip)
     # degree columns, decimated: per-stratum (factor reg) + totals (bias reg)
     def dec(deg, blocks, size):  # (blocks, size) -> (blocks, size/pack, pack)
         return jnp.asarray(deg, jnp.float32).reshape(blocks, size // pack, pack)

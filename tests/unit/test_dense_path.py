@@ -12,6 +12,9 @@ from mfx.solvers import dense_prep as dp
 
 
 def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
+    """Dense-matrix mirror: duplicate (u, i) pairs merge by averaging,
+    R travels in bf16, degrees count raw ratings (matching the kernel's
+    aux arrays)."""
     P = np.array(model.P, np.float64)
     Q = np.array(model.Q, np.float64)
     bu0 = np.array(model.bu, np.float64)
@@ -26,30 +29,40 @@ def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
         a, c = int(split.sa[k]), int(split.sc[k])
         sel = split.dense_idx[strat_all[split.dense_idx] == a * C + c]
         u, i = coo.user[sel], coo.item[sel]
-        # R travels in bf16 (exact for real quarter-step ratings; the
-        # continuous synthetic ratings round, so the mirror rounds too)
-        r = np.asarray(
-            jnp.asarray(coo.rating[sel], jnp.bfloat16).astype(jnp.float32),
-            np.float64,
+        r = coo.rating[sel].astype(np.float64)
+        lu, li = u - a * su, i - c * si
+        rsum = np.zeros((su, si))
+        cnt = np.zeros((su, si))
+        np.add.at(rsum, (lu, li), r)
+        np.add.at(cnt, (lu, li), 1.0)
+        W = cnt > 0
+        Ravg = np.where(W, rsum / np.maximum(cnt, 1.0), 0.0)
+        Ravg = np.asarray(
+            jnp.asarray(Ravg, jnp.bfloat16).astype(jnp.float32), np.float64
         )
-        pred = np.einsum("bk,bk->b", P[u], Q[i]) + bu0[u] + bi0[i] + mu
-        e = r - pred
-        dP = np.zeros_like(P)
-        dQ = np.zeros_like(Q)
-        np.add.at(dP, u, e[:, None] * Q[i])
-        np.add.at(dQ, i, e[:, None] * P[u])
-        cnt_u = np.zeros(U0)
-        np.add.at(cnt_u, u, 1.0)
-        cnt_i = np.zeros(I0)
-        np.add.at(cnt_i, i, 1.0)
-        s_u = np.minimum(1.0, DSTAR / np.maximum(cnt_u, 1.0))[:, None]
-        s_i = np.minimum(1.0, DSTAR / np.maximum(cnt_i, 1.0))[:, None]
-        P += lr * s_u * (dP - reg * cnt_u[:, None] * P)
-        Q += lr * s_i * (dQ - reg * cnt_i[:, None] * Q)
-        np.add.at(ebu, u, e)
-        np.add.at(ebi, i, e)
-        degu += cnt_u
-        degi += cnt_i
+        rows = slice(a * su, min((a + 1) * su, U0))
+        cols = slice(c * si, min((c + 1) * si, I0))
+        # .copy(): snapshot semantics — P[rows] is a view, and the in-place
+        # update below would otherwise leak into the Q update
+        Pb, Qb = P[rows].copy(), Q[cols].copy()
+        nu, ni = Pb.shape[0], Qb.shape[0]
+        W = W[:nu, :ni]
+        Ravg = Ravg[:nu, :ni]
+        S = Pb @ Qb.T + bu0[rows][:, None] + bi0[cols][None, :] + mu
+        E = np.where(W, Ravg - S, 0.0)
+        deg_u = np.zeros(su)
+        np.add.at(deg_u, lu, 1.0)
+        deg_i = np.zeros(si)
+        np.add.at(deg_i, li, 1.0)
+        deg_u, deg_i = deg_u[:nu], deg_i[:ni]
+        s_u = np.minimum(1.0, DSTAR / np.maximum(deg_u, 1.0))[:, None]
+        s_i = np.minimum(1.0, DSTAR / np.maximum(deg_i, 1.0))[:, None]
+        P[rows] = Pb + lr * s_u * (E @ Qb - reg * deg_u[:, None] * Pb)
+        Q[cols] = Qb + lr * s_i * (E.T @ Pb - reg * deg_i[:, None] * Qb)
+        ebu[rows] += E.sum(1)
+        ebi[cols] += E.sum(0)
+        degu[rows] += deg_u
+        degi[cols] += deg_i
     su_b = np.minimum(1.0, DSTAR / np.maximum(degu, 1.0))
     si_b = np.minimum(1.0, DSTAR / np.maximum(degi, 1.0))
     bu = bu0 + lr * su_b * (ebu - reg * degu * bu0)
@@ -82,10 +95,10 @@ def test_dense_phase_matches_mirror_interpret():
     )
     got = pk.unpack_state(Pm2, Qm2, model.mu, U0, I0, rank, su, si)
     P, Q, bu, bi = _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si)
-    np.testing.assert_allclose(np.asarray(got.P), P, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(got.Q), Q, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(got.bu), bu, atol=2e-6)
-    np.testing.assert_allclose(np.asarray(got.bi), bi, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.P), P, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), Q, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.bu), bu, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.bi), bi, atol=5e-6)
     assert float(sse) > 0
 
 
