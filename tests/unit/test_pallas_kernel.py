@@ -88,3 +88,27 @@ def test_pallas_rank32_pack4_interpret():
     got = pk.unpack_state(Pm, Qm, model.mu, 200, 200, rank, su, si)
     np.testing.assert_allclose(np.asarray(got.P), np.asarray(refu.P), atol=2e-6)
     np.testing.assert_allclose(np.asarray(got.Q), np.asarray(refu.Q), atol=2e-6)
+
+
+def test_pallas_rank128_pack1_interpret():
+    """rank 128 => pack 1 (the Netflix preset geometry)."""
+    su, si, T, tpg, nwin, rank = 128, 128, 32, 4, 2, 128
+    coo = synthetic.make_synthetic(300, 260, 3000, seed=5)
+    perm = epoch_permutation(3000, 0, 0)
+    plans = bh.build_sweep_plans(
+        coo.user, coo.item, coo.rating, 300, 260, su, si, T, tpg, nwin, perm
+    )
+    model = init_model(2, 300, 260, rank, global_mean=coo.global_mean)
+    refu = _reference(model, plans, su, si, tpg, 0.05, 0.02, True)
+    Pm, Qm = pk.pack_state(model, su, si)
+    for p in plans:
+        Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+        Pm, Qs, _ = blocked_sgd_sweep_pallas(
+            Pm, Qs, pk.sweep_arrays(p), 0.05, 0.02, float(model.mu),
+            su=su, si=si, rank=rank, tpg=tpg,
+            use_bias=True, exact=True, interpret=True,
+        )
+        Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+    got = pk.unpack_state(Pm, Qm, model.mu, 300, 260, rank, su, si)
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(refu.P), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), np.asarray(refu.Q), atol=2e-6)
