@@ -61,6 +61,11 @@ class SGDConfig:
     # strata denser than this run the dense DSGD fast path (Zipf head);
     # 0 disables. Requires kernel='pallas', rank 64, ublock == iblock.
     dense_chi: float = 0.0
+    # per-row trust scaling for duplicate-heavy batches on the jnp paths
+    # ('fixed' partitioner): a row appearing d times in a batch gets its
+    # summed delta scaled by min(1, dup_trust/d). 0 disables. Guards
+    # against hot-row divergence under Zipf skew at large batch sizes.
+    dup_trust: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

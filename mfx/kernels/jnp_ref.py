@@ -56,13 +56,47 @@ def sgd_compute_deltas(
     return d_pu, d_qi, d_bu, d_bi, jnp.sum(err * err)
 
 
+def _dup_counts(ids):
+    """Occurrences of each id within the batch (sort + binary search;
+    no table-sized temporaries)."""
+    s = jnp.sort(ids)
+    left = jnp.searchsorted(s, ids, side="left")
+    right = jnp.searchsorted(s, ids, side="right")
+    return (right - left).astype(jnp.float32)
+
+
 def sgd_apply_deltas(
     model, users, items, d_pu, d_qi, d_bu, d_bi, *,
-    use_bias: bool = True, unique_rows: bool = False
+    use_bias: bool = True, unique_rows: bool = False,
+    dup_trust: float = 0.0, weights=None,
 ):
-    """Scatter-add (segment-sum) deltas into the factor tables."""
+    """Scatter-add (segment-sum) deltas into the factor tables.
+
+    ``dup_trust`` > 0 enables per-row trust scaling: when a row appears d
+    times in the batch, its summed delta is scaled by min(1, dup_trust/d).
+    A batch step on a row with d same-snapshot updates has curvature
+    ∝ lr·d, so heavily duplicated rows (hot items under Zipf skew) diverge
+    for lr·d ≳ 2; scaling caps the effective step while preserving the
+    gradient direction (same device count ⇒ same counts ⇒ deterministic,
+    and DP applies it to the gathered global batch, staying bitwise-equal
+    to single-device)."""
     from mfx.models.mf import MFModel
 
+    if dup_trust > 0.0 and not unique_rows:
+        # padded slots (weight 0) must not inflate the count of row id 0;
+        # their own scaled-down deltas are zero anyway
+        cu, ci = users, items
+        if weights is not None:
+            pad = weights <= 0.0
+            cu = jnp.where(pad, jnp.int32(0x3FFFFFFF), users)
+            ci = jnp.where(pad, jnp.int32(0x3FFFFFFF), items)
+        su = jnp.minimum(1.0, dup_trust / _dup_counts(cu))[:, None]
+        si = jnp.minimum(1.0, dup_trust / _dup_counts(ci))[:, None]
+        d_pu = d_pu * su
+        d_qi = d_qi * si
+        if use_bias:
+            d_bu = d_bu * su[:, 0]
+            d_bi = d_bi * si[:, 0]
     mode = "promise_in_bounds"
     dt = model.P.dtype  # deltas may be f32 when batches are (bf16 tables)
     new_p = model.P.at[users].add(
@@ -94,6 +128,7 @@ def sgd_minibatch_update(
     *,
     use_bias: bool = True,
     unique_rows: bool = False,
+    dup_trust: float = 0.0,
 ):
     """One fused minibatch SGD update. Returns (new_model, batch_sq_err).
 
@@ -107,7 +142,8 @@ def sgd_minibatch_update(
     )
     new_model = sgd_apply_deltas(
         model, users, items, d_pu, d_qi, d_bu, d_bi,
-        use_bias=use_bias, unique_rows=unique_rows,
+        use_bias=use_bias, unique_rows=unique_rows, dup_trust=dup_trust,
+        weights=weights,
     )
     return new_model, sq_err
 

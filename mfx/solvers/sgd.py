@@ -87,8 +87,10 @@ def plan_epoch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("use_bias", "unique_rows"))
-def _epoch_scan(model, batches, lr, reg, use_bias, unique_rows):
+@functools.partial(
+    jax.jit, static_argnames=("use_bias", "unique_rows", "dup_trust")
+)
+def _epoch_scan(model, batches, lr, reg, use_bias, unique_rows, dup_trust):
     def body(m, batch):
         m, sq = sgd_minibatch_update(
             m,
@@ -100,6 +102,7 @@ def _epoch_scan(model, batches, lr, reg, use_bias, unique_rows):
             reg,
             use_bias=use_bias,
             unique_rows=unique_rows,
+            dup_trust=dup_trust,
         )
         return m, sq
 
@@ -120,6 +123,7 @@ def make_epoch_fn(cfg: SGDConfig, use_bias: bool):
                 jnp.asarray(cfg.reg, model.P.dtype),
                 use_bias,
                 unique_rows,
+                cfg.dup_trust,
             )
 
         return epoch_fn
