@@ -66,6 +66,10 @@ class SGDConfig:
     # summed delta scaled by min(1, dup_trust/d). 0 disables. Guards
     # against hot-row divergence under Zipf skew at large batch sizes.
     dup_trust: float = 0.0
+    # blocked paths: rebuild the host epoch plan every N epochs (0 = plan
+    # once and reuse; stratified order already randomizes within strata,
+    # and planning costs seconds/epoch on slow hosts)
+    replan_every: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,7 +137,10 @@ PRESETS: dict[str, TrainConfig] = {
         name="ml1m_rank32_biased",
         data=DataConfig(dataset="ml-1m"),
         model=ModelConfig(rank=32, use_bias=True),
-        sgd=SGDConfig(lr=0.01, reg=0.04, lr_decay=0.92, epochs=30, batch_size=8192),
+        sgd=SGDConfig(
+            lr=0.01, reg=0.04, lr_decay=0.92, epochs=30,
+            partitioner="blocked", kernel="pallas",  # rank 32 -> pack 4
+        ),
     ),
     # configs[2]: "MovieLens-25M, rank-64 minibatch SGD with conflict-free
     # partitioning on one TPU chip"

@@ -59,7 +59,7 @@ def train_epochs_blocked(
     seed: int = 0,
     start_epoch: int = 0,
     tpg: int = 4,
-    replan_every: int = 1,
+    replan_every: int | None = None,
     exact: bool = False,
     interpret: bool = False,
 ) -> Iterator[tuple[int, object, float]]:
@@ -69,6 +69,8 @@ def train_epochs_blocked(
     su, si = cfg.ublock, cfg.iblock
     U, I, rank = model.num_users, model.num_items, model.rank
     mu = float(model.mu)
+    if replan_every is None:
+        replan_every = cfg.replan_every
 
     if cfg.kernel == "pallas":
         nwin = sweep_geometry(I, rank, si)
