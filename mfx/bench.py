@@ -31,6 +31,14 @@ __all__ = ["run_bench"]
 
 TARGET_UPS_PER_CHIP = 1e9  # BASELINE.json north star
 
+# quality-metric targets (BASELINE.json "epochs to RMSE 0.92 on ML-25M"):
+# on real data the absolute target applies; the seeded synthetic stand-in
+# has a known noise floor (mfx.data.synthetic noise=0.35), so the analog
+# target is 105% of that floor
+TARGET_RMSE_REAL = 0.92
+SYNTHETIC_NOISE_FLOOR = 0.35
+MAX_CONVERGENCE_EPOCHS = 40
+
 
 def run_bench(
     preset: str = "ml25m_rank64",
@@ -38,6 +46,7 @@ def run_bench(
     overrides: list[str] | tuple = (),
     dataset: str | None = None,
     tpg: int = 4,
+    convergence: bool = True,
 ) -> dict:
     cfg = apply_overrides(get_preset(preset), list(overrides))
     t0 = time.time()
@@ -50,6 +59,9 @@ def run_bench(
         global_mean=train.global_mean,
     )
     use_bias = cfg.model.use_bias
+    target_rmse = (
+        1.05 * SYNTHETIC_NOISE_FLOOR if coo.synthetic else TARGET_RMSE_REAL
+    )
 
     # drive the real solver path (dense Zipf-head phase + sparse sweeps);
     # the epoch plan is built once and reused (replan_every=0), so device
@@ -57,7 +69,8 @@ def run_bench(
     from mfx.solvers.blocked import train_epochs_blocked
     import dataclasses as _dc
 
-    sgd_cfg = _dc.replace(cfg.sgd, epochs=epochs + 1)
+    max_epochs = epochs + 1 + (MAX_CONVERGENCE_EPOCHS if convergence else 0)
+    sgd_cfg = _dc.replace(cfg.sgd, epochs=max_epochs)
     interpret = jax.default_backend() != "tpu"
     gen = train_epochs_blocked(
         model, train, sgd_cfg, use_bias, seed=cfg.data.seed,
@@ -68,14 +81,31 @@ def run_bench(
     host_plan_s = time.time() - t0  # dominated by planning on this host
 
     t0 = time.time()
+    timed = 0
     for _, final_model, _ in gen:
-        pass
+        timed += 1
+        if timed >= epochs:
+            break
     bench_s = time.time() - t0
 
     n_upd = train.n_ratings * epochs
     n_chips = 1  # single-chip bench; parallel modes report per-chip anyway
     ups = n_upd / bench_s
     test_rmse = rmse(final_model, test)
+
+    # epochs-to-target-RMSE: keep training past the timed window until the
+    # quality gate is reached (the second half of the BASELINE metric)
+    epochs_to_target = None
+    epochs_run = epochs + 1
+    if test_rmse <= target_rmse:
+        epochs_to_target = epochs_run
+    elif convergence:
+        for _, final_model, _ in gen:
+            epochs_run += 1
+            test_rmse = rmse(final_model, test)
+            if test_rmse <= target_rmse:
+                epochs_to_target = epochs_run
+                break
 
     return {
         "metric": "sgd_rating_updates_per_sec_per_chip_rank%d" % cfg.model.rank,
@@ -84,9 +114,12 @@ def run_bench(
         "vs_baseline": round(ups / n_chips / TARGET_UPS_PER_CHIP, 4),
         "preset": preset,
         "dataset_shape": [coo.num_users, coo.num_items, coo.n_ratings],
+        "synthetic": bool(coo.synthetic),
         "epochs_timed": epochs,
         "epoch_s": round(bench_s / epochs, 3),
         "test_rmse_after": round(test_rmse, 4),
+        "target_rmse": round(target_rmse, 4),
+        "epochs_to_target": epochs_to_target,
         "host_plan_s": round(host_plan_s, 2),
         "data_s": round(data_s, 2),
         "backend": jax.default_backend(),

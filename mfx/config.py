@@ -162,7 +162,12 @@ PRESETS: dict[str, TrainConfig] = {
         target_rmse=0.92,
     ),
     # configs[3]: "Netflix-Prize-scale 100M ratings, rank-128, data-parallel
-    # SGD + ALS cross-check on v5p-8"
+    # SGD + ALS cross-check on v5p-8". The DP path runs the fixed
+    # partitioner + segment-sum scatter; dup_trust caps the effective step
+    # on rows duplicated d > 16 times within the 2^17 global batch (the
+    # Zipf head), the demonstrated divergence regime (lr*d ≳ 2) — tested at
+    # these hyperparameters on skewed data in
+    # tests/integration/test_preset_convergence.py.
     "netflix100m_rank128_dp": TrainConfig(
         name="netflix100m_rank128_dp",
         solver="sgd",
@@ -174,9 +179,9 @@ PRESETS: dict[str, TrainConfig] = {
             lr_decay=0.95,
             epochs=15,
             batch_size=1 << 17,
-            partitioner="blocked",
-            kernel="pallas",
-            tile=256,
+            partitioner="fixed",
+            kernel="jnp",
+            dup_trust=16.0,
         ),
         als=ALSConfig(reg=0.05, sweeps=8),
         parallel=ParallelConfig(mode="dp", data_axis=8),

@@ -26,6 +26,10 @@ class RatingsCOO:
         (implicit feedback).
       num_users: number of user rows in the factor table P.
       num_items: number of item rows in the factor table Q.
+      synthetic: True when the ratings came from a seeded generator rather
+        than a real dataset file (propagated through caches so benchmark /
+        driver output can say so — real data added later is never shadowed
+        by a synthetic cache; see mfx.data.loaders).
     """
 
     user: np.ndarray
@@ -33,6 +37,7 @@ class RatingsCOO:
     rating: np.ndarray
     num_users: int
     num_items: int
+    synthetic: bool = False
 
     def __post_init__(self):
         self.user = np.asarray(self.user, dtype=np.int32)
@@ -85,6 +90,7 @@ class RatingsCOO:
             rating=self.rating[idx],
             num_users=self.num_users,
             num_items=self.num_items,
+            synthetic=self.synthetic,
         )
 
     def concat(self, other: "RatingsCOO") -> "RatingsCOO":
@@ -96,6 +102,7 @@ class RatingsCOO:
             rating=np.concatenate([self.rating, other.rating]),
             num_users=self.num_users,
             num_items=self.num_items,
+            synthetic=self.synthetic or other.synthetic,
         )
 
     # ---- persistence ------------------------------------------------------
@@ -110,6 +117,7 @@ class RatingsCOO:
             rating=self.rating,
             num_users=np.int64(self.num_users),
             num_items=np.int64(self.num_items),
+            synthetic=np.bool_(self.synthetic),
         )
 
     @staticmethod
@@ -121,4 +129,5 @@ class RatingsCOO:
                 rating=z["rating"],
                 num_users=int(z["num_users"]),
                 num_items=int(z["num_items"]),
+                synthetic=bool(z["synthetic"]) if "synthetic" in z else False,
             )

@@ -156,27 +156,64 @@ def load_dataset(
     cache: bool = True,
     allow_synthetic: bool = True,
 ) -> RatingsCOO:
-    """Load a named dataset, preferring (in order): npz cache, raw files,
-    seeded synthetic fallback of the same shape."""
+    """Load a named dataset, preferring (in order): real-data npz cache,
+    raw files, synthetic npz cache, seeded synthetic fallback of the same
+    shape.
+
+    Synthetic fallbacks are cached under a *distinct* filename
+    (``{name}.v{V}.synthetic.npz``) and flagged ``coo.synthetic = True``,
+    so real MovieLens/Netflix data dropped into ``root`` later is picked up
+    immediately instead of being shadowed by a stale synthetic cache, and
+    downstream bench/driver output can report the data's provenance.
+    """
     if name not in _REGISTRY:
         raise KeyError(f"unknown dataset {name!r}; known: {dataset_names()}")
     subdir, parser, fallback = _REGISTRY[name]
     root = Path(root) if root is not None else DEFAULT_ROOT
-    cache_path = root / f"{name}.v{GENERATOR_VERSION}.npz"
-    if cache and cache_path.exists():
-        return RatingsCOO.load_npz(cache_path)
+    real_cache = root / f"{name}.v{GENERATOR_VERSION}.npz"
+    syn_cache = root / f"{name}.v{GENERATOR_VERSION}.synthetic.npz"
+
+    if cache and real_cache.exists():
+        coo = RatingsCOO.load_npz(real_cache)
+        if not coo.synthetic:
+            return coo
+        # a pre-provenance cache written from a synthetic fallback under
+        # the real dataset's name: migrate it so raw data is never shadowed
+        try:
+            real_cache.rename(syn_cache)
+        except OSError:
+            pass
+
     raw_dir = root / subdir
-    coo = None
     if parser is not None and raw_dir.exists():
         coo = parser(raw_dir)
-    elif allow_synthetic:
-        coo = fallback()
-    else:
+        if cache:
+            _write_cache(coo, root, real_cache)
+        return coo
+
+    if not allow_synthetic:
         raise FileNotFoundError(f"no raw data at {raw_dir} and synthetic disabled")
+    if cache and syn_cache.exists():
+        coo = RatingsCOO.load_npz(syn_cache)
+        coo.synthetic = True  # pre-provenance caches lack the flag
+        return coo
+    import warnings
+
+    warnings.warn(
+        f"dataset {name!r}: no raw files under {raw_dir}; using the seeded "
+        "SYNTHETIC fallback of the same shape (results will be flagged "
+        "synthetic=true)",
+        stacklevel=2,
+    )
+    coo = fallback()
     if cache:
-        try:
-            root.mkdir(parents=True, exist_ok=True)
-            coo.save_npz(cache_path)
-        except OSError:
-            pass  # cache is best-effort
+        _write_cache(coo, root, syn_cache)
     return coo
+
+
+def _write_cache(coo: RatingsCOO, root: Path, path: Path) -> None:
+    try:
+        root.mkdir(parents=True, exist_ok=True)
+        coo.save_npz(path)
+    except OSError:
+        pass  # cache is best-effort

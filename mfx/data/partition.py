@@ -36,8 +36,14 @@ __all__ = [
     "make_blocked_partition",
 ]
 
-# Sentinel-free padding: padded slots get id 0 and weight 0. Update rules
-# multiply every delta by the weight, so padded slots are exact no-ops.
+# Legacy pad id (kept for callers that don't pass table sizes). Padded
+# slots always carry weight 0, so their deltas are exactly zero; but id-0
+# pads duplicate a *real* row id inside a batch, which breaks the
+# ``unique_indices`` promise the conflict-free scatter path makes to XLA.
+# ``pad_to_batches`` therefore emits *unique, out-of-range* pad ids
+# (``num_rows + slot``) whenever table sizes are provided; the update path
+# gathers with mode='clip' and scatters with mode='drop' so out-of-range
+# pads are exact no-ops and every in-batch id is genuinely unique.
 PAD_ID = 0
 
 
@@ -47,13 +53,17 @@ def pad_to_batches(
     rating: np.ndarray,
     order: np.ndarray | list[np.ndarray],
     batch_size: int,
+    num_users: int | None = None,
+    num_items: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Materialize padded ``[num_batches, B]`` epoch tensors.
 
     ``order`` is either a flat index array (split into consecutive batches)
     or a list of per-batch index arrays (each of length <= batch_size).
     Returns dict with int32 ``users``/``items``, float32 ``ratings``/
-    ``weights`` (1.0 real, 0.0 padding).
+    ``weights`` (1.0 real, 0.0 padding). When ``num_users``/``num_items``
+    are given, padded slots carry unique out-of-range sentinel ids
+    (``num_rows + slot``) instead of 0, keeping batches duplicate-free.
     """
     if isinstance(order, np.ndarray):
         n = len(order)
@@ -63,8 +73,15 @@ def pad_to_batches(
         batches = list(order)
         nb = len(batches)
 
-    users = np.full((nb, batch_size), PAD_ID, np.int32)
-    items = np.full((nb, batch_size), PAD_ID, np.int32)
+    slot = np.arange(batch_size, dtype=np.int32)
+    if num_users is not None:
+        users = np.broadcast_to(np.int32(num_users) + slot, (nb, batch_size)).copy()
+    else:
+        users = np.full((nb, batch_size), PAD_ID, np.int32)
+    if num_items is not None:
+        items = np.broadcast_to(np.int32(num_items) + slot, (nb, batch_size)).copy()
+    else:
+        items = np.full((nb, batch_size), PAD_ID, np.int32)
     ratings = np.zeros((nb, batch_size), np.float32)
     weights = np.zeros((nb, batch_size), np.float32)
     for b, idx in enumerate(batches):

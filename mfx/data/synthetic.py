@@ -78,7 +78,8 @@ def make_synthetic(
         users[start:stop] = u
         items[start:stop] = i
         ratings[start:stop] = np.clip(r, lo, hi, dtype=np.float32, casting="unsafe")
-    return RatingsCOO(users, items, ratings, num_users, num_items)
+    return RatingsCOO(users, items, ratings, num_users, num_items,
+                      synthetic=True)
 
 
 def make_implicit_synthetic(
@@ -112,5 +113,6 @@ def make_implicit_synthetic(
         users[start:stop] = u
         items[start:stop] = np.where(s0 >= s1, c0, c1)
     return RatingsCOO(
-        users, items, np.ones(n_ratings, np.float32), num_users, num_items
+        users, items, np.ones(n_ratings, np.float32), num_users, num_items,
+        synthetic=True,
     )

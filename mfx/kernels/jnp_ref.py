@@ -35,12 +35,15 @@ def sgd_compute_deltas(
     from sgd_minibatch_update so data-parallel training can compute deltas
     locally and exchange only the sparse (ids, deltas) pairs
     (mfx.parallel.data_parallel)."""
-    pu = jnp.take(model.P, users, axis=0)
-    qi = jnp.take(model.Q, items, axis=0)
+    # mode='clip': padded slots may carry out-of-range sentinel ids
+    # (mfx.data.partition.pad_to_batches); they clamp to the last row,
+    # whose gathered garbage is killed by weight 0 below
+    pu = jnp.take(model.P, users, axis=0, mode="clip")
+    qi = jnp.take(model.Q, items, axis=0, mode="clip")
     pred = jnp.sum(pu * qi, axis=-1) + model.mu
     if use_bias:
-        bu = jnp.take(model.bu, users)
-        bi = jnp.take(model.bi, items)
+        bu = jnp.take(model.bu, users, mode="clip")
+        bi = jnp.take(model.bi, items, mode="clip")
         pred = pred + bu + bi
     err = (ratings - pred) * weights
     e = err[:, None]
@@ -97,7 +100,11 @@ def sgd_apply_deltas(
         if use_bias:
             d_bu = d_bu * su[:, 0]
             d_bi = d_bi * si[:, 0]
-    mode = "promise_in_bounds"
+    # mode='drop': out-of-range sentinel pads (unique per batch slot) are
+    # dropped by the scatter, so unique_indices=True is an honest promise
+    # even for padded conflict-free batches — id-0 pads would duplicate a
+    # real row 0 and make duplicate handling implementation-defined
+    mode = "drop"
     dt = model.P.dtype  # deltas may be f32 when batches are (bf16 tables)
     new_p = model.P.at[users].add(
         d_pu.astype(dt), unique_indices=unique_rows, mode=mode

@@ -50,12 +50,14 @@ class MFModel:
 
     def predict(self, users: jax.Array, items: jax.Array) -> jax.Array:
         """Batched prediction mu + bu + bi + p·q for id vectors."""
-        pu = jnp.take(self.P, users, axis=0)
-        qi = jnp.take(self.Q, items, axis=0)
+        # mode='clip': callers may pass padded batches whose pad slots
+        # carry out-of-range sentinel ids (weight-0 semantics upstream)
+        pu = jnp.take(self.P, users, axis=0, mode="clip")
+        qi = jnp.take(self.Q, items, axis=0, mode="clip")
         return (
             jnp.sum(pu * qi, axis=-1)
-            + jnp.take(self.bu, users)
-            + jnp.take(self.bi, items)
+            + jnp.take(self.bu, users, mode="clip")
+            + jnp.take(self.bi, items, mode="clip")
             + self.mu
         )
 

@@ -10,6 +10,7 @@ the framework works without a toolchain (tests cover both paths).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,10 +22,17 @@ __all__ = ["get_lib", "available", "conflict_free_rounds", "plan_sweeps_native"]
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "planner.cpp"
-_LIB = _HERE / "_libmfxplanner.so"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _lib_path() -> Path:
+    """Library filename keyed by a content hash of the source, so an edited
+    planner.cpp can never silently run against a stale binary (mtimes are
+    unreliable after checkout), and no binary ships in version control."""
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return _HERE / f"_libmfxplanner-{digest}.so"
 
 _I64 = ctypes.c_int64
 _P_I32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -32,15 +40,22 @@ _P_I64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _P_F32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 
 
-def _build() -> bool:
+def _build(lib_path: Path) -> bool:
     cxx = os.environ.get("CXX", "g++")
     cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_LIB)]
+           str(_SRC), "-o", str(lib_path)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
     except (OSError, subprocess.SubprocessError):
         return False
+    # sweep stale binaries from earlier source versions (best-effort)
+    for old in _HERE.glob("_libmfxplanner*.so"):
+        if old != lib_path:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    return True
 
 
 def get_lib():
@@ -52,11 +67,12 @@ def get_lib():
         _tried = True
         if os.environ.get("MFX_NO_NATIVE"):
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
+        lib_path = _lib_path()
+        if not lib_path.exists():
+            if not _build(lib_path):
                 return None
         try:
-            lib = ctypes.CDLL(str(_LIB))
+            lib = ctypes.CDLL(str(lib_path))
         except OSError:
             return None
         lib.mfx_plan_count.restype = ctypes.c_int

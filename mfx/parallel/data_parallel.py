@@ -31,9 +31,11 @@ from mfx.runtime.mesh import DATA_AXIS
 __all__ = ["make_dp_epoch_fn", "train_epochs_dp", "train_epochs_bpr_dp"]
 
 
-def make_dp_epoch_fn(mesh: Mesh, use_bias: bool):
+def make_dp_epoch_fn(mesh: Mesh, use_bias: bool, dup_trust: float = 0.0):
     """Build the jitted data-parallel epoch: scan over [NB, B] batches with
-    the B dimension sharded over the 'data' axis."""
+    the B dimension sharded over the 'data' axis. ``dup_trust`` is applied
+    to the *gathered* global batch (same counts as the single-device run on
+    the same batches, so DP stays bitwise-equal to single-device)."""
 
     def _epoch(model, batches, lr, reg):
         def body(m, batch):
@@ -59,6 +61,8 @@ def make_dp_epoch_fn(mesh: Mesh, use_bias: bool):
                 g(d_bu),
                 g(d_bi),
                 use_bias=use_bias,
+                dup_trust=dup_trust,
+                weights=g(batch["weights"]),
             )
             return m, lax.psum(sq, DATA_AXIS)
 
@@ -150,13 +154,14 @@ def train_epochs_dp(
     """Data-parallel version of mfx.solvers.sgd.train_epochs."""
     ndata = mesh.shape[DATA_AXIS]
     bsz = -(-cfg.batch_size // ndata) * ndata  # divisible by the data axis
-    epoch_fn = make_dp_epoch_fn(mesh, use_bias)
+    epoch_fn = make_dp_epoch_fn(mesh, use_bias, dup_trust=cfg.dup_trust)
     batch_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     for epoch in range(start_epoch, cfg.epochs):
         lr = cfg.lr * (cfg.lr_decay**epoch)
         perm = epoch_permutation(train.n_ratings, seed, epoch)
         arrays = part.pad_to_batches(
-            train.user, train.item, train.rating, perm, bsz
+            train.user, train.item, train.rating, perm, bsz,
+            num_users=train.num_users, num_items=train.num_items,
         )
         batches = {
             k: jax.device_put(v, batch_sharding) for k, v in arrays.items()

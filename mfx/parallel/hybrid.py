@@ -29,7 +29,7 @@ from mfx.runtime.mesh import DATA_AXIS, MODEL_AXIS
 __all__ = ["make_hybrid_epoch_fn", "train_epochs_hybrid"]
 
 
-def make_hybrid_epoch_fn(mesh: Mesh, use_bias: bool):
+def make_hybrid_epoch_fn(mesh: Mesh, use_bias: bool, dup_trust: float = 0.0):
     S = mesh.shape[MODEL_AXIS]
     ring = [(j, (j - 1) % S) for j in range(S)]
 
@@ -46,7 +46,7 @@ def make_hybrid_epoch_fn(mesh: Mesh, use_bias: bool):
                 g = lambda x: lax.all_gather(x, DATA_AXIS, axis=0, tiled=True)
                 mm = sgd_apply_deltas(
                     mm, g(u), g(i), g(d_pu), g(d_qi), g(d_bu), g(d_bi),
-                    use_bias=use_bias,
+                    use_bias=use_bias, dup_trust=dup_trust, weights=g(w),
                 )
                 return mm, lax.psum(sq, DATA_AXIS)
 
@@ -105,7 +105,7 @@ def train_epochs_hybrid(
     ndata = mesh.shape[DATA_AXIS]
     U, I = train.num_users, train.num_items
     bsz = -(-cfg.batch_size // ndata) * ndata
-    epoch_fn = make_hybrid_epoch_fn(mesh, use_bias)
+    epoch_fn = make_hybrid_epoch_fn(mesh, use_bias, dup_trust=cfg.dup_trust)
     padded = shard_model(model, S)
     for epoch in range(start_epoch, cfg.epochs):
         lr = cfg.lr * (cfg.lr_decay**epoch)

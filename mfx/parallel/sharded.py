@@ -10,8 +10,11 @@ epoch runs S sub-steps; at sub-step t, shard s trains on stratum
 (s, (s+t) mod S) — ratings whose users it owns and whose items live in the
 block it currently holds — then the Q blocks ``ppermute`` one hop. Strata
 at a given sub-step are pairwise disjoint in both tables, so shards never
-conflict: the parallel epoch is *bitwise-equal* to a sequential pass over
-the same batches (tested), the deterministic replacement for Hogwild.
+conflict: the parallel epoch computes the same result as a sequential pass
+over the same batches up to XLA fusion-level f32 rounding (tested to
+atol=1e-6 in tests/distributed/test_sharded_ring.py), and is itself
+bitwise-deterministic run-to-run — the deterministic replacement for
+Hogwild.
 
 Communication = S dense block rotations per epoch over neighboring ICI
 links (the all-to-all of rows is realized as a ring schedule, which is how
@@ -125,7 +128,7 @@ def unshard_model(model: MFModel, num_users: int, num_items: int) -> MFModel:
     )
 
 
-def make_ring_epoch_fn(mesh: Mesh, use_bias: bool):
+def make_ring_epoch_fn(mesh: Mesh, use_bias: bool, dup_trust: float = 0.0):
     """Jitted DSGD-ring epoch over the 'model' axis.
 
     Takes the padded global model (P/bu row-sharded, Q/bi row-sharded) and
@@ -142,7 +145,8 @@ def make_ring_epoch_fn(mesh: Mesh, use_bias: bool):
 
             def body(mm, b):
                 mm, sq = sgd_minibatch_update(
-                    mm, b[0], b[1], b[2], b[3], lr, reg, use_bias=use_bias
+                    mm, b[0], b[1], b[2], b[3], lr, reg, use_bias=use_bias,
+                    dup_trust=dup_trust,
                 )
                 return mm, sq
 
@@ -203,7 +207,7 @@ def train_epochs_ring(
     device between epochs)."""
     S = mesh.shape[MODEL_AXIS]
     U, I = train.num_users, train.num_items
-    epoch_fn = make_ring_epoch_fn(mesh, use_bias)
+    epoch_fn = make_ring_epoch_fn(mesh, use_bias, dup_trust=cfg.dup_trust)
     padded = shard_model(model, S)
     for epoch in range(start_epoch, cfg.epochs):
         lr = cfg.lr * (cfg.lr_decay**epoch)

@@ -72,13 +72,27 @@ def plan_epoch(
             f"plan_epoch handles 'fixed'/'conflict_free'; got {cfg.partitioner!r}"
             " (blocked partitions are planned by mfx.kernels.blocked)"
         )
-    arrays = part.pad_to_batches(coo.user, coo.item, coo.rating, order, cfg.batch_size)
+    arrays = part.pad_to_batches(
+        coo.user, coo.item, coo.rating, order, cfg.batch_size,
+        num_users=coo.num_users, num_items=coo.num_items,
+    )
     nb = arrays["users"].shape[0]
     if bucket and cfg.partitioner == "conflict_free":
         nb_pad = _bucket(nb)
         if nb_pad != nb:
+            # filler batches replicate the sentinel pad pattern (unique
+            # out-of-range ids, weight 0) so unique_indices stays honest
+            slot = np.arange(cfg.batch_size, dtype=np.int32)
+            fill = {
+                "users": np.int32(coo.num_users) + slot,
+                "items": np.int32(coo.num_items) + slot,
+                "ratings": np.zeros(cfg.batch_size, np.float32),
+                "weights": np.zeros(cfg.batch_size, np.float32),
+            }
             for k, a in arrays.items():
-                padded = np.zeros((nb_pad,) + a.shape[1:], a.dtype)
+                padded = np.broadcast_to(
+                    fill[k], (nb_pad,) + a.shape[1:]
+                ).astype(a.dtype).copy()
                 padded[:nb] = a
                 arrays[k] = padded
     return EpochPlan(

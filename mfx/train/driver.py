@@ -38,10 +38,33 @@ class TrainResult:
     updates_per_sec: float
 
 
+def _validate_parallel_sgd(cfg: TrainConfig) -> None:
+    """Reject configs whose kernel/partitioner the chosen parallel mode
+    would silently ignore — asking for the Pallas kernel and getting the
+    scatter baseline must be an error, not a 5x slowdown."""
+    mode = cfg.parallel.mode
+    sgd = cfg.sgd
+    if mode == "dp" and (sgd.partitioner != "fixed" or sgd.kernel != "jnp"):
+        raise ValueError(
+            f"parallel.mode='dp' runs the fixed-partitioner XLA path and "
+            f"ignores sgd.partitioner={sgd.partitioner!r} / "
+            f"sgd.kernel={sgd.kernel!r}; set sgd.partitioner=fixed "
+            "sgd.kernel=jnp explicitly, or use parallel.mode='sharded'/"
+            "'hybrid' (DSGD ring) for the blocked kernels"
+        )
+    if mode in ("sharded", "hybrid") and sgd.kernel not in ("jnp",):
+        raise ValueError(
+            f"parallel.mode={mode!r} currently supports sgd.kernel='jnp' "
+            f"(scatter); got {sgd.kernel!r}"
+        )
+
+
 def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh):
     use_bias = cfg.model.use_bias
     if cfg.solver == "sgd":
         mode = cfg.parallel.mode
+        if mode != "single":
+            _validate_parallel_sgd(cfg)
         if mode == "single":
             from mfx.solvers.sgd import train_epochs
 

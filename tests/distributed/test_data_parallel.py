@@ -60,3 +60,28 @@ def test_dp_deterministic_and_learns():
         outs.append(model)
     np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
     assert rmse(outs[0], test) < 0.7
+
+
+@requires_8
+def test_dp_dup_trust_bitwise_equals_single_device():
+    """dup_trust is applied to the *gathered* global batch, so DP with
+    hot-row trust scaling must still reproduce the single-device run
+    bitwise (regression: DP used to drop dup_trust silently)."""
+    coo = synthetic.make_synthetic(200, 150, 8_000, seed=3)
+    cfg = SGDConfig(lr=0.02, reg=0.03, epochs=3, batch_size=512,
+                    partitioner="fixed", dup_trust=4.0)
+
+    model0 = init_model(1, 200, 150, 8, global_mean=coo.global_mean)
+    single = model0
+    for _, single, _ in train_epochs(single, coo, cfg, use_bias=True, seed=0):
+        pass
+
+    mesh = make_mesh(data=4)
+    dp = model0
+    for _, dp, _ in train_epochs_dp(dp, coo, cfg, use_bias=True, mesh=mesh,
+                                    seed=0):
+        pass
+    np.testing.assert_array_equal(np.asarray(dp.P), np.asarray(single.P))
+    np.testing.assert_array_equal(np.asarray(dp.Q), np.asarray(single.Q))
+    np.testing.assert_array_equal(np.asarray(dp.bu), np.asarray(single.bu))
+    np.testing.assert_array_equal(np.asarray(dp.bi), np.asarray(single.bi))

@@ -1,0 +1,44 @@
+"""Parallel-mode config validation: kernel/partitioner fields a parallel
+mode would silently ignore must raise (regression: the netflix preset used
+to ask for the Pallas kernel under mode='dp' and silently get the scatter
+baseline)."""
+
+import dataclasses
+
+import pytest
+
+from mfx.config import PRESETS, SGDConfig, TrainConfig, ParallelConfig
+from mfx.train.driver import _validate_parallel_sgd
+
+
+def _cfg(mode, **sgd_kw):
+    return TrainConfig(
+        sgd=SGDConfig(**sgd_kw),
+        parallel=ParallelConfig(mode=mode, data_axis=2, model_axis=2),
+    )
+
+
+def test_dp_rejects_pallas_kernel():
+    with pytest.raises(ValueError, match="ignores"):
+        _validate_parallel_sgd(_cfg("dp", kernel="pallas", partitioner="blocked"))
+
+
+def test_dp_rejects_blocked_partitioner():
+    with pytest.raises(ValueError):
+        _validate_parallel_sgd(_cfg("dp", kernel="jnp", partitioner="blocked"))
+
+
+def test_dp_accepts_fixed_jnp():
+    _validate_parallel_sgd(_cfg("dp", kernel="jnp", partitioner="fixed"))
+
+
+def test_all_presets_pass_validation():
+    for name, cfg in PRESETS.items():
+        if cfg.solver == "sgd" and cfg.parallel.mode != "single":
+            _validate_parallel_sgd(cfg)
+
+
+def test_netflix_preset_enables_dup_trust():
+    cfg = PRESETS["netflix100m_rank128_dp"]
+    assert cfg.sgd.partitioner == "fixed"
+    assert cfg.sgd.dup_trust > 0.0
