@@ -1,11 +1,18 @@
 """BPR negative sampling — SURVEY.md C6 (BASELINE.json configs[4]).
 
 Implicit-feedback training triples (user, positive item, sampled negative
-item). Negatives are sampled uniformly over the item catalog, seeded and
-deterministic per (seed, epoch). Collisions with unobserved positives are
-accepted — the standard large-scale approximation (collision probability
-equals the dataset density; exact rejection is O(n·deg) host work and
-changes AUC by < density).
+item). Negatives are **exact**: uniform over the item catalog with
+rejection of the user's observed positives (round-1 accepted collisions;
+VERDICT round 1, item #9). The positive set is a single sorted int64 key
+array (``u * num_items + i``) built once per run, so the membership test
+per rejection round is one vectorized ``searchsorted`` over all pending
+samples — O(n log nnz) host work, no per-user Python.
+
+Determinism: the RNG stream is derived from (seed, epoch) and consumed in
+a fixed order (initial draw, then one draw per rejection round), so the
+triples are bitwise-reproducible. Degenerate users who have rated the
+entire catalog cannot have a valid negative; after ``max_rounds`` their
+sample is kept as-is (probability 0 on real data).
 """
 
 from __future__ import annotations
@@ -14,21 +21,77 @@ import numpy as np
 
 from mfx.data.coo import RatingsCOO
 
-__all__ = ["sample_negatives", "bpr_epoch_triples"]
+__all__ = [
+    "build_positive_index",
+    "sample_negatives",
+    "bpr_epoch_triples",
+]
+
+# Rejection rounds before giving up on a pending sample. Expected pending
+# fraction after r rounds is density^r; real datasets (density < 5%) clear
+# in 2-3 rounds.
+MAX_REJECTION_ROUNDS = 32
+
+
+def build_positive_index(coo: RatingsCOO) -> np.ndarray:
+    """Sorted int64 keys ``u * num_items + i`` of all observed positives.
+    Build once per training run and pass to :func:`sample_negatives` /
+    :func:`bpr_epoch_triples`."""
+    keys = coo.user.astype(np.int64) * coo.num_items + coo.item
+    keys.sort()
+    return keys
+
+
+def _members(pos_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Boolean membership of each query key in the sorted key array."""
+    idx = np.searchsorted(pos_keys, queries)
+    idx_c = np.minimum(idx, len(pos_keys) - 1)
+    return (idx < len(pos_keys)) & (pos_keys[idx_c] == queries)
 
 
 def sample_negatives(
-    n: int, num_items: int, seed: int, epoch: int
+    n: int,
+    num_items: int,
+    seed: int,
+    epoch: int,
+    users: np.ndarray | None = None,
+    pos_keys: np.ndarray | None = None,
 ) -> np.ndarray:
+    """Seeded negatives. With ``users`` + ``pos_keys`` the sampling is
+    exact (rejection against each user's positive set); without them it is
+    plain uniform (used only where positives are acceptable, e.g. sampled
+    AUC's ranking noise floor)."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xBB12, epoch]))
-    return rng.integers(0, num_items, size=n, dtype=np.int32)
+    neg = rng.integers(0, num_items, size=n, dtype=np.int32)
+    if users is None or pos_keys is None:
+        return neg
+    ukeys = users.astype(np.int64) * num_items
+    pending = np.flatnonzero(_members(pos_keys, ukeys + neg))
+    rounds = 0
+    while pending.size and rounds < MAX_REJECTION_ROUNDS:
+        neg[pending] = rng.integers(
+            0, num_items, size=pending.size, dtype=np.int32
+        )
+        pending = pending[_members(pos_keys, ukeys[pending] + neg[pending])]
+        rounds += 1
+    return neg
 
 
 def bpr_epoch_triples(
-    coo: RatingsCOO, seed: int, epoch: int, perm: np.ndarray | None = None
+    coo: RatingsCOO,
+    seed: int,
+    epoch: int,
+    perm: np.ndarray | None = None,
+    pos_keys: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(users, pos_items, neg_items) for one epoch, in permuted order."""
-    neg = sample_negatives(coo.n_ratings, coo.num_items, seed, epoch)
+    """(users, pos_items, neg_items) for one epoch, in permuted order.
+    Pass ``pos_keys`` (from :func:`build_positive_index`) for exact
+    negatives."""
+    neg = sample_negatives(
+        coo.n_ratings, coo.num_items, seed, epoch,
+        users=coo.user if pos_keys is not None else None,
+        pos_keys=pos_keys,
+    )
     if perm is None:
         return coo.user, coo.item, neg
     return coo.user[perm], coo.item[perm], neg[perm]

@@ -62,10 +62,13 @@ def plan_bpr_ring_epoch(
     seed: int,
     epoch: int,
     item_map: np.ndarray | None = None,
+    pos_keys: np.ndarray | None = None,
 ) -> BprRingPlan:
     """Stratify one epoch of (user, pos) pairs into the S×S ring schedule
     and sample block-local negatives. ``item_map`` is the forward relabel
-    from item_shuffle (identity if None)."""
+    from item_shuffle (identity if None). ``pos_keys`` (sorted
+    ``u * num_items + relabeled_i`` keys) makes negatives exact: samples
+    colliding with a user's positives are block-locally resampled."""
     perm = epoch_permutation(coo.n_ratings, seed, epoch)
     ublock = -(-coo.num_users // S)
     iblock = -(-coo.num_items // S)
@@ -106,6 +109,33 @@ def plan_bpr_ring_epoch(
     ).astype(np.int64)
     block_rows = np.maximum(block_rows, 1)
     neg = (neg % block_rows[:, None]).astype(np.int32)
+
+    if pos_keys is not None:
+        from mfx.data.bpr import MAX_REJECTION_ROUNDS, _members
+
+        # global ids per slot: user = s*ublock + local; item (relabeled
+        # space) = held_block*iblock + local
+        s_of_cell = (np.arange(S * S, dtype=np.int64) % S)[:, None]
+        gu = users.astype(np.int64) + s_of_cell * ublock
+        gbase = (cell_block * iblock)[:, None]
+        qk = (gu * coo.num_items + gbase + neg).reshape(-1)
+        real = (weights > 0).reshape(-1)
+        idx = np.flatnonzero(real & _members(pos_keys, qk))
+        rounds = 0
+        while idx.size and rounds < MAX_REJECTION_ROUNDS:
+            cells = idx // width
+            draw = (
+                rng.integers(0, iblock, size=idx.size, dtype=np.int64)
+                % block_rows[cells]
+            ).astype(np.int32)
+            neg.reshape(-1)[idx] = draw
+            qk_new = (
+                gu.reshape(-1)[idx] * coo.num_items
+                + cell_block[cells] * iblock
+                + draw
+            )
+            idx = idx[_members(pos_keys, qk_new)]
+            rounds += 1
 
     shape = (S, S, nb, batch_size)
     return BprRingPlan(
@@ -189,6 +219,8 @@ def train_epochs_bpr_ring(
     U, I = train.num_users, train.num_items
     fwd, inv = item_shuffle(I, seed)
     epoch_fn = make_bpr_ring_epoch_fn(mesh)
+    # exact negatives: positive-key index in the relabeled item space
+    pos_keys = np.sort(train.user.astype(np.int64) * I + fwd[train.item])
     # relabel item rows once: internal Q[j] = Q_orig[inv[j]]
     shuffled = MFModel(
         P=model.P, Q=jnp.asarray(np.asarray(model.Q)[inv]),
@@ -198,7 +230,7 @@ def train_epochs_bpr_ring(
     for epoch in range(start_epoch, cfg.epochs):
         plan = plan_bpr_ring_epoch(
             train, S, -(-cfg.batch_size // S), seed + cfg.neg_seed, epoch,
-            item_map=fwd,
+            item_map=fwd, pos_keys=pos_keys,
         )
         arrays = {
             "users": jnp.asarray(plan.users),

@@ -120,16 +120,19 @@ def train_epochs_bpr_dp(
 ) -> Iterator[tuple[int, object, float]]:
     """Data-parallel BPR epochs; bitwise-equal to the single-device run on
     the same triples (tested)."""
-    from mfx.data.bpr import bpr_epoch_triples
+    from mfx.data.bpr import bpr_epoch_triples, build_positive_index
     from mfx.solvers.bpr import _pad_triples
 
     ndata = mesh.shape[DATA_AXIS]
     bsz = -(-cfg.batch_size // ndata) * ndata
     epoch_fn = make_bpr_dp_epoch_fn(mesh)
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    pos_keys = build_positive_index(train)
     for epoch in range(start_epoch, cfg.epochs):
         perm = epoch_permutation(train.n_ratings, seed, epoch)
-        u, i, j = bpr_epoch_triples(train, cfg.neg_seed + seed, epoch, perm)
+        u, i, j = bpr_epoch_triples(
+            train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys
+        )
         batches = {
             k: jax.device_put(v, sharding)
             for k, v in _pad_triples(u, i, j, bsz).items()

