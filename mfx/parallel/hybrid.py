@@ -100,6 +100,7 @@ def train_epochs_hybrid(
     mesh: Mesh,
     seed: int = 0,
     start_epoch: int = 0,
+    yield_padded: bool = False,
 ) -> Iterator[tuple[int, MFModel, float]]:
     S = mesh.shape[MODEL_AXIS]
     ndata = mesh.shape[DATA_AXIS]
@@ -122,6 +123,5 @@ def train_epochs_hybrid(
             jnp.asarray(lr, model.P.dtype),
             jnp.asarray(cfg.reg, model.P.dtype),
         )
-        yield epoch, unshard_model(padded, U, I), float(
-            jnp.sqrt(sse / max(1, train.n_ratings))
-        )
+        out = padded if yield_padded else unshard_model(padded, U, I)
+        yield epoch, out, float(jnp.sqrt(sse / max(1, train.n_ratings)))

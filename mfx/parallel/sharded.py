@@ -201,10 +201,14 @@ def train_epochs_ring(
     mesh: Mesh,
     seed: int = 0,
     start_epoch: int = 0,
+    yield_padded: bool = False,
 ) -> Iterator[tuple[int, MFModel, float]]:
     """Sharded-table (DSGD ring) version of train_epochs. Yields the
     *unsharded* model each epoch (cheap row slice; tables stay sharded on
-    device between epochs)."""
+    device between epochs) — or, with ``yield_padded``, the padded
+    row-sharded model itself, so checkpoints can be written without
+    gathering (SURVEY.md §5.4); re-feeding a padded model is a no-op pad.
+    """
     S = mesh.shape[MODEL_AXIS]
     U, I = train.num_users, train.num_items
     epoch_fn = make_ring_epoch_fn(mesh, use_bias, dup_trust=cfg.dup_trust)
@@ -225,6 +229,5 @@ def train_epochs_ring(
             jnp.asarray(lr, model.P.dtype),
             jnp.asarray(cfg.reg, model.P.dtype),
         )
-        yield epoch, unshard_model(padded, U, I), float(
-            jnp.sqrt(sse / max(1, train.n_ratings))
-        )
+        out = padded if yield_padded else unshard_model(padded, U, I)
+        yield epoch, out, float(jnp.sqrt(sse / max(1, train.n_ratings)))

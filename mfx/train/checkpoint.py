@@ -68,8 +68,17 @@ def latest_step(ckpt_dir) -> int | None:
     return max(steps) if steps else None
 
 
-def load_checkpoint(ckpt_dir, step: int | None = None) -> tuple[MFModel, int, int]:
-    """Returns (model, epoch, seed). Raises FileNotFoundError if absent."""
+def load_checkpoint(
+    ckpt_dir, step: int | None = None, shardings: dict | None = None
+) -> tuple[MFModel, int, int]:
+    """Returns (model, epoch, seed). Raises FileNotFoundError if absent.
+
+    Sharded tables restore WITHOUT gathering: Orbax records each array's
+    ``NamedSharding`` at save time and re-materializes per-device shards on
+    restore (tested in tests/distributed/test_sharded_checkpoint.py). Pass
+    ``shardings`` — a dict mapping state keys (``P``, ``Q``, ``bu``,
+    ``bi``) to target shardings — to restore onto a different topology
+    than the one that saved."""
     ckpt_dir = Path(ckpt_dir).absolute()
     if step is None:
         step = latest_step(ckpt_dir)
@@ -78,15 +87,29 @@ def load_checkpoint(ckpt_dir, step: int | None = None) -> tuple[MFModel, int, in
     path = ckpt_dir / f"{step}"
     if _HAVE_ORBAX and path.exists():
         ckptr = ocp.StandardCheckpointer()
-        state = ckptr.restore(path)
+        if shardings:
+            meta = ckptr.metadata(path).item_metadata.tree
+            abstract = {
+                k: jax.ShapeDtypeStruct(
+                    tuple(m.shape), m.dtype, sharding=shardings.get(k)
+                )
+                for k, m in meta.items()
+            }
+            state = ckptr.restore(path, abstract)
+        else:
+            state = ckptr.restore(path)
     else:  # pragma: no cover
         with np.load(str(path) + ".npz") as z:
             state = {k: z[k] for k in z.files}
+
+    def _keep(x):  # preserve restored device shardings
+        return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
     model = MFModel(
-        P=jnp.asarray(state["P"]),
-        Q=jnp.asarray(state["Q"]),
-        bu=jnp.asarray(state["bu"]),
-        bi=jnp.asarray(state["bi"]),
-        mu=jnp.asarray(state["mu"]),
+        P=_keep(state["P"]),
+        Q=_keep(state["Q"]),
+        bu=_keep(state["bu"]),
+        bi=_keep(state["bi"]),
+        mu=_keep(state["mu"]),
     )
     return model, int(state["epoch"]), int(state["seed"])

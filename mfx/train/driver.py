@@ -82,16 +82,19 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
         if mode == "sharded":
             from mfx.parallel.sharded import train_epochs_ring
 
+            # yield_padded: the model stays row-sharded through eval (test
+            # ids index only real rows) and the checkpoint boundary (Orbax
+            # writes per-shard chunks — no gather; SURVEY.md §5.4)
             return train_epochs_ring(
                 model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
-                start_epoch=start_epoch,
+                start_epoch=start_epoch, yield_padded=True,
             )
         if mode == "hybrid":
             from mfx.parallel.hybrid import train_epochs_hybrid
 
             return train_epochs_hybrid(
                 model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
-                start_epoch=start_epoch,
+                start_epoch=start_epoch, yield_padded=True,
             )
         raise ValueError(f"unknown parallel mode {mode!r}")
     if cfg.solver == "als":
@@ -210,6 +213,11 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             t_prev = time.time()
     if cfg.checkpoint_dir:
         save_checkpoint(cfg.checkpoint_dir, max(0, epochs_run - 1), model, seed)
+    # padded sharded-mode models: slice back to the real rows for the result
+    if cfg.solver == "sgd" and cfg.parallel.mode in ("sharded", "hybrid"):
+        from mfx.parallel.sharded import unshard_model
+
+        model = unshard_model(model, coo.num_users, coo.num_items)
     # final eval if none happened yet
     if test_rmse is None and not implicit:
         test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
