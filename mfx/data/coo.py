@@ -30,6 +30,12 @@ class RatingsCOO:
         than a real dataset file (propagated through caches so benchmark /
         driver output can say so — real data added later is never shadowed
         by a synthetic cache; see mfx.data.loaders).
+      item_raw_ids: optional int64 [num_items] map from dense item id back
+        to the dataset's raw id. Loaders relabel items by descending
+        rating frequency (dense id 0 = most-rated item) so the Zipf head
+        clusters into the first item windows — the layout the dense-
+        stratum fast path needs (mfx/kernels/dense_pallas.py); this map
+        is how predictions translate back to catalog ids.
     """
 
     user: np.ndarray
@@ -38,6 +44,7 @@ class RatingsCOO:
     num_users: int
     num_items: int
     synthetic: bool = False
+    item_raw_ids: np.ndarray | None = None
 
     def __post_init__(self):
         self.user = np.asarray(self.user, dtype=np.int32)
@@ -91,6 +98,7 @@ class RatingsCOO:
             num_users=self.num_users,
             num_items=self.num_items,
             synthetic=self.synthetic,
+            item_raw_ids=self.item_raw_ids,
         )
 
     def concat(self, other: "RatingsCOO") -> "RatingsCOO":
@@ -103,6 +111,7 @@ class RatingsCOO:
             num_users=self.num_users,
             num_items=self.num_items,
             synthetic=self.synthetic or other.synthetic,
+            item_raw_ids=self.item_raw_ids,
         )
 
     # ---- persistence ------------------------------------------------------
@@ -110,6 +119,9 @@ class RatingsCOO:
     def save_npz(self, path) -> None:
         # uncompressed: cache files are written once and re-read often; the
         # single-core host pays dearly for deflate on 100M+ rating arrays
+        extra = {}
+        if self.item_raw_ids is not None:
+            extra["item_raw_ids"] = np.asarray(self.item_raw_ids, np.int64)
         np.savez(
             path,
             user=self.user,
@@ -118,6 +130,7 @@ class RatingsCOO:
             num_users=np.int64(self.num_users),
             num_items=np.int64(self.num_items),
             synthetic=np.bool_(self.synthetic),
+            **extra,
         )
 
     @staticmethod
@@ -130,4 +143,7 @@ class RatingsCOO:
                 num_users=int(z["num_users"]),
                 num_items=int(z["num_items"]),
                 synthetic=bool(z["synthetic"]) if "synthetic" in z else False,
+                item_raw_ids=(
+                    z["item_raw_ids"] if "item_raw_ids" in z else None
+                ),
             )

@@ -35,21 +35,35 @@ __all__ = [
 
 DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser()
 
-# bumped whenever synthetic generation changes, so stale caches never leak
-# into new runs (the cache filename carries this version)
-GENERATOR_VERSION = 2
+# bumped whenever synthetic generation OR parsing/relabeling changes, so
+# stale caches never leak into new runs (the cache filename carries this
+# version). v3: items relabeled by descending frequency on parse.
+GENERATOR_VERSION = 3
 
 
 def _densify(raw_u: np.ndarray, raw_i: np.ndarray, ratings: np.ndarray) -> RatingsCOO:
-    """Remap arbitrary raw ids to dense contiguous ids."""
+    """Remap arbitrary raw ids to dense contiguous ids.
+
+    Items are relabeled by DESCENDING rating frequency (dense item 0 = the
+    most-rated item, ties broken by raw-id order), so the Zipf head of
+    real data clusters into the first item windows — the layout the
+    dense-stratum fast path requires (VERDICT round-1 missing #5; the
+    seeded synthetic generators are popularity-sorted by construction).
+    The new-id → raw-id map rides along as ``coo.item_raw_ids``.
+    """
     uniq_u, u = np.unique(raw_u, return_inverse=True)
     uniq_i, i = np.unique(raw_i, return_inverse=True)
+    counts = np.bincount(i, minlength=len(uniq_i))
+    order = np.argsort(-counts, kind="stable")  # new id 0 = most frequent
+    rank_of = np.empty_like(order)
+    rank_of[order] = np.arange(len(order))
     return RatingsCOO(
         u.astype(np.int32),
-        i.astype(np.int32),
+        rank_of[i].astype(np.int32),
         ratings.astype(np.float32),
         num_users=len(uniq_u),
         num_items=len(uniq_i),
+        item_raw_ids=uniq_i[order].astype(np.int64),
     )
 
 

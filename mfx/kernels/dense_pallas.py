@@ -14,17 +14,20 @@ per-occurrence regularization of the sparse path). One stratum = one
 snapshot minibatch.
 
 Layout: factor tables stay in the shared rank-packed merged layout
-((rows/pack, 128), pack = 128//rank; sgd_pallas.py). For pack == 2 the
-dense algebra runs in a **decimated** convention: S and R split into
-(ee, eo, oe, oo) parity blocks so every matmul is a plain
-(sup, 64)×(64, sip) product on the packed columns — no repacking, no
-in-kernel reshapes. R is stored pre-decimated by the host prep
-(mfx/solvers/dense_prep.py); W is recovered as R > 0 (ratings are ≥ 0.5).
+((rows/pack, 128), pack = 128//rank; sgd_pallas.py). The dense algebra
+runs in a **decimated** convention generalized over pack ∈ {1, 2, 4}
+(ranks 128/64/32): S and R split into pack² parity blocks (local row u
+lands in parity row u % pack, likewise columns), so every matmul is a
+plain (sup, K)×(K, sip) product on the packed columns — no repacking, no
+in-kernel reshapes. pack=1 degenerates to the undecimated textbook form.
+R is stored pre-decimated by the host prep (mfx/solvers/dense_prep.py);
+W is recovered as R > 0 (ratings are ≥ 0.5).
 
 Biases are FROZEN during the dense phase: per-stratum bias vectors are
-precomputed into broadcast-ready aux arrays, and the kernel emits
-per-stratum E row/column sums from which the driver applies one batched
-bias update after the phase (documented snapshot semantics).
+precomputed into broadcast-ready aux arrays (width ``aux_width(pack)`` =
+3·pack columns rounded up), and the kernel emits per-stratum E row/column
+sums from which the driver applies one batched bias update after the
+phase (documented snapshot semantics).
 
 Per-stratum structure mirrors sgd_pallas.py: grid over strata sorted by
 user block; P blocks stream through the pipeline via scalar-prefetched
@@ -44,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mfx.kernels.sgd_pallas import BIAS_ROWS
 
-__all__ = ["dense_sgd_phase_pallas", "DSTAR"]
+__all__ = ["dense_sgd_phase_pallas", "aux_width", "DSTAR"]
 
 # strata per kernel call: bounds SMEM scalar prefetch (sa, sc)
 _STRATA_CHUNK = 32768
@@ -57,13 +60,21 @@ _STRATA_CHUNK = 32768
 DSTAR = 16.0
 
 
+def aux_width(pack: int) -> int:
+    """Columns of the per-stratum aux arrays: pack each of frozen user
+    bias, user degree, item degree (3·pack), rounded up to a sublane-
+    friendly width shared with the dbu/dbi outputs."""
+    return 8 if pack <= 2 else 16
+
+
 def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
-    if pack != 2:
+    if pack not in (1, 2, 4):
         raise NotImplementedError(
-            "dense path currently supports rank 64 (pack=2); rank-128 "
-            "(pack=1) needs the undecimated variant"
+            "dense path supports ranks 128/64/32 (pack 1/2/4); rank "
+            f"{rank} (pack {pack}) is out of its regime"
         )
     sup, sip = su // pack, si // pack
+    auxw = aux_width(pack)
     qstride = sip + BIAS_ROWS
     prec = lax.Precision.HIGHEST if exact else None
     f32 = jnp.float32
@@ -76,9 +87,9 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
 
     def kernel(
         hp_ref, sa_ref, sc_ref,  # prefetch: f32[4], i32[ND], i32[ND]
-        R_ref,  # (1, 4*sup, sip) decimated raw ratings (0 = absent)
-        aux_u_ref,  # (1, sup, 8) cols: bu_e, bu_o, Du_e, Du_o, Di_e, Di_o
-        aux_i_ref,  # (1, 8, sip) rows: bi_e, bi_o
+        R_ref,  # (1, pack²·sup, sip) decimated raw ratings (0 = absent)
+        aux_u_ref,  # (1, sup, auxw) cols: bu[pack], Du[pack], Di[pack]
+        aux_i_ref,  # (1, auxw, sip) rows: bi[pack]
         P_in, Q_in,  # aliased inputs
         P_out, Q_hbm, dbu_ref, dbi_ref, sse_ref,  # outputs
         Qseg, acc_ref, sem,  # scratch
@@ -107,98 +118,96 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
 
         qs = sc_ref[g] * qstride
         Pblk = P_out[0:sup, :]
-        Pe = Pblk[:, 0:K]  # even local rows
-        Po = Pblk[:, K:128]
         Qwin = Qseg[pl.ds(qs, sip), :]
-        Qe = Qwin[:, 0:K]
-        Qo = Qwin[:, K:128]
-
-        # S parity blocks: (sup, K) @ (K, sip) as contraction over dim 1/1
-        dims_nt = ((1,), (1,))  # x (sup,K) · y (sip,K) -> (sup, sip)
-        S_ee = dotg(Pe, Qe, dims_nt)
-        S_eo = dotg(Pe, Qo, dims_nt)
-        S_oe = dotg(Po, Qe, dims_nt)
-        S_oo = dotg(Po, Qo, dims_nt)
-
-        # R is stored bf16 (half the HBM stream; ratings are quarter-step
-        # values ≤ 5, exactly representable in bf16)
-        R_ee = R_ref[0, 0 * sup : 1 * sup, :].astype(f32)
-        R_eo = R_ref[0, 1 * sup : 2 * sup, :].astype(f32)
-        R_oe = R_ref[0, 2 * sup : 3 * sup, :].astype(f32)
-        R_oo = R_ref[0, 3 * sup : 4 * sup, :].astype(f32)
+        Pa = [Pblk[:, a * K : (a + 1) * K] for a in range(pack)]
+        Qb = [Qwin[:, b * K : (b + 1) * K] for b in range(pack)]
 
         if use_bias:
-            bu_e = aux_u_ref[0, :, 0:1]  # (sup, 1)
-            bu_o = aux_u_ref[0, :, 1:2]
-            bi_e = aux_i_ref[0, 0:1, :]  # (1, sip)
-            bi_o = aux_i_ref[0, 1:2, :]
+            bu = [aux_u_ref[0, :, a : a + 1] for a in range(pack)]  # (sup,1)
+            bi = [aux_i_ref[0, b : b + 1, :] for b in range(pack)]  # (1,sip)
         else:
-            bu_e = bu_o = jnp.zeros((sup, 1), f32)
-            bi_e = bi_o = jnp.zeros((1, sip), f32)
+            bu = [jnp.zeros((sup, 1), f32)] * pack
+            bi = [jnp.zeros((1, sip), f32)] * pack
+        # degrees (dense path requires su == si, so Di rides aux_u too)
+        Du = [aux_u_ref[0, :, pack + a : pack + a + 1] for a in range(pack)]
+        Di = [
+            aux_u_ref[0, :, 2 * pack + a : 2 * pack + a + 1]
+            for a in range(pack)
+        ]
 
-        def resid(R, S, bu, bi):
-            return jnp.where(R > 0.0, R - S - bu - bi - mu, 0.0)
+        # E parity blocks: (sup, K) @ (K, sip) contractions over dim 1/1.
+        # R is stored bf16 (half the HBM stream; ratings are quarter-step
+        # values ≤ 5, exactly representable in bf16).
+        dims_nt = ((1,), (1,))  # x (sup,K) · y (sip,K) -> (sup, sip)
+        E = {}
+        for a in range(pack):
+            for b in range(pack):
+                p_idx = a * pack + b
+                Rab = R_ref[0, p_idx * sup : (p_idx + 1) * sup, :].astype(f32)
+                Sab = dotg(Pa[a], Qb[b], dims_nt)
+                E[(a, b)] = jnp.where(
+                    Rab > 0.0, Rab - Sab - bu[a] - bi[b] - mu, 0.0
+                )
 
-        E_ee = resid(R_ee, S_ee, bu_e, bi_e)
-        E_eo = resid(R_eo, S_eo, bu_e, bi_o)
-        E_oe = resid(R_oe, S_oe, bu_o, bi_e)
-        E_oo = resid(R_oo, S_oo, bu_o, bi_o)
-
-        Du_e = aux_u_ref[0, :, 2:3]  # (sup, 1) stratum degrees
-        Du_o = aux_u_ref[0, :, 3:4]
-        Di_e = aux_u_ref[0, :, 4:5]  # (sip, 1); dense path requires su == si
-        Di_o = aux_u_ref[0, :, 5:6]
         # trust scaling for heavy rows (see DSTAR)
-        s_ue = jnp.minimum(1.0, DSTAR / jnp.maximum(Du_e, 1.0))
-        s_uo = jnp.minimum(1.0, DSTAR / jnp.maximum(Du_o, 1.0))
-        s_ie = jnp.minimum(1.0, DSTAR / jnp.maximum(Di_e, 1.0))
-        s_io = jnp.minimum(1.0, DSTAR / jnp.maximum(Di_o, 1.0))
+        s_u = [jnp.minimum(1.0, DSTAR / jnp.maximum(Du[a], 1.0))
+               for a in range(pack)]
+        s_i = [jnp.minimum(1.0, DSTAR / jnp.maximum(Di[a], 1.0))
+               for a in range(pack)]
 
         dims_nn = ((1,), (0,))  # (sup,sip) · (sip,K) -> (sup,K)
-        dPe = dotg(E_ee, Qe, dims_nn) + dotg(E_eo, Qo, dims_nn)
-        dPo = dotg(E_oe, Qe, dims_nn) + dotg(E_oo, Qo, dims_nn)
         dims_tn = ((0,), (0,))  # (sup,sip) ·ᵀ (sup,K) -> (sip,K)
-        dQe = dotg(E_ee, Pe, dims_tn) + dotg(E_oe, Po, dims_tn)
-        dQo = dotg(E_eo, Pe, dims_tn) + dotg(E_oo, Po, dims_tn)
+        dP = [
+            sum(dotg(E[(a, b)], Qb[b], dims_nn) for b in range(pack))
+            for a in range(pack)
+        ]
+        dQ = [
+            sum(dotg(E[(a, b)], Pa[a], dims_tn) for a in range(pack))
+            for b in range(pack)
+        ]
 
         # full-width writes (lane sub-range stores need masking in Mosaic)
         P_out[0:sup, :] = jnp.concatenate(
             [
-                Pe + lr * s_ue * (dPe - reg * Du_e * Pe),
-                Po + lr * s_uo * (dPo - reg * Du_o * Po),
+                Pa[a] + lr * s_u[a] * (dP[a] - reg * Du[a] * Pa[a])
+                for a in range(pack)
             ],
             axis=1,
-        )
+        ) if pack > 1 else Pa[0] + lr * s_u[0] * (dP[0] - reg * Du[0] * Pa[0])
         Qseg[pl.ds(qs, sip), :] = jnp.concatenate(
             [
-                Qe + lr * s_ie * (dQe - reg * Di_e * Qe),
-                Qo + lr * s_io * (dQo - reg * Di_o * Qo),
+                Qb[b] + lr * s_i[b] * (dQ[b] - reg * Di[b] * Qb[b])
+                for b in range(pack)
             ],
             axis=1,
-        )
+        ) if pack > 1 else Qb[0] + lr * s_i[0] * (dQ[0] - reg * Di[0] * Qb[0])
 
         # per-stratum E sums for the post-phase bias update (single writes)
         dbu_ref[0, :, :] = jnp.concatenate(
             [
-                jnp.sum(E_ee + E_eo, axis=1)[:, None],
-                jnp.sum(E_oe + E_oo, axis=1)[:, None],
-                jnp.zeros((sup, 6), f32),
-            ],
+                jnp.sum(
+                    sum(E[(a, b)] for b in range(pack)), axis=1
+                )[:, None]
+                for a in range(pack)
+            ]
+            + [jnp.zeros((sup, auxw - pack), f32)],
             axis=1,
         )
         dbi_ref[0, :, :] = jnp.concatenate(
             [
-                jnp.sum(E_ee + E_oe, axis=0)[None, :],
-                jnp.sum(E_eo + E_oo, axis=0)[None, :],
-                jnp.zeros((6, sip), f32),
-            ],
+                jnp.sum(
+                    sum(E[(a, b)] for a in range(pack)), axis=0
+                )[None, :]
+                for b in range(pack)
+            ]
+            + [jnp.zeros((auxw - pack, sip), f32)],
             axis=0,
         )
 
-        acc_ref[0] = (
-            acc_ref[0]
-            + jnp.sum(E_ee**2) + jnp.sum(E_eo**2)
-            + jnp.sum(E_oe**2) + jnp.sum(E_oo**2)
+        acc_ref[0] = acc_ref[0] + sum(
+            jnp.sum(E[(a, b)] ** 2)
+            for a in range(pack)
+            for b in range(pack)
         )
 
         @pl.when(g == ng - 1)
@@ -224,8 +233,8 @@ def dense_sgd_phase_pallas(
     Qh: jax.Array,  # merged item table; only the first nwin windows touched
     dense: dict[str, jax.Array],
     # sa (ND,) i32 user-block per stratum (sorted); sc (ND,) i32 head window
-    # R (ND, 4*sup, sip) f32 decimated raw ratings
-    # aux_u (ND, sup, 8); aux_i (ND, 8, sip)
+    # R (ND, pack²·sup, sip) bf16 decimated raw ratings
+    # aux_u (ND, sup, auxw); aux_i (ND, auxw, sip)
     lr,
     reg,
     mu,
@@ -241,6 +250,7 @@ def dense_sgd_phase_pallas(
     """Run the dense phase. Returns (Pm, Qh, dbu, dbi, sse) where dbu/dbi
     are per-stratum E sums for the post-phase bias update."""
     pack = 128 // rank
+    auxw = aux_width(pack)
     nd = dense["sa"].shape[0]
     sup, sip = su // pack, si // pack
     f32 = jnp.float32
@@ -253,11 +263,11 @@ def dense_sgd_phase_pallas(
         num_scalar_prefetch=3,
         grid=(nd,),
         in_specs=[
-            pl.BlockSpec((1, 4 * sup, sip), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, pack * pack * sup, sip), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sup, 8), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, sip), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
                          memory_space=pltpu.VMEM),
@@ -267,9 +277,9 @@ def dense_sgd_phase_pallas(
             pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, sup, 8), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, sip), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -283,8 +293,8 @@ def dense_sgd_phase_pallas(
     out_shape = [
         jax.ShapeDtypeStruct(Pm.shape, f32),
         jax.ShapeDtypeStruct(Qh.shape, f32),
-        jax.ShapeDtypeStruct((nd, sup, 8), f32),
-        jax.ShapeDtypeStruct((nd, 8, sip), f32),
+        jax.ShapeDtypeStruct((nd, sup, auxw), f32),
+        jax.ShapeDtypeStruct((nd, auxw, sip), f32),
         jax.ShapeDtypeStruct((1, 1), f32),
     ]
     # positional indices incl. prefetch: hp=0, sa=1, sc=2, R=3, aux_u=4,

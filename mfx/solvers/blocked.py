@@ -79,7 +79,7 @@ def train_epochs_blocked(
         # dense fast path: carve Zipf-head strata out of the sparse stream
         dense_tensors = None
         sparse_train = train
-        if cfg.dense_chi > 0 and su == si and 128 // rank == 2:
+        if cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4):
             from mfx.solvers import dense_prep as dp
 
             split = dp.split_dense_strata(

@@ -3,6 +3,7 @@ compiled-TPU correctness verified in the bench/driver flow)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from mfx.data import synthetic
 from mfx.kernels import packing as pk
@@ -70,9 +71,13 @@ def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
     return P, Q, bu, bi
 
 
-def test_dense_phase_matches_mirror_interpret():
-    U0, I0, rank, su, si = 600, 600, 64, 256, 256
-    pack = 2
+@pytest.mark.parametrize(
+    "rank,su",
+    [(128, 256), (64, 256), (32, 512)],  # pack 1 / 2 / 4
+)
+def test_dense_phase_matches_mirror_interpret(rank, su):
+    U0, I0, si = 600, 600, su
+    pack = 128 // rank
     coo = synthetic.make_synthetic(U0, I0, 25_000, rank=8, seed=3)
     split = dp.split_dense_strata(
         coo.user, coo.item, U0, I0, su, si,
@@ -100,6 +105,33 @@ def test_dense_phase_matches_mirror_interpret():
     np.testing.assert_allclose(np.asarray(got.bu), bu, atol=5e-6)
     np.testing.assert_allclose(np.asarray(got.bi), bi, atol=5e-6)
     assert float(sse) > 0
+
+
+def test_relabel_recovers_dense_coverage_on_raw_ids():
+    """Real files carry arbitrary item ids (popularity scattered across the
+    id space); the loaders' frequency relabel must cluster the Zipf head
+    back into the first windows so the dense split captures a substantial
+    rating share (VERDICT round-1 item #8: >= 30% on MovieLens-like ids)."""
+    from mfx.data.loaders import _densify
+
+    U0, I0, su = 600, 600, 256
+    coo = synthetic.make_synthetic(U0, I0, 60_000, rank=8, seed=11)
+    # scramble items into a fake raw-id space (like real catalog ids)
+    rng = np.random.default_rng(0)
+    scramble = rng.permutation(100_000)[:I0]
+    raw = _densify(coo.user, scramble[coo.item], coo.rating)
+
+    def captured(c):
+        split = dp.split_dense_strata(
+            c.user, c.item, U0, I0, su, su, chi_min=0.01, nwin_head=3, pack=2
+        )
+        return len(split.dense_idx) / c.n_ratings
+
+    frac = captured(raw)
+    assert frac >= 0.30, frac
+    # and it matches the popularity-sorted synthetic's own coverage
+    frac_sorted = captured(coo)
+    assert abs(frac - frac_sorted) < 0.05, (frac, frac_sorted)
 
 
 def test_blocked_trainer_with_dense_path_interpret():

@@ -30,6 +30,10 @@ def test_parse_ml100k(tmp_path):
     assert coo.user.tolist() == [2, 1, 0, 2]
     assert coo.rating.tolist() == [3.0, 3.0, 1.0, 2.0]
     assert not coo.synthetic
+    # items relabel by descending frequency: 377 (2 ratings) -> id 0,
+    # then 242, 302 (1 each, raw-id order); raw-id map rides along
+    assert coo.item.tolist() == [1, 2, 0, 0]
+    assert coo.item_raw_ids.tolist() == [377, 242, 302]
 
 
 def test_parse_ml1m(tmp_path):
@@ -55,6 +59,13 @@ def test_parse_ml25m(tmp_path):
     assert coo.n_ratings == 3
     assert coo.num_users == 2 and coo.num_items == 2
     assert coo.rating.tolist() == [5.0, 3.5, 4.0]
+    # movie 296 (2 ratings) relabels to item 0; 306 to item 1
+    assert coo.item.tolist() == [0, 1, 0]
+    assert coo.item_raw_ids.tolist() == [296, 306]
+    # the relabel + raw-id map round-trips the npz cache
+    coo.save_npz(tmp_path / "c.npz")
+    back = RatingsCOO.load_npz(tmp_path / "c.npz")
+    assert back.item_raw_ids.tolist() == [296, 306]
 
 
 def test_parse_netflix(tmp_path):
