@@ -66,10 +66,16 @@ class SGDConfig:
     # summed delta scaled by min(1, dup_trust/d). 0 disables. Guards
     # against hot-row divergence under Zipf skew at large batch sizes.
     dup_trust: float = 0.0
-    # blocked paths: rebuild the host epoch plan every N epochs (0 = plan
-    # once and reuse; stratified order already randomizes within strata,
-    # and planning costs seconds/epoch on slow hosts)
+    # blocked paths: rebuild the epoch plan every N epochs (0 = plan
+    # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4
+    # where per-epoch tile planning runs for kernel='pallas':
+    # 'device' — seeded sort+scatter on the accelerator (ms/epoch;
+    #            mfx/kernels/plan_device.py)
+    # 'host'   — vectorized NumPy / native C++ planner (tens of seconds
+    #            per 25M-rating epoch on a throttled host)
+    # 'auto'   — device on TPU backends, host otherwise
+    plan_device: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

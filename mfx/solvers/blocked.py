@@ -94,11 +94,34 @@ def train_epochs_blocked(
                 )
                 sparse_train = train.select(split.sparse_idx)
 
-        plans = None
-        arrays = None
+        use_dev_plan = cfg.plan_device == "device" or (
+            cfg.plan_device == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_dev_plan:
+            # per-epoch planning as a device sort+scatter (ms, not tens of
+            # host seconds); the COO stays device-resident across epochs
+            from mfx.kernels import plan_device as pdv
+
+            u_dev = jnp.asarray(sparse_train.user)
+            i_dev = jnp.asarray(sparse_train.item)
+            r_dev = jnp.asarray(sparse_train.rating)
+            skel = pdv.build_plan_skeleton(
+                u_dev, i_dev, U, I, su, si, cfg.tile, tpg, nwin
+            )
+            sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
+        else:
+            plans = None
+            arrays = None
+        tl_all = None
         for epoch in range(start_epoch, cfg.epochs):
             lr = cfg.lr * (cfg.lr_decay**epoch)
-            if plans is None or (replan_every and epoch % replan_every == 0):
+            replan = replan_every and epoch % replan_every == 0
+            if use_dev_plan:
+                if tl_all is None or replan:
+                    tl_all = pdv.epoch_tiles_device(
+                        skel, u_dev, i_dev, r_dev, seed, epoch
+                    )
+            elif plans is None or replan:
                 plans = _plan_epoch(sparse_train, cfg, tpg, nwin, seed, epoch)
                 # device tile streams are cached with the plan: rebuilding
                 # them is a large host-side copy per epoch otherwise
@@ -113,7 +136,14 @@ def train_epochs_blocked(
                     exact=exact, interpret=interpret,
                 )
                 sse += float(s)
-            for p, a in zip(plans, arrays):
+            if use_dev_plan:
+                sweep_iter = (
+                    (p, {"sa": p.sa, "tc": p.tc, "tl": tl_all[p.t0 : p.t1]})
+                    for p in sweeps
+                )
+            else:
+                sweep_iter = zip(plans, arrays)
+            for p, a in sweep_iter:
                 Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
                 Pm, Qs, s = blocked_sgd_sweep_pallas(
                     Pm, Qs, a, lr, cfg.reg, mu,
