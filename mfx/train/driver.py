@@ -52,10 +52,10 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             "sgd.kernel=jnp explicitly, or use parallel.mode='sharded'/"
             "'hybrid' (DSGD ring) for the blocked kernels"
         )
-    if mode in ("sharded", "hybrid") and sgd.kernel not in ("jnp",):
+    if mode in ("sharded", "hybrid") and sgd.kernel not in ("jnp", "pallas"):
         raise ValueError(
-            f"parallel.mode={mode!r} currently supports sgd.kernel='jnp' "
-            f"(scatter); got {sgd.kernel!r}"
+            f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
+            f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
 
 
@@ -78,6 +78,16 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
             return train_epochs_dp(
                 model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
                 start_epoch=start_epoch,
+            )
+        if mode in ("sharded", "hybrid") and cfg.sgd.kernel == "pallas":
+            from mfx.parallel.ring_blocked import train_epochs_ring_blocked
+
+            # the fused kernel inside the DSGD ring over the flattened
+            # mesh (both axes form one ring; SURVEY §3.2(a))
+            return train_epochs_ring_blocked(
+                model, train_coo, cfg.sgd, use_bias, mesh, seed=seed,
+                start_epoch=start_epoch,
+                interpret=jax.default_backend() != "tpu",
             )
         if mode == "sharded":
             from mfx.parallel.sharded import train_epochs_ring

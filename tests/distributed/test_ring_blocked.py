@@ -1,0 +1,119 @@
+"""The fused Pallas kernel inside the DSGD ring (mfx/parallel/ring_blocked):
+SURVEY.md §3.2(a) puts K1 inside the shard_map epoch; VERDICT round-1 item
+#2 requires these paths to run with kernel='pallas' (interpret on CPU) and
+a mesh-of-1 ring to be bitwise-identical to the single-chip blocked path."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from mfx.config import SGDConfig
+from mfx.data import synthetic, train_test_split, epoch_permutation
+from mfx.eval import rmse
+from mfx.models import init_model
+from mfx.parallel.ring_blocked import (
+    plan_ring_epoch_blocked,
+    ring_geometry,
+    train_epochs_ring_blocked,
+)
+from mfx.runtime.mesh import make_mesh
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+U, I, N = 700, 900, 30_000
+CFG = SGDConfig(
+    lr=0.02, reg=0.02, epochs=3, partitioner="blocked", kernel="pallas",
+    ublock=128, iblock=128, tile=64, replan_every=1, plan_device="host",
+)
+
+
+def test_ring_blocked_plan_covers_epoch():
+    coo = synthetic.make_synthetic(U, I, N, rank=4, seed=1)
+    geo = ring_geometry(U, I, 4, CFG, rank=64)
+    perm = epoch_permutation(N, 0, 0)
+    plan = plan_ring_epoch_blocked(coo, geo, perm)
+    assert plan.n_real == N
+    # reconstruct every rating from the padded cell plans
+    got = 0
+    for t in range(4):
+        for s in range(4):
+            tl = plan.tl[t, s]
+            real = tl[:, 0, :] < geo.su
+            got += int(real.sum())
+            # pad slots carry exact sentinels
+            assert (tl[:, 1, :][~real] == geo.si).all()
+    assert got == N
+
+
+@requires_8
+def test_ring_blocked_trains_on_mesh(tmp_path):
+    coo = synthetic.make_synthetic(U, I, N, rank=4, noise=0.3, seed=2)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(data=2, model=4)  # flattened 8-shard ring
+    model = init_model(0, U, I, 64, global_mean=train.global_mean)
+    hist = []
+    for ep, model, tr in train_epochs_ring_blocked(
+        model, train, dataclasses.replace(CFG, epochs=3), use_bias=True,
+        mesh=mesh, seed=0, interpret=True,
+    ):
+        hist.append(tr)
+    assert hist[-1] < hist[0]
+    assert rmse(model, test) < 1.0
+    assert model.P.shape == (U, 64)
+
+
+@requires_8
+def test_ring_blocked_deterministic():
+    coo = synthetic.make_synthetic(300, 300, 8_000, rank=4, seed=3)
+    mesh = make_mesh(model=4)
+    outs = []
+    for _ in range(2):
+        model = init_model(1, 300, 300, 64, global_mean=coo.global_mean)
+        for _, model, _ in train_epochs_ring_blocked(
+            model, coo, dataclasses.replace(CFG, epochs=2), use_bias=True,
+            mesh=mesh, seed=5, interpret=True,
+        ):
+            pass
+        outs.append(model)
+    np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
+    np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
+
+
+def test_mesh_of_1_bitwise_equals_single_chip_blocked():
+    """A 1-shard ring runs the identical plan through the identical kernel:
+    the result must be bitwise-equal to train_epochs_blocked."""
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    U1, I1, N1 = 300, 260, 9_000
+    coo = synthetic.make_synthetic(U1, I1, N1, rank=4, noise=0.3, seed=4)
+    cfg = dataclasses.replace(CFG, epochs=2)
+    mesh = make_mesh()  # 1x1
+
+    m_ring = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_ring, _ in train_epochs_ring_blocked(
+        m_ring, coo, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True
+    ):
+        pass
+
+    m_single = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_single, _ in train_epochs_blocked(
+        m_single, coo, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+
+    np.testing.assert_array_equal(
+        np.asarray(m_ring.P), np.asarray(m_single.P)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_ring.Q), np.asarray(m_single.Q)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_ring.bu), np.asarray(m_single.bu)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_ring.bi), np.asarray(m_single.bi)
+    )
