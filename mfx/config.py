@@ -66,6 +66,11 @@ class SGDConfig:
     # summed delta scaled by min(1, dup_trust/d). 0 disables. Guards
     # against hot-row divergence under Zipf skew at large batch sizes.
     dup_trust: float = 0.0
+    # MXU input precision for the fused kernel's one-hot gather/scatter
+    # matmuls: 'f32' (exact table reads) or 'bf16' (8-bit-mantissa reads/
+    # deltas, f32 accumulate — multiple of the f32 MXU rate, SGD-noise-
+    # level rounding; factor tables stay f32 either way)
+    mxu: str = "f32"
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4
@@ -163,7 +168,9 @@ PRESETS: dict[str, TrainConfig] = {
             partitioner="blocked",
             kernel="pallas",
             tile=256,  # best measured real-plan geometry on v5e (STATUS.md)
-            dense_chi=0.01,  # dense fast path for the Zipf head
+            # dense fast path for the Zipf head; 0.0025 is the measured
+            # optimum with int8 R streaming (67% of ratings dense)
+            dense_chi=0.0025,
         ),
         target_rmse=0.92,
     ),

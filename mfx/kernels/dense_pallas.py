@@ -47,10 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mfx.kernels.sgd_pallas import BIAS_ROWS
 
-__all__ = ["dense_sgd_phase_pallas", "aux_width", "DSTAR"]
+__all__ = ["dense_sgd_phase_pallas", "aux_width", "DSTAR", "R_SCALE"]
 
 # strata per kernel call: bounds SMEM scalar prefetch (sa, sc)
 _STRATA_CHUNK = 32768
+
+# The dense phase is HBM-bound on the R stream, so R travels as int8:
+# stored value = round(rating * R_SCALE), 0 = absent. At R_SCALE = 25 the
+# quantization step is 0.04 (error std ~0.012 — noise-floor-invisible for
+# 5-star data; ~1e-4 RMSE inflation), the [0.5, 5] rating range maps to
+# [13, 125] well inside int8, and the stream is half of the bf16 layout —
+# a direct 2x on the dense phase's measured throughput ceiling.
+R_SCALE = 25.0
 
 # Per-row trust scaling: a full-stratum batch step on a row with in-stratum
 # degree d has curvature ∝ lr·d·‖row‖², so rows with d > DSTAR take the
@@ -136,9 +144,10 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
         ]
 
         # E parity blocks: (sup, K) @ (K, sip) contractions over dim 1/1.
-        # R is stored bf16 (half the HBM stream; ratings are quarter-step
-        # values ≤ 5, exactly representable in bf16).
+        # R is stored int8 as round(rating * R_SCALE), 0 = absent (see
+        # R_SCALE above); decode is one VPU convert + multiply per cell.
         dims_nt = ((1,), (1,))  # x (sup,K) · y (sip,K) -> (sup, sip)
+        inv_scale = f32(1.0 / R_SCALE)
         E = {}
         for a in range(pack):
             for b in range(pack):
@@ -146,7 +155,7 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
                 Rab = R_ref[0, p_idx * sup : (p_idx + 1) * sup, :].astype(f32)
                 Sab = dotg(Pa[a], Qb[b], dims_nt)
                 E[(a, b)] = jnp.where(
-                    Rab > 0.0, Rab - Sab - bu[a] - bi[b] - mu, 0.0
+                    Rab > 0.0, Rab * inv_scale - Sab - bu[a] - bi[b] - mu, 0.0
                 )
 
         # trust scaling for heavy rows (see DSTAR)

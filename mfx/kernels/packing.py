@@ -18,7 +18,13 @@ from mfx.kernels.blocked_host import pack_factor
 
 BIAS_ROWS = 8
 
-__all__ = ["pack_state", "unpack_state", "merged_shape", "BIAS_ROWS"]
+__all__ = [
+    "pack_state",
+    "unpack_state",
+    "merged_shape",
+    "PackedModel",
+    "BIAS_ROWS",
+]
 
 
 def _pad_rows(x, rows):
@@ -73,6 +79,69 @@ def unpack_state(Pm, Qm, mu, num_users: int, num_items: int, rank: int, su: int,
     P, bu = _unpack_table(Pm, num_users, rank, su)
     Q, bi = _unpack_table(Qm, num_items, rank, si)
     return MFModel(P=P, Q=Q, bu=bu, bi=bi, mu=jnp.asarray(mu, P.dtype))
+
+
+class PackedModel:
+    """Lazy MFModel view over the packed kernel state.
+
+    The blocked trainers keep (Pm, Qm) in the merged device layout across
+    epochs; unpacking to MFModel costs a device pass over both tables
+    (~0.1 s at ML-25M shape), which the hot loop must not pay per epoch.
+    Yielding this wrapper defers the unpack until a consumer actually
+    touches model attributes (eval, checkpoint) — attribute access
+    materializes once and caches.
+    """
+
+    def __init__(self, Pm, Qm, mu, num_users, num_items, rank, su, si):
+        self.Pm = Pm
+        self.Qm = Qm
+        self._meta = (mu, num_users, num_items, rank, su, si)
+        self._model = None
+
+    def materialize(self):
+        if self._model is None:
+            mu, U, I, rank, su, si = self._meta
+            self._model = unpack_state(self.Pm, self.Qm, mu, U, I, rank, su, si)
+        return self._model
+
+    def block_until_ready(self):
+        """Wait for the epoch's device work without forcing an unpack."""
+        jax.block_until_ready(self.Qm)
+        return self
+
+    @property
+    def num_users(self):
+        return self._meta[1]
+
+    @property
+    def num_items(self):
+        return self._meta[2]
+
+    @property
+    def rank(self):
+        return self._meta[3]
+
+    def __getattr__(self, name):
+        # P / Q / bu / bi / mu / predict / astype — forwarded to the
+        # materialized MFModel (cached)
+        return getattr(self.materialize(), name)
+
+
+def _packed_flatten(pm: PackedModel):
+    m = pm.materialize()
+    return (m.P, m.Q, m.bu, m.bi, m.mu), None
+
+
+def _packed_unflatten(_aux, leaves):
+    from mfx.models.mf import MFModel
+
+    return MFModel(*leaves)
+
+
+# a PackedModel flattens to the materialized MFModel's leaves, so jitted
+# consumers (eval, checkpoint state dicts) accept it transparently — the
+# unpack happens lazily at first flatten and is cached
+jax.tree_util.register_pytree_node(PackedModel, _packed_flatten, _packed_unflatten)
 
 
 def sweep_arrays(plan) -> dict[str, jax.Array]:

@@ -70,19 +70,30 @@ def _kernel_body(
     nwin: int,
     use_bias: bool,
     exact: bool,
+    mxu_bf16: bool,
 ):
     sup, sip = su // pack, si // pack
     qstride = sip + BIAS_ROWS
     prec = lax.Precision.HIGHEST if exact else None
     f32 = jnp.float32
+    # mxu_bf16: feed the one-hot gather/scatter matmuls to the MXU in
+    # bfloat16 (f32 accumulate). One-hot matrices are exact in bf16; the
+    # gathered factors / scattered deltas round to 8-bit mantissa (~0.4%
+    # — SGD-noise-level; quality verified at ML-25M scale). The MXU runs
+    # bf16 at a multiple of its f32 rate, and these matmuls are the
+    # entire sparse-path cost. `exact` wins when both are set.
+    cdt = jnp.bfloat16 if (mxu_bf16 and not exact) else f32
     T = tile
 
     def dot(x, y):
-        return jnp.dot(x, y, precision=prec, preferred_element_type=f32)
+        return jnp.dot(
+            x.astype(cdt), y.astype(cdt),
+            precision=prec, preferred_element_type=f32,
+        )
 
     def dot_t(x, y):  # xᵀ @ y without materializing the transpose
         return lax.dot_general(
-            x, y, (((0,), (0,)), ((), ())),
+            x.astype(cdt), y.astype(cdt), (((0,), (0,)), ((), ())),
             precision=prec, preferred_element_type=f32,
         )
 
@@ -226,7 +237,10 @@ def _kernel_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("su", "si", "rank", "tpg", "use_bias", "exact", "interpret"),
+    static_argnames=(
+        "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
+        "mxu_bf16",
+    ),
 )
 def blocked_sgd_sweep_pallas(
     Pm: jax.Array,  # (A*(su/pack+8), 128) f32 merged user table
@@ -243,6 +257,7 @@ def blocked_sgd_sweep_pallas(
     use_bias: bool = True,
     exact: bool = False,
     interpret: bool = False,
+    mxu_bf16: bool = False,
 ):
     """One item-sweep of fused SGD. The sweep's Q segment must fit the VMEM
     budget (epochs over larger item tables run as several sweeps — see
@@ -271,6 +286,7 @@ def blocked_sgd_sweep_pallas(
             Pm, Qs, chunk, lr, reg, mu,
             su=su, si=si, rank=rank, tpg=tpg, nwin=nwin,
             use_bias=use_bias, exact=exact, interpret=interpret,
+            mxu_bf16=mxu_bf16,
         )
         sse = sse + s
     return Pm, Qs, sse
@@ -278,7 +294,7 @@ def blocked_sgd_sweep_pallas(
 
 def _sweep_chunk_call(
     Pm, Qs, sweep, lr, reg, mu,
-    *, su, si, rank, tpg, nwin, use_bias, exact, interpret,
+    *, su, si, rank, tpg, nwin, use_bias, exact, interpret, mxu_bf16=False,
 ):
     pack = 128 // rank
     pstride = su // pack + BIAS_ROWS
@@ -289,7 +305,7 @@ def _sweep_chunk_call(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
     kernel = _kernel_body(
-        su, si, rank, pack, tile, tpg, nwin, use_bias, exact
+        su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # hp, sa, tc

@@ -13,6 +13,7 @@ strata — the determinism guarantees are unaffected (seeded either way).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterator
 
 import jax
@@ -32,6 +33,13 @@ __all__ = ["train_epochs_blocked", "sweep_geometry"]
 # leave room for the P block, tile stream, and pipeline buffers).
 VMEM_Q_BUDGET = 11 * 1024 * 1024
 
+# Item span of the dense Zipf-head window set. Measured on the ML-25M
+# shape: every stratum with chi >= 0.0025 lies within the first 8192
+# items (frequency-relabeled), and the dense kernel's VMEM-resident Q
+# head must stay small next to its R-block pipeline buffers — 8192 items
+# is ~2-4 MB of head across block sizes 512/1024.
+DENSE_HEAD_ITEMS = 8192
+
 
 def sweep_geometry(num_items: int, rank: int, si: int) -> int:
     """Windows per sweep so the merged Q segment fits the VMEM budget."""
@@ -49,6 +57,51 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
         train.num_users, train.num_items,
         cfg.ublock, cfg.iblock, cfg.tile, tpg, nwin, perm,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
+        "sweep_meta", "mxu_bf16",
+    ),
+    donate_argnums=(0, 1),
+)
+def _fused_epoch(
+    Pm, Qm, sweeps, dense_tensors, lr, reg, mu,
+    *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
+    mxu_bf16=False,
+):
+    """One whole epoch — dense phase + every item-sweep — as a single
+    donated XLA program. One dispatch per epoch, no host sync inside, and
+    donation lets the compiler alias the packed tables end-to-end (the
+    per-sweep jit boundaries of round 1 each copied Pm/Qs to preserve
+    non-donated inputs).
+
+    ``sweeps`` is a tuple of {"sa", "tc", "tl"} device dicts;
+    ``sweep_meta`` the matching static (win0, nwin) tuple.
+    """
+    sse = jnp.zeros((), jnp.float32)
+    if dense_tensors is not None:
+        from mfx.solvers.dense_prep import run_dense_phase
+
+        Pm, Qm, s = run_dense_phase(
+            Pm, Qm, dense_tensors, lr, reg, mu,
+            su=su, si=si, rank=rank, use_bias=use_bias,
+            exact=exact, interpret=interpret,
+        )
+        sse = sse + s
+    for (win0, nwin), arrs in zip(sweep_meta, sweeps):
+        Qs = pk.q_segment(Qm, win0, nwin, rank, si)
+        Pm, Qs, s = blocked_sgd_sweep_pallas(
+            Pm, Qs, arrs, lr, reg, mu,
+            su=su, si=si, rank=rank, tpg=tpg,
+            use_bias=use_bias, exact=exact, interpret=interpret,
+            mxu_bf16=mxu_bf16,
+        )
+        Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
+        sse = sse + s[0, 0]
+    return Pm, Qm, sse
 
 
 def train_epochs_blocked(
@@ -85,7 +138,7 @@ def train_epochs_blocked(
             split = dp.split_dense_strata(
                 train.user, train.item, U, I, su, si,
                 chi_min=cfg.dense_chi,
-                nwin_head=min(32, -(-I // si)),
+                nwin_head=min(-(-DENSE_HEAD_ITEMS // si), -(-I // si)),
                 pack=128 // rank,
             )
             if split.num_strata:
@@ -109,51 +162,42 @@ def train_epochs_blocked(
                 u_dev, i_dev, U, I, su, si, cfg.tile, tpg, nwin
             )
             sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
-        else:
-            plans = None
-            arrays = None
-        tl_all = None
+        sweep_args = None
+        sweep_meta = None
         for epoch in range(start_epoch, cfg.epochs):
             lr = cfg.lr * (cfg.lr_decay**epoch)
             replan = replan_every and epoch % replan_every == 0
-            if use_dev_plan:
-                if tl_all is None or replan:
+            if sweep_args is None or replan:
+                if use_dev_plan:
                     tl_all = pdv.epoch_tiles_device(
                         skel, u_dev, i_dev, r_dev, seed, epoch
                     )
-            elif plans is None or replan:
-                plans = _plan_epoch(sparse_train, cfg, tpg, nwin, seed, epoch)
-                # device tile streams are cached with the plan: rebuilding
-                # them is a large host-side copy per epoch otherwise
-                arrays = [pk.sweep_arrays(p) for p in plans]
-            sse = 0.0
-            if dense_tensors is not None:
-                from mfx.solvers.dense_prep import run_dense_phase
-
-                Pm, Qm, s = run_dense_phase(
-                    Pm, Qm, dense_tensors, lr, cfg.reg, mu,
-                    su=su, si=si, rank=rank, use_bias=use_bias,
-                    exact=exact, interpret=interpret,
-                )
-                sse += float(s)
-            if use_dev_plan:
-                sweep_iter = (
-                    (p, {"sa": p.sa, "tc": p.tc, "tl": tl_all[p.t0 : p.t1]})
-                    for p in sweeps
-                )
-            else:
-                sweep_iter = zip(plans, arrays)
-            for p, a in sweep_iter:
-                Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
-                Pm, Qs, s = blocked_sgd_sweep_pallas(
-                    Pm, Qs, a, lr, cfg.reg, mu,
-                    su=su, si=si, rank=rank, tpg=tpg,
-                    use_bias=use_bias, exact=exact, interpret=interpret,
-                )
-                Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
-                sse += float(s[0, 0])
-            model = pk.unpack_state(Pm, Qm, mu, U, I, rank, su, si)
-            yield epoch, model, float(jnp.sqrt(sse / max(1, train.n_ratings)))
+                    sweep_args = tuple(
+                        {"sa": p.sa, "tc": p.tc, "tl": tl_all[p.t0 : p.t1]}
+                        for p in sweeps
+                    )
+                    sweep_meta = tuple((p.win0, p.nwin) for p in sweeps)
+                else:
+                    plans = _plan_epoch(
+                        sparse_train, cfg, tpg, nwin, seed, epoch
+                    )
+                    # device tile streams are cached with the plan:
+                    # rebuilding them is a large host copy per epoch
+                    sweep_args = tuple(pk.sweep_arrays(p) for p in plans)
+                    sweep_meta = tuple((p.win0, p.nwin) for p in plans)
+            Pm, Qm, sse = _fused_epoch(
+                Pm, Qm, sweep_args, dense_tensors, lr, cfg.reg, mu,
+                su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
+                exact=exact, interpret=interpret, sweep_meta=sweep_meta,
+                mxu_bf16=cfg.mxu == "bf16",
+            )
+            # the yielded model is a lazy view over the live packed tables:
+            # valid until the generator is resumed (the next epoch donates
+            # the buffers). Consumers use it before advancing — as the
+            # driver, bench, and tests all do.
+            yield epoch, pk.PackedModel(Pm, Qm, mu, U, I, rank, su, si), float(
+                jnp.sqrt(sse / max(1, train.n_ratings))
+            )
     elif cfg.kernel == "blocked_jnp":
         padded = pad_tables(model, su, si)
         plan = None

@@ -116,12 +116,16 @@ def split_dense_strata(
     deg_i = np.bincount(
         c[dense_idx] * si + li, minlength=nwin_head * si
     ).reshape(nwin_head, si).astype(np.int32)
+    if flat_pos.size and int(flat_pos.max()) >= 2**31:
+        raise NotImplementedError(
+            "dense tensor exceeds int32 addressing; lower nwin_head"
+        )
     return DenseSplit(
         sparse_idx=sparse_idx,
         dense_idx=dense_idx,
         sa=sa,
         sc=sc,
-        flat_pos=flat_pos.astype(np.int64),
+        flat_pos=flat_pos.astype(np.int32),
         deg_us=deg_us,
         deg_is=deg_is,
         deg_u=deg_u,
@@ -135,23 +139,36 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack):
     sup, sip = su // pack, si // pack
     nd = split.num_strata
     p2 = pack * pack
-    # bf16: half the per-epoch HBM stream; rating values (quarter steps,
-    # <= 5) are exactly representable. Duplicate (u, i) pairs (absent in
-    # real data) merge by averaging: sum / count per cell.
-    pos = jnp.asarray(split.flat_pos)
-    rsum = (
-        jnp.zeros((nd * p2 * sup * sip,), jnp.float32)
-        .at[pos]
-        .add(jnp.asarray(rating[split.dense_idx]))
-    )
-    cnt = (
-        jnp.zeros((nd * p2 * sup * sip,), jnp.float32)
-        .at[pos]
-        .add(1.0)
-    )
-    R = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0).astype(
-        jnp.bfloat16
-    ).reshape(nd, p2 * sup, sip)
+    # int8 quantized ratings (see dense_pallas.R_SCALE): half the bf16
+    # stream the dense phase is bound by. Duplicate (u, i) pairs (absent
+    # in real data) merge by averaging: sum / count per cell. Built in
+    # strata chunks: the f32 sum/count scratch for the full tensor would
+    # be ~8 bytes/cell (>9 GB at ML-25M scale, chi 0.0025) — chunking
+    # bounds scratch at ~1 GB while the int8 result is 1 byte/cell.
+    from mfx.kernels.dense_pallas import R_SCALE
+
+    cells = p2 * sup * sip
+    chunk_nd = max(1, (128 << 20) // cells)  # ~128M cells of f32 scratch
+    order = np.argsort(split.flat_pos, kind="stable")
+    fp = split.flat_pos[order]
+    rv = rating[split.dense_idx][order]
+    parts = []
+    for lo in range(0, nd, chunk_nd):
+        hi = min(lo + chunk_nd, nd)
+        s0, s1 = np.searchsorted(fp, [lo * cells, hi * cells])
+        pos = jnp.asarray(fp[s0:s1] - lo * cells)
+        size = (hi - lo) * cells
+        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(
+            jnp.asarray(rv[s0:s1])
+        )
+        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(1.0)
+        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
+        parts.append(
+            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0)
+            .astype(jnp.int8)
+            .reshape(hi - lo, p2 * sup, sip)
+        )
+    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     # degree columns, decimated: per-stratum (factor reg) + totals (bias reg)
     def dec(deg, blocks, size):  # (blocks, size) -> (blocks, size/pack, pack)
         return jnp.asarray(deg, jnp.float32).reshape(blocks, size // pack, pack)

@@ -188,7 +188,12 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     t_prev = time.time()
     with maybe_trace(cfg.profile_dir):
         for epoch, model, train_metric in it:
-            jax.block_until_ready(model.P)
+            # blocked-path models are lazy views over the packed tables;
+            # wait on the epoch's work without forcing an unpack
+            if hasattr(model, "block_until_ready"):
+                model.block_until_ready()
+            else:
+                jax.block_until_ready(model.P)
             dt = time.time() - t_prev
             last_ups = train_coo.n_ratings / max(1e-9, dt)
             rec = {
@@ -221,6 +226,8 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
                         test_rmse=round(test_rmse, 5))
                 break
             t_prev = time.time()
+    if hasattr(model, "materialize"):
+        model = model.materialize()  # lazy packed view -> MFModel pytree
     if cfg.checkpoint_dir:
         save_checkpoint(cfg.checkpoint_dir, max(0, epochs_run - 1), model, seed)
     # padded sharded-mode models: slice back to the real rows for the result

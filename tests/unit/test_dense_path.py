@@ -7,15 +7,15 @@ import pytest
 
 from mfx.data import synthetic
 from mfx.kernels import packing as pk
-from mfx.kernels.dense_pallas import DSTAR
+from mfx.kernels.dense_pallas import DSTAR, R_SCALE
 from mfx.models import init_model
 from mfx.solvers import dense_prep as dp
 
 
 def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
     """Dense-matrix mirror: duplicate (u, i) pairs merge by averaging,
-    R travels in bf16, degrees count raw ratings (matching the kernel's
-    aux arrays)."""
+    R travels int8-quantized (dense_pallas.R_SCALE), degrees count raw
+    ratings (matching the kernel's aux arrays)."""
     P = np.array(model.P, np.float64)
     Q = np.array(model.Q, np.float64)
     bu0 = np.array(model.bu, np.float64)
@@ -36,11 +36,10 @@ def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
         cnt = np.zeros((su, si))
         np.add.at(rsum, (lu, li), r)
         np.add.at(cnt, (lu, li), 1.0)
-        W = cnt > 0
-        Ravg = np.where(W, rsum / np.maximum(cnt, 1.0), 0.0)
-        Ravg = np.asarray(
-            jnp.asarray(Ravg, jnp.bfloat16).astype(jnp.float32), np.float64
-        )
+        Ravg = np.where(cnt > 0, rsum / np.maximum(cnt, 1.0), 0.0)
+        q = np.clip(np.round(Ravg * R_SCALE), 0.0, 127.0).astype(np.float32)
+        W = q > 0
+        Ravg = (q * np.float32(1.0 / R_SCALE)).astype(np.float64)
         rows = slice(a * su, min((a + 1) * su, U0))
         cols = slice(c * si, min((c + 1) * si, I0))
         # .copy(): snapshot semantics — P[rows] is a view, and the in-place

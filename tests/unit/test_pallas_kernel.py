@@ -112,3 +112,40 @@ def test_pallas_rank128_pack1_interpret():
     got = pk.unpack_state(Pm, Qm, model.mu, 300, 260, rank, su, si)
     np.testing.assert_allclose(np.asarray(got.P), np.asarray(refu.P), atol=2e-6)
     np.testing.assert_allclose(np.asarray(got.Q), np.asarray(refu.Q), atol=2e-6)
+
+
+def test_pallas_mxu_bf16_close_to_f32_interpret():
+    """bf16 MXU inputs round gathers/deltas to 8-bit mantissa; one sweep
+    must stay within that rounding envelope of the f32 path (the quality
+    gate at scale is the bench convergence trajectory)."""
+    su, si, T, tpg, nwin, rank = 128, 128, 32, 4, 2, 64
+    coo = synthetic.make_synthetic(300, 260, 3000, seed=5)
+    perm = epoch_permutation(3000, 0, 0)
+    plans = bh.build_sweep_plans(
+        coo.user, coo.item, coo.rating, 300, 260, su, si, T, tpg, nwin, perm
+    )
+    model = init_model(2, 300, 260, rank, global_mean=coo.global_mean)
+    outs = []
+    for bf16 in (False, True):
+        Pm, Qm = pk.pack_state(model, su, si)
+        for p in plans:
+            Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+            Pm, Qs, _ = blocked_sgd_sweep_pallas(
+                Pm, Qs, pk.sweep_arrays(p), 0.05, 0.02, float(model.mu),
+                su=su, si=si, rank=rank, tpg=tpg,
+                use_bias=True, interpret=True, mxu_bf16=bf16,
+            )
+            Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+        outs.append(pk.unpack_state(Pm, Qm, model.mu, 300, 260, rank, su, si))
+    f32m, bf16m = outs
+    # tables are O(0.125); per-update rounding is ~2^-9 relative with a
+    # few sweeps of accumulation — atol 0.02 catches wiring bugs (wrong
+    # operand, swapped cast) while admitting legitimate rounding
+    np.testing.assert_allclose(
+        np.asarray(bf16m.P), np.asarray(f32m.P), atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(bf16m.Q), np.asarray(f32m.Q), atol=0.02
+    )
+    d = np.abs(np.asarray(bf16m.P) - np.asarray(f32m.P)).max()
+    assert d > 0  # the bf16 path must actually differ (cast is live)
