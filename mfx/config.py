@@ -88,7 +88,6 @@ class ALSConfig:
     reg: float = 0.05
     sweeps: int = 10
     user_chunk: int = 8192  # rows solved per batched-Cholesky call
-    rating_chunk: int = 1 << 20  # ratings per normal-equation accumulation step
 
 
 @dataclasses.dataclass(frozen=True)

@@ -8,15 +8,20 @@ rank-k normal equations,
 
     A_u = Σ_{i∈Ω(u)} q_i q_iᵀ + λ I,   b_u = Σ r_ui q_i,   p_u = A_u⁻¹ b_u
 
-accumulated as segment-sums of outer products over fixed-size rating
-chunks (bounded device memory regardless of dataset size OR rank: the
-per-rating (m, d, d) outer-product intermediate is built for ``m``
-ratings at a time inside a ``lax.scan``, with ``m`` and the row-range
-size both derived from explicit byte budgets — at rank 128+bias the
-netflix-scale sweep peaks well under 300 MB instead of the ~70 GB a
-single materialized (2^20, d, d) tensor would need), and solved with a
-batched Cholesky (``jax.scipy.linalg.cho_solve``) — all MXU-batched dense
-algebra, no per-row Python.
+and the Gram accumulation is **degree-bucketed batched matmul**: ratings
+are sorted by target row once per run, each row's run is cut into pieces
+of at most ``caps[-1]`` ratings, pieces are bucketed by the smallest cap
+that fits, and each bucket computes
+
+    A_piece = Q̃ᵀ_piece Q̃_piece      (einsum 'rmd,rme->rde', MXU-batched)
+
+— ~d·8 bytes of HBM per rating (one row gather) instead of the 2·d²·4
+bytes/rating a materialized outer-product + segment-sum stream moves
+(6.6 TB per 100M-rating half-sweep at rank 128; the bucketed form is
+~100x less traffic and keeps the arithmetic on the MXU). Hot rows (degree
+beyond the largest cap) split into multiple pieces whose partial Grams
+scatter-add exactly. Rows are solved in bounded ranges with a batched
+Cholesky (``jax.scipy.linalg.cho_solve``) — no per-row Python.
 
 Biases use the augmented-vector trick: solving for [p_u, bu_u] against
 q̃_i = [q_i, 1] makes the bias an extra least-squares coordinate with the
@@ -39,95 +44,137 @@ from mfx.config import ALSConfig
 from mfx.data.coo import RatingsCOO
 from mfx.models.mf import MFModel
 
-__all__ = ["als_half_sweep", "train_sweeps_als"]
+__all__ = ["als_half_sweep", "train_sweeps_als", "build_bucket_plan"]
 
-# Device-memory budgets for the normal-equation accumulation. The
-# per-sub-chunk outer-product intermediate is (m, d, d) and the per-range
-# Gram accumulator is (row_chunk+1, d, d); both are sized from these caps
-# so a rank-128 (d=129) sweep at 100M ratings stays within a few hundred
-# MB of HBM (the round-1 code materialized the full (rating_chunk, d, d)
-# tensor — ~70 GB at configs[3] geometry).
-GRAM_SUBCHUNK_BUDGET = 256 * 1024 * 1024
+# Degree ladder for piece bucketing. caps[-1] also caps the piece length
+# (hot rows split; Gram partial sums add exactly).
+BUCKET_CAPS = (32, 128, 512, 2048)
+
+# Gather-chunk budget: nb * cap cells per _gram_bucket call. At rank 128
+# (d = 129) this is ~140 MB for the (nb, cap, d) gathered-factor block.
+BUCKET_CELLS = 1 << 18
+
+# Rows per batched-Cholesky solve, clamped so the (rows, d, d) Gram
+# accumulator stays bounded (~70 MB at d = 129).
 GRAM_ROWCHUNK_BUDGET = 128 * 1024 * 1024
 
 
 def _pow2_at_most(n: int, cap: int) -> int:
-    """Largest power of two ≤ min(n, cap), at least 1."""
     n = max(1, min(n, cap))
     return 1 << (n.bit_length() - 1)
 
 
-def gram_subchunk(d: int, rating_chunk: int) -> int:
-    """Ratings per scan step of the Gram accumulation."""
-    return _pow2_at_most(GRAM_SUBCHUNK_BUDGET // (d * d * 4), rating_chunk)
+def _pow2_at_least(n: int, lo: int = 256) -> int:
+    n = int(max(n, lo))  # int(): numpy ints lack bit_length
+    return 1 << (n - 1).bit_length()
 
 
 def gram_rowchunk(d: int, row_chunk: int) -> int:
-    """Rows per batched-Cholesky solve, clamped to the accumulator budget."""
     return _pow2_at_most(GRAM_ROWCHUNK_BUDGET // (d * d * 4), row_chunk)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_rows", "use_bias", "sub_chunk")
-)
-def _solve_range(
+def build_bucket_plan(coo_rows_sorted: np.ndarray, num_rows: int):
+    """Once per run per side: cut each row's sorted run into pieces and
+    bucket by degree. Returns (plan, row_starts) where plan maps
+    cap -> (piece_row, piece_start, piece_len), each sorted by row."""
+    row_starts = np.searchsorted(
+        coo_rows_sorted, np.arange(num_rows + 1, dtype=np.int64)
+    )
+    degs = np.diff(row_starts)
+    capmax = BUCKET_CAPS[-1]
+    npieces = -(-degs // capmax)  # 0 pieces for empty rows
+    total = int(npieces.sum())
+    prow = np.repeat(np.arange(num_rows, dtype=np.int64), npieces)
+    first = np.cumsum(npieces) - npieces
+    pidx = np.arange(total, dtype=np.int64) - np.repeat(first, npieces)
+    pstart = row_starts[prow] + pidx * capmax
+    plen = np.minimum(degs[prow] - pidx * capmax, capmax)
+    which = np.searchsorted(BUCKET_CAPS, plen)
+    plan = {}
+    for ci, cap in enumerate(BUCKET_CAPS):
+        m = which == ci
+        plan[cap] = (
+            prow[m].astype(np.int32),
+            pstart[m].astype(np.int64),
+            plen[m].astype(np.int32),
+        )
+    return plan, row_starts
+
+
+def gram_accumulate(
     F_other,  # (rows_other, k) fixed factors
-    b_other,  # (rows_other,) fixed biases
-    rows,  # (B,) int32 target row per rating, range-local (pad: num_rows)
-    cols,  # (B,) int32 fixed-side row per rating
-    vals,  # (B,) f32 residual targets (r - mu - b_fixed handled by caller)
-    reg,
-    num_rows: int,
+    b_other,  # (rows_other,)
+    mu,
+    cols_dev,  # (n,) fixed-side id per rating (sorted by target row)
+    vals_dev,  # (n,)
+    rows_rel,  # (nb,) int32 range-local target row per piece (pad: nseg-1)
+    starts,  # (nb,) int32/int64 piece start in the sorted arrays
+    lens,  # (nb,) int32 piece length (pad: 0)
+    A,  # (nseg, d, d) accumulator
+    b,  # (nseg, d)
+    cnt,  # (nseg,)
+    *,
+    cap: int,
     use_bias: bool,
-    sub_chunk: int,
 ):
-    """Accumulate normal equations for one row range and solve.
-
-    Returns (F_new (num_rows, k[+1]), ok_mask (num_rows,)) where the last
-    augmented coordinate is the bias when use_bias. The (m, d, d) outer
-    products exist only per scan step (B must divide by sub_chunk).
-    """
+    """Traceable accumulation body shared by the single-chip jit wrapper
+    and the data-parallel shard_map body (mfx/parallel/als_dp.py)."""
+    nb = rows_rel.shape[0]
     k = F_other.shape[1]
-    d = k + 1 if use_bias else k
-    nseg = num_rows + 1  # pad rows target segment num_rows, sliced off
-    m = sub_chunk
-    f = F_other.dtype
-
-    def body(carry, xs):
-        A_acc, b_acc, cnt_acc = carry
-        rw, cl, vl = xs  # (m,)
-        q = jnp.take(F_other, cl, axis=0)
-        if use_bias:
-            q = jnp.concatenate([q, jnp.ones((m, 1), q.dtype)], axis=1)
-        outer = q[:, :, None] * q[:, None, :]  # (m, d, d): the only big temp
-        A_acc = A_acc + jax.ops.segment_sum(outer, rw, num_segments=nseg)
-        b_acc = b_acc + jax.ops.segment_sum(
-            vl[:, None] * q, rw, num_segments=nseg
-        )
-        cnt_acc = cnt_acc + jax.ops.segment_sum(
-            jnp.ones_like(vl), rw, num_segments=nseg
-        )
-        return (A_acc, b_acc, cnt_acc), None
-
-    init = (
-        jnp.zeros((nseg, d, d), f),
-        jnp.zeros((nseg, d), f),
-        jnp.zeros((nseg,), f),
+    lane = jnp.arange(cap, dtype=starts.dtype)
+    idx = jnp.clip(starts[:, None] + lane[None, :], 0, cols_dev.shape[0] - 1)
+    mask = (lane[None, :] < lens[:, None]).astype(F_other.dtype)
+    c = jnp.take(cols_dev, idx)  # (nb, cap)
+    v = jnp.take(vals_dev, idx)
+    q = jnp.take(F_other, c.reshape(-1), axis=0).reshape(nb, cap, k)
+    if use_bias:
+        q = jnp.concatenate([q, jnp.ones((nb, cap, 1), q.dtype)], axis=2)
+        resid = v - mu - jnp.take(b_other, c)
+    else:
+        resid = v - mu
+    qm = q * mask[:, :, None]
+    A_p = jnp.einsum(
+        "rmd,rme->rde", qm, qm, preferred_element_type=jnp.float32
     )
-    (A, b, counts), _ = jax.lax.scan(
-        body,
-        init,
-        (rows.reshape(-1, m), cols.reshape(-1, m), vals.reshape(-1, m)),
+    b_p = jnp.einsum(
+        "rm,rmd->rd", resid * mask, qm, preferred_element_type=jnp.float32
     )
-    A = A[:num_rows]
-    b = b[:num_rows]
-    counts = counts[:num_rows]
-    A = A + reg * jnp.eye(d, dtype=A.dtype)
-    F_new = jax.scipy.linalg.cho_solve(
+    A = A.at[rows_rel].add(A_p, mode="drop")
+    b = b.at[rows_rel].add(b_p, mode="drop")
+    cnt = cnt.at[rows_rel].add(lens.astype(cnt.dtype), mode="drop")
+    return A, b, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "nseg", "use_bias")
+)
+def _gram_bucket(
+    F_other, b_other, mu, cols_dev, vals_dev,
+    rows_rel, starts, lens, A, b, cnt,
+    *, cap: int, nseg: int, use_bias: bool,
+):
+    del nseg  # carried in A's shape; kept static for cache clarity
+    return gram_accumulate(
+        F_other, b_other, mu, cols_dev, vals_dev,
+        rows_rel, starts, lens, A, b, cnt, cap=cap, use_bias=use_bias,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("use_bias",))
+def _solve_gram(A, b, cnt, old, reg, *, use_bias):
+    # Weighted regularization (ALS-WR): λ_row = reg * degree. This is the
+    # stationary point of the SGD update p += lr (e·q − reg·p) applied
+    # once per rating — i.e. the SAME objective the SGD solver minimizes
+    # (per-occurrence L2), which is what makes the configs[3] "ALS
+    # cross-check of DP SGD" an apples-to-apples comparison. Flat λ
+    # overfits hot rows badly at rank 128 / 100M scale (measured).
+    d = A.shape[-1]
+    lam = reg * jnp.maximum(cnt, 1.0)
+    A = A + lam[:, None, None] * jnp.eye(d, dtype=A.dtype)
+    sol = jax.scipy.linalg.cho_solve(
         (jax.scipy.linalg.cholesky(A, lower=True), True), b[..., None]
     )[..., 0]
-    ok = counts > 0  # rows with no ratings keep their old factors
-    return F_new, ok
+    return jnp.where(cnt[:, None] > 0, sol, old)
 
 
 def als_half_sweep(
@@ -142,56 +189,62 @@ def als_half_sweep(
     reg: float,
     use_bias: bool,
     row_chunk: int = 8192,
-    rating_chunk: int = 1 << 19,
+    plan=None,
 ):
     """Solve one table against the other. Ratings must be sorted by
-    ``coo_rows`` (caller sorts once per training run)."""
+    ``coo_rows`` (caller sorts once per training run); ``plan`` is the
+    matching ``build_bucket_plan`` result (built here when absent)."""
     num_rows, k = F_target.shape
     d = k + 1 if use_bias else k
-    # clamp both chunk sizes to the Gram byte budgets (rank-dependent)
     row_chunk = gram_rowchunk(d, row_chunk)
-    sub = gram_subchunk(d, rating_chunk)
-    rating_chunk = max(sub, (rating_chunk // sub) * sub)
-    # residual targets: subtract mu and the fixed side's bias
-    bounds = np.append(np.arange(0, num_rows, row_chunk), num_rows)
-    starts = np.searchsorted(coo_rows, bounds)
-    new_F = []
-    new_b = []
-    for ri, r0 in enumerate(range(0, num_rows, row_chunk)):
+    if plan is None:
+        plan = build_bucket_plan(coo_rows, num_rows)
+    buckets, _ = plan
+    cols_dev = jnp.asarray(coo_cols)
+    vals_dev = jnp.asarray(coo_vals)
+    f = F_target.dtype
+
+    new = []
+    for r0 in range(0, num_rows, row_chunk):
         r1 = min(r0 + row_chunk, num_rows)
-        s, e = int(starts[ri]), int(starts[ri + 1])
-        n = e - s
-        nr = r1 - r0
-        # pad the rating slice to a fixed multiple for stable jit shapes
-        m = max(rating_chunk, -(-max(n, 1) // rating_chunk) * rating_chunk)
-        rows = np.full(m, nr, np.int32)  # pad -> dropped segment
-        cols = np.zeros(m, np.int32)
-        vals = np.zeros(m, np.float32)
-        rows[:n] = coo_rows[s:e] - r0
-        cols[:n] = coo_cols[s:e]
-        vals[:n] = coo_vals[s:e]
-        vals_dev = jnp.asarray(vals)
-        cols_dev = jnp.asarray(cols)
-        resid = vals_dev - mu
-        if use_bias:
-            resid = resid - jnp.take(b_other, cols_dev)
-        resid = jnp.where(jnp.asarray(rows) < nr, resid, 0.0)
-        sol, ok = _solve_range(
-            F_other, b_other, jnp.asarray(rows), cols_dev, resid,
-            jnp.asarray(reg, F_target.dtype), num_rows=nr, use_bias=use_bias,
-            sub_chunk=sub,
+        nseg = (r1 - r0) + 1  # +1: pad pieces target the dropped last seg
+        A = jnp.zeros((nseg, d, d), f)
+        b = jnp.zeros((nseg, d), f)
+        cnt = jnp.zeros((nseg,), f)
+        for cap, (prow, pstart, plen) in buckets.items():
+            s, e = np.searchsorted(prow, [r0, r1])
+            if e == s:
+                continue
+            nb_chunk = max(1, BUCKET_CELLS // cap)
+            for c0 in range(s, e, nb_chunk):
+                c1 = min(c0 + nb_chunk, e)
+                nb = _pow2_at_least(c1 - c0)
+                rows_rel = np.full(nb, nseg - 1, np.int32)
+                starts = np.zeros(nb, pstart.dtype)
+                lens = np.zeros(nb, np.int32)
+                rows_rel[: c1 - c0] = prow[c0:c1] - r0
+                starts[: c1 - c0] = pstart[c0:c1]
+                lens[: c1 - c0] = plen[c0:c1]
+                A, b, cnt = _gram_bucket(
+                    F_other, b_other, mu, cols_dev, vals_dev,
+                    jnp.asarray(rows_rel), jnp.asarray(starts),
+                    jnp.asarray(lens), A, b, cnt,
+                    cap=cap, nseg=nseg, use_bias=use_bias,
+                )
+        old = (
+            jnp.concatenate([F_target[r0:r1], b_target[r0:r1, None]], axis=1)
+            if use_bias
+            else F_target[r0:r1]
         )
-        old = jnp.concatenate(
-            [F_target[r0:r1], b_target[r0:r1, None]], axis=1
-        ) if use_bias else F_target[r0:r1]
-        sol = jnp.where(ok[:, None], sol, old)
-        if use_bias:
-            new_F.append(sol[:, :k])
-            new_b.append(sol[:, k])
-        else:
-            new_F.append(sol)
-            new_b.append(b_target[r0:r1])
-    return jnp.concatenate(new_F), jnp.concatenate(new_b)
+        sol = _solve_gram(
+            A[: r1 - r0], b[: r1 - r0], cnt[: r1 - r0], old,
+            jnp.asarray(reg, f), use_bias=use_bias,
+        )
+        new.append(sol)
+    out = jnp.concatenate(new) if len(new) > 1 else new[0]
+    if use_bias:
+        return out[:, :k], out[:, k]
+    return out, b_target
 
 
 def train_sweeps_als(
@@ -203,25 +256,28 @@ def train_sweeps_als(
 ) -> Iterator[tuple[int, MFModel]]:
     """Alternate P/Q solves; yields (sweep, model) after each full sweep."""
     row_chunk = row_chunk or cfg.user_chunk
-    # sort once per run: by user for the P-step, by item for the Q-step
+    # sort + bucket once per run: by user for the P-step, by item for the
+    # Q-step (degrees don't change across sweeps)
     by_u = np.argsort(train.user, kind="stable")
     u_rows, u_cols, u_vals = (
         train.user[by_u], train.item[by_u], train.rating[by_u])
     by_i = np.argsort(train.item, kind="stable")
     i_rows, i_cols, i_vals = (
         train.item[by_i], train.user[by_i], train.rating[by_i])
+    u_plan = build_bucket_plan(u_rows, model.num_users)
+    i_plan = build_bucket_plan(i_rows, model.num_items)
 
     for sweep in range(cfg.sweeps):
         P, bu = als_half_sweep(
             model.P, model.bu, model.Q, model.bi, model.mu,
             u_rows, u_cols, u_vals, cfg.reg, use_bias,
-            row_chunk=row_chunk, rating_chunk=cfg.rating_chunk,
+            row_chunk=row_chunk, plan=u_plan,
         )
         model = MFModel(P=P, Q=model.Q, bu=bu, bi=model.bi, mu=model.mu)
         Q, bi = als_half_sweep(
             model.Q, model.bi, model.P, model.bu, model.mu,
             i_rows, i_cols, i_vals, cfg.reg, use_bias,
-            row_chunk=row_chunk, rating_chunk=cfg.rating_chunk,
+            row_chunk=row_chunk, plan=i_plan,
         )
         model = MFModel(P=model.P, Q=Q, bu=model.bu, bi=bi, mu=model.mu)
         yield sweep, model

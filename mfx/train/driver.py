@@ -108,6 +108,18 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
             )
         raise ValueError(f"unknown parallel mode {mode!r}")
     if cfg.solver == "als":
+        if cfg.parallel.mode in ("dp", "sharded", "hybrid"):
+            from mfx.parallel.als_dp import train_sweeps_als_dp
+
+            # every parallel mode maps to the same composition for ALS:
+            # sharded Gram accumulation + psum over the whole mesh
+            def gen_dp():
+                for sweep, m in train_sweeps_als_dp(
+                    model, train_coo, cfg.als, mesh, use_bias=use_bias
+                ):
+                    yield sweep, m, float("nan")
+
+            return gen_dp()
         from mfx.solvers.als import train_sweeps_als
 
         def gen():

@@ -6,16 +6,17 @@ from mfx.data import synthetic, train_test_split
 from mfx.eval import rmse
 from mfx.models import init_model
 from mfx.solvers.als import (
-    GRAM_SUBCHUNK_BUDGET,
+    BUCKET_CAPS,
     als_half_sweep,
+    build_bucket_plan,
     gram_rowchunk,
-    gram_subchunk,
     train_sweeps_als,
 )
 
 
 def test_als_single_solve_matches_numpy():
-    """One user solve vs. dense NumPy normal equations."""
+    """One user solve vs. dense NumPy normal equations (weighted-lambda:
+    reg * degree, the stationary point of the SGD per-rating update)."""
     rng = np.random.default_rng(0)
     U, I, k = 17, 23, 4
     coo = synthetic.make_synthetic(U, I, 500, rank=k, seed=1)
@@ -24,7 +25,7 @@ def test_als_single_solve_matches_numpy():
     P, bu = als_half_sweep(
         model.P, model.bu, model.Q, model.bi, model.mu,
         coo.user[by_u], coo.item[by_u], coo.rating[by_u],
-        reg=0.1, use_bias=False, row_chunk=8, rating_chunk=128,
+        reg=0.1, use_bias=False, row_chunk=8,
     )
     Q = np.asarray(model.Q, np.float64)
     for u in range(U):
@@ -32,7 +33,7 @@ def test_als_single_solve_matches_numpy():
         if not sel.any():
             continue
         qi = Q[coo.item[sel]]
-        A = qi.T @ qi + 0.1 * np.eye(k)
+        A = qi.T @ qi + 0.1 * sel.sum() * np.eye(k)
         b = qi.T @ coo.rating[sel]
         ref = np.linalg.solve(A, b)
         np.testing.assert_allclose(np.asarray(P)[u], ref, rtol=2e-4, atol=2e-4)
@@ -49,7 +50,7 @@ def test_als_rows_without_ratings_unchanged():
     P, bu = als_half_sweep(
         model.P, model.bu, model.Q, model.bi, model.mu,
         coo.user[by_u], coo.item[by_u], coo.rating[by_u],
-        reg=0.1, use_bias=True, row_chunk=4, rating_chunk=64,
+        reg=0.1, use_bias=True, row_chunk=4,
     )
     np.testing.assert_array_equal(np.asarray(P)[3], np.asarray(model.P)[3])
     np.testing.assert_array_equal(np.asarray(bu)[3], np.asarray(model.bu)[3])
@@ -60,7 +61,7 @@ def test_als_converges_and_beats_init():
     train, test = train_test_split(coo, test_frac=0.1, seed=0)
     model = init_model(2, 300, 250, 8, global_mean=train.global_mean)
     r0 = rmse(model, test)
-    cfg = ALSConfig(reg=0.5, sweeps=6, user_chunk=128, rating_chunk=4096)
+    cfg = ALSConfig(reg=0.01, sweeps=6, user_chunk=128)  # weighted-lambda
     history = []
     for sweep, model in train_sweeps_als(model, train, cfg, use_bias=True):
         history.append(rmse(model, test))
@@ -72,7 +73,7 @@ def test_als_converges_and_beats_init():
 
 def test_als_rank128_biased_matches_numpy():
     """Rank-128 + bias (d=129, the configs[3] geometry) solves correctly
-    through the sub-chunked Gram accumulation — the round-1 code
+    through the bucketed Gram accumulation — the round-1 code
     materialized the full (B, d, d) outer tensor and could not run at this
     rank (VERDICT round 1, missing #5 / ADVICE)."""
     U, I, k = 40, 60, 128
@@ -83,7 +84,7 @@ def test_als_rank128_biased_matches_numpy():
     P, bu = als_half_sweep(
         model.P, model.bu, model.Q, model.bi, model.mu,
         coo.user[by_u], coo.item[by_u], coo.rating[by_u],
-        reg=reg, use_bias=True, row_chunk=16, rating_chunk=512,
+        reg=reg, use_bias=True, row_chunk=16,
     )
     Q = np.asarray(model.Q, np.float64)
     bi = np.asarray(model.bi, np.float64)
@@ -95,25 +96,39 @@ def test_als_rank128_biased_matches_numpy():
         qt = np.concatenate(
             [Q[coo.item[sel]], np.ones((sel.sum(), 1))], axis=1
         )
-        A = qt.T @ qt + reg * np.eye(k + 1)
+        A = qt.T @ qt + reg * sel.sum() * np.eye(k + 1)
         b = qt.T @ (coo.rating[sel] - mu - bi[coo.item[sel]])
         ref = np.linalg.solve(A, b)
         np.testing.assert_allclose(np.asarray(P)[u], ref[:k], rtol=3e-3, atol=3e-3)
         np.testing.assert_allclose(np.asarray(bu)[u], ref[k], rtol=3e-3, atol=3e-3)
 
 
-def test_gram_budgets_bound_memory():
-    """Chunk sizes derived from the byte budgets keep the big temporaries
-    bounded at every rank, including d=129 at the default rating_chunk."""
-    for d in (5, 17, 65, 129, 257):
-        m = gram_subchunk(d, 1 << 20)
-        assert m >= 1 and m * d * d * 4 <= max(
-            GRAM_SUBCHUNK_BUDGET, d * d * 4
-        )
-        nr = gram_rowchunk(d, 8192)
-        assert 1 <= nr <= 8192
-    # small explicit chunks are preserved (power-of-two floor)
-    assert gram_subchunk(129, 128) == 128
+def test_bucket_plan_covers_all_ratings_and_splits_hot_rows():
+    """Pieces must tile each row's sorted run exactly: every rating in
+    exactly one piece, piece lengths <= the assigned cap, and rows hotter
+    than the largest cap split into multiple pieces."""
+    rng = np.random.default_rng(0)
+    num_rows = 50
+    capmax = BUCKET_CAPS[-1]
+    # Zipf-ish degrees incl. one row hotter than capmax and empty rows
+    degs = rng.integers(0, 60, num_rows)
+    degs[3] = capmax * 2 + 17
+    degs[7] = 0
+    rows = np.repeat(np.arange(num_rows), degs)
+    plan, row_starts = build_bucket_plan(rows, num_rows)
+    got = np.zeros(rows.shape[0], np.int32)
+    npieces = np.zeros(num_rows, np.int64)
+    for cap, (prow, pstart, plen) in plan.items():
+        assert (plen <= cap).all()
+        assert (plen >= 1).all() or plen.size == 0
+        for r, s, ln in zip(prow, pstart, plen):
+            assert (rows[s : s + ln] == r).all()
+            got[s : s + ln] += 1
+            npieces[r] += 1
+    np.testing.assert_array_equal(got, 1)  # exact cover
+    assert npieces[3] == 3  # 2*capmax + 17 -> three pieces
+    assert npieces[7] == 0
+    assert 1 <= gram_rowchunk(129, 8192) <= 8192
     assert gram_rowchunk(129, 8) == 8
 
 
@@ -122,7 +137,7 @@ def test_als_deterministic():
     outs = []
     for _ in range(2):
         model = init_model(5, 100, 80, 4, global_mean=coo.global_mean)
-        cfg = ALSConfig(reg=0.2, sweeps=2, user_chunk=64, rating_chunk=1024)
+        cfg = ALSConfig(reg=0.2, sweeps=2, user_chunk=64)
         for _, model in train_sweeps_als(model, coo, cfg, use_bias=False):
             pass
         outs.append(model)
