@@ -76,3 +76,22 @@ def test_driver_rejects_bf16_pallas(tmp_path):
     )
     with pytest.raises(ValueError, match="float32"):
         train(cfg, resume=False)
+
+
+@requires_8
+def test_driver_als_dp(tmp_path):
+    """solver=als + a parallel mode routes to the sharded-Gram DP sweeps."""
+    cfg = _small(
+        [
+            "solver=als",
+            "parallel.mode=dp",
+            "parallel.data_axis=8",
+            "als.sweeps=2",
+            "als.user_chunk=64",
+            "als.reg=0.01",
+        ],
+        tmp_path,
+    )
+    result = train(cfg, resume=False)
+    assert result.epochs_run == 2
+    assert 0 < result.test_rmse < 1.0
