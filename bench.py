@@ -13,8 +13,20 @@ import sys
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent XLA compilation cache: the bench's one-time warmup is
+    # dominated by kernel/planner compiles once data prep is device-side
+    try:
+        cache = os.path.expanduser("~/.cache/mfx/jaxcache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort; some backends don't support it
 
     # the axon backend's first device->host transfer can stall 77-300 s;
     # pay it before any timing (see .claude/skills/verify/SKILL.md)

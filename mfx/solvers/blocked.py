@@ -128,17 +128,40 @@ def train_epochs_blocked(
     if cfg.kernel == "pallas":
         nwin = sweep_geometry(I, rank, si)
         Pm, Qm = pk.pack_state(model, su, si)
+        use_dev_plan = cfg.plan_device == "device" or (
+            cfg.plan_device == "auto" and jax.default_backend() == "tpu"
+        )
+        want_dense = (
+            cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4)
+        )
+        nwin_head = min(-(-DENSE_HEAD_ITEMS // si), -(-I // si))
 
         # dense fast path: carve Zipf-head strata out of the sparse stream
         dense_tensors = None
         sparse_train = train
-        if cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4):
+        if use_dev_plan:
+            # device-resident pipeline: split, degree tables, int8 R
+            # build, and per-epoch planning all run on the accelerator
+            # (the host variants cost 100-160 s of 1-core time at 25M)
+            from mfx.solvers import dense_prep as dp
+
+            u_dev = jnp.asarray(train.user)
+            i_dev = jnp.asarray(train.item)
+            r_dev = jnp.asarray(train.rating)
+            if want_dense:
+                dense_tensors, (u_dev, i_dev, r_dev), _ = (
+                    dp.prepare_dense_device(
+                        u_dev, i_dev, r_dev, U, I, su, si,
+                        chi_min=cfg.dense_chi, nwin_head=nwin_head,
+                        pack=128 // rank,
+                    )
+                )
+        elif want_dense:
             from mfx.solvers import dense_prep as dp
 
             split = dp.split_dense_strata(
                 train.user, train.item, U, I, su, si,
-                chi_min=cfg.dense_chi,
-                nwin_head=min(-(-DENSE_HEAD_ITEMS // si), -(-I // si)),
+                chi_min=cfg.dense_chi, nwin_head=nwin_head,
                 pack=128 // rank,
             )
             if split.num_strata:
@@ -147,17 +170,9 @@ def train_epochs_blocked(
                 )
                 sparse_train = train.select(split.sparse_idx)
 
-        use_dev_plan = cfg.plan_device == "device" or (
-            cfg.plan_device == "auto" and jax.default_backend() == "tpu"
-        )
         if use_dev_plan:
-            # per-epoch planning as a device sort+scatter (ms, not tens of
-            # host seconds); the COO stays device-resident across epochs
             from mfx.kernels import plan_device as pdv
 
-            u_dev = jnp.asarray(sparse_train.user)
-            i_dev = jnp.asarray(sparse_train.item)
-            r_dev = jnp.asarray(sparse_train.rating)
             skel = pdv.build_plan_skeleton(
                 u_dev, i_dev, U, I, su, si, cfg.tile, tpg, nwin
             )

@@ -26,7 +26,7 @@ from mfx.kernels.dense_pallas import aux_width, dense_sgd_phase_pallas
 from mfx.kernels.sgd_pallas import BIAS_ROWS
 
 __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
-           "run_dense_phase"]
+           "prepare_dense_device", "run_dense_phase"]
 
 
 @dataclasses.dataclass
@@ -182,6 +182,144 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack):
         "du_tot": dec(split.deg_u, split.deg_u.shape[0], su),  # (A, sup, 2)
         "di_tot": dec(split.deg_i, split.nwin_head, si),  # (nwin, sip, 2)
     }
+
+
+def prepare_dense_device(
+    u_dev: jax.Array,
+    i_dev: jax.Array,
+    r_dev: jax.Array,
+    num_users: int,
+    num_items: int,
+    su: int,
+    si: int,
+    chi_min: float,
+    nwin_head: int,
+    pack: int,
+):
+    """Device-side dense/sparse split + dense tensor build.
+
+    The host version (`split_dense_strata` + `build_dense_tensors`) costs
+    100-160 s of 1-core host time at ML-25M scale (bincounts, masks, and
+    an argsort over the dense subset). Everything here except the
+    O(strata) eligibility arithmetic runs on the accelerator: one
+    segment_sum for the stratum histogram, one stable argsort to
+    partition dense/sparse, device bincounts for the degree tables, and
+    the chunked int8 R scatter over a device-sorted position stream.
+
+    Returns ``(tensors | None, (u_sp, i_sp, r_sp), info)`` where the
+    sparse triple is device-resident (feeds plan_device directly) and
+    ``tensors`` plugs into ``run_dense_phase``.
+    """
+    if su != si:
+        raise ValueError("dense path requires su == si")
+    A = -(-num_users // su)
+    C = -(-num_items // si)
+    nwin_head = min(nwin_head, C)
+    i32 = jnp.int32
+    strat = (u_dev // su).astype(i32) * C + (i_dev // si).astype(i32)
+    counts = np.asarray(
+        jax.ops.segment_sum(
+            jnp.ones_like(strat), strat, num_segments=A * C
+        )
+    )
+    thresh = max(1.0, chi_min * su * si)
+    eligible = (counts >= thresh).reshape(A, C)
+    eligible[:, nwin_head:] = False
+    dense_strata = np.flatnonzero(eligible.reshape(-1))
+    nd = len(dense_strata)
+    if nd == 0:
+        return None, (u_dev, i_dev, r_dev), {"dense_frac": 0.0}
+    sup, sip = su // pack, si // pack
+    cells = pack * pack * sup * sip
+    if nd * cells >= 2**31:
+        raise NotImplementedError(
+            "dense tensor exceeds int32 addressing; raise chi_min"
+        )
+    remap = np.full(A * C, -1, np.int32)
+    remap[dense_strata] = np.arange(nd, dtype=np.int32)
+    sa = (dense_strata // C).astype(np.int32)
+    sc = (dense_strata % C).astype(np.int32)
+
+    st_full = jnp.asarray(remap)[strat]
+    dense_mask = st_full >= 0
+    n_dense = int(dense_mask.sum())  # one D2H scalar; fixes shapes below
+    order = jnp.argsort(~dense_mask, stable=True)  # dense first
+    dpos, spos = order[:n_dense], order[n_dense:]
+    u_sp, i_sp, r_sp = u_dev[spos], i_dev[spos], r_dev[spos]
+
+    ud, idn, rd = u_dev[dpos], i_dev[dpos], r_dev[dpos]
+    st = st_full[dpos]
+    lu = (ud % su).astype(i32)
+    li = (idn % si).astype(i32)
+    parity = (lu % pack) * pack + (li % pack)
+    flat_pos = (
+        st * cells
+        + parity * (sup * sip)
+        + (lu // pack) * sip
+        + (li // pack)
+    )
+
+    def seg(ids, n):
+        return jax.ops.segment_sum(
+            jnp.ones_like(ids, jnp.float32), ids, num_segments=n
+        )
+
+    deg_us = seg(st * su + lu, nd * su).reshape(nd, su)
+    deg_is = seg(st * si + li, nd * si).reshape(nd, si)
+    deg_u = seg((ud // su).astype(i32) * su + lu, A * su).reshape(A, su)
+    deg_i = seg(
+        (idn // si).astype(i32) * si + li, nwin_head * si
+    ).reshape(nwin_head, si)
+
+    # chunked int8 R build over the device-sorted position stream
+    from mfx.kernels.dense_pallas import R_SCALE
+
+    fp_order = jnp.argsort(flat_pos)
+    fp = flat_pos[fp_order]
+    rv = rd[fp_order]
+    chunk_nd = max(1, (128 << 20) // cells)
+    bounds = np.arange(0, nd + chunk_nd, chunk_nd).clip(max=nd) * cells
+    cuts = np.asarray(jnp.searchsorted(fp, jnp.asarray(bounds)))
+    parts = []
+    for ci in range(len(bounds) - 1):
+        lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
+        lo_cell = int(bounds[ci])
+        size = int(bounds[ci + 1]) - lo_cell
+        if size == 0:
+            continue
+        m = hi_s - lo_s
+        mp = 1 << max(0, (m - 1)).bit_length()  # pow2 pad: few jit variants
+        pos = jnp.full((mp,), size, i32)  # pad -> out of range, dropped
+        val = jnp.zeros((mp,), jnp.float32)
+        pos = pos.at[:m].set((fp[lo_s:hi_s] - lo_cell).astype(i32))
+        val = val.at[:m].set(rv[lo_s:hi_s])
+        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(val, mode="drop")
+        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(
+            jnp.where(jnp.arange(mp) < m, 1.0, 0.0), mode="drop"
+        )
+        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
+        parts.append(
+            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0)
+            .astype(jnp.int8)
+            .reshape(-1, pack * pack * sup, sip)
+        )
+    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    def dec(deg, blocks, size):
+        return deg.reshape(blocks, size // pack, pack)
+
+    tensors = {
+        "sa": jnp.asarray(sa),
+        "sc": jnp.asarray(sc),
+        "R": R,
+        "du_s": dec(deg_us, nd, su),
+        "di_s": dec(deg_is, nd, si),
+        "du_tot": dec(deg_u, A, su),
+        "di_tot": dec(deg_i, nwin_head, si),
+    }
+    info = {"dense_frac": n_dense / max(1, int(u_dev.shape[0])),
+            "num_strata": nd}
+    return tensors, (u_sp, i_sp, r_sp), info
 
 
 def _bias_from_merged(T, stride, sup, size):

@@ -157,3 +157,61 @@ def test_blocked_trainer_with_dense_path_interpret():
         last = tr
     assert last < first
     assert rmse(model, test) < 1.0
+
+
+def test_prepare_dense_device_matches_host_split():
+    """The device-side split/build pipeline must produce exactly the host
+    planner's tensors (same strata, same int8 R, same degree tables) and
+    the same sparse remainder."""
+    import jax.numpy as jnp
+
+    U0, I0, su = 600, 600, 256
+    coo = synthetic.make_synthetic(U0, I0, 60_000, rank=8, seed=11)
+    split = dp.split_dense_strata(
+        coo.user, coo.item, U0, I0, su, su, chi_min=0.01, nwin_head=3, pack=2
+    )
+    host_t = dp.build_dense_tensors(split, coo.rating, su, su, 2)
+    dev_t, (u_sp, i_sp, r_sp), info = dp.prepare_dense_device(
+        jnp.asarray(coo.user), jnp.asarray(coo.item),
+        jnp.asarray(coo.rating), U0, I0, su, su,
+        chi_min=0.01, nwin_head=3, pack=2,
+    )
+    assert info["num_strata"] == split.num_strata
+    for k in ("sa", "sc", "R", "du_s", "di_s", "du_tot", "di_tot"):
+        np.testing.assert_array_equal(
+            np.asarray(dev_t[k]), np.asarray(host_t[k]), err_msg=k
+        )
+    sp_host = np.sort(split.sparse_idx)
+    got = np.stack([np.asarray(u_sp), np.asarray(i_sp)], axis=1)
+    want = np.stack([coo.user[sp_host], coo.item[sp_host]], axis=1)
+    np.testing.assert_array_equal(
+        got[np.lexsort(got.T[::-1])], want[np.lexsort(want.T[::-1])]
+    )
+
+
+def test_blocked_trainer_device_pipeline_interpret():
+    """plan_device='device' forced on CPU: the fully device-resident
+    split+plan pipeline trains end-to-end."""
+    import dataclasses
+
+    from mfx.config import SGDConfig
+    from mfx.data import train_test_split
+    from mfx.eval import rmse
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    coo = synthetic.make_synthetic(600, 600, 25_000, rank=4, noise=0.3, seed=9)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    model = init_model(1, 600, 600, 64, global_mean=train.global_mean)
+    cfg = SGDConfig(
+        lr=0.01, reg=0.03, epochs=3, partitioner="blocked", kernel="pallas",
+        ublock=256, iblock=256, tile=64, dense_chi=0.01,
+        plan_device="device",
+    )
+    first = last = None
+    for ep, model, tr in train_epochs_blocked(
+        model, train, cfg, use_bias=True, seed=0, tpg=4, interpret=True
+    ):
+        first = tr if first is None else first
+        last = tr
+    assert last < first
+    assert rmse(model, test) < 1.0
