@@ -71,6 +71,12 @@ class SGDConfig:
     # deltas, f32 accumulate — multiple of the f32 MXU rate, SGD-noise-
     # level rounding; factor tables stay f32 either way)
     mxu: str = "f32"
+    # fused kernel: batch the user-side one-hot matmuls of each grid
+    # step's tpg tiles into one 4x-row matmul pair (gather at step start,
+    # scatter at step end). The user side becomes a (tpg*tile)-minibatch
+    # with exact segment-sum accumulation; item side stays per-tile.
+    # False = the parity-tested per-tile path.
+    step_user_batch: bool = False
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4

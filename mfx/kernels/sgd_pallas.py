@@ -235,11 +235,214 @@ def _kernel_body(
     return kernel
 
 
+def _kernel_body_step_u(
+    su: int,
+    si: int,
+    rank: int,
+    pack: int,
+    tile: int,
+    tpg: int,
+    nwin: int,
+    use_bias: bool,
+    exact: bool,
+    mxu_bf16: bool,
+):
+    """Step-batched user-side variant of ``_kernel_body``.
+
+    The ``tpg`` tiles of a grid step share one user block, so their
+    user-side one-hot matmuls batch: ONE gather ``(tpg·T, sup) @ (sup,
+    128)`` at step start (user factors+biases read from the step-start
+    snapshot) and ONE scatter-add of the concatenated deltas at step end
+    — 4 user-side matmuls per step instead of 4·tpg, with 4x the rows
+    (better MXU pipeline fill). Item-side work stays per-tile sequential
+    (tiles target different windows). Semantics: the user side becomes a
+    (tpg·T)-minibatch with exact segment-sum accumulation — the same
+    snapshot semantics data-parallel SGD uses at far larger batches; the
+    per-tile path remains the parity-tested default.
+    """
+    sup, sip = su // pack, si // pack
+    qstride = sip + BIAS_ROWS
+    prec = lax.Precision.HIGHEST if exact else None
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if (mxu_bf16 and not exact) else f32
+    T = tile
+
+    def dot(x, y):
+        return jnp.dot(
+            x.astype(cdt), y.astype(cdt),
+            precision=prec, preferred_element_type=f32,
+        )
+
+    def dot_t(x, y):
+        return lax.dot_general(
+            x.astype(cdt), y.astype(cdt), (((0,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=f32,
+        )
+
+    def kernel(
+        hp_ref, sa_ref, tc_ref,
+        tl_ref,
+        P_in, Q_in,
+        P_out, Q_hbm, sse_ref,
+        Qseg, acc_ref, sem,
+    ):
+        del Q_in
+        g = pl.program_id(0)
+        ng = pl.num_programs(0)
+        lr = hp_ref[0]
+        reg = hp_ref[1]
+        mu = hp_ref[2]
+
+        @pl.when(g == 0)
+        def _():
+            acc_ref[0] = 0.0
+            cp = pltpu.make_async_copy(
+                Q_hbm.at[pl.ds(0, nwin * qstride), :], Qseg, sem
+            )
+            cp.start()
+            cp.wait()
+
+        prev_g = jnp.maximum(g - 1, 0)
+
+        @pl.when(jnp.logical_or(g == 0, sa_ref[g] != sa_ref[prev_g]))
+        def _():
+            P_out[:, :] = P_in[:, :]
+
+        # pass 1: decode all tiles, build the step's user-side one-hots
+        tiles = []
+        for j in range(tpg):
+            u = tl_ref[j, 0, :]
+            i = tl_ref[j, 1, :]
+            r = pltpu.bitcast(tl_ref[j, 2:3, :], f32)[0, :]
+            up = u // pack
+            ip = i // pack
+            ou = (
+                up[:, None] == lax.broadcasted_iota(jnp.int32, (T, sup), 1)
+            ).astype(f32)
+            oi = (
+                ip[:, None] == lax.broadcasted_iota(jnp.int32, (T, sip), 1)
+            ).astype(f32)
+            d = {"u": u, "i": i, "r": r, "ou": ou, "oi": oi}
+            if pack > 1:
+                d["sou"] = (
+                    (u % pack)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, pack), 1)
+                ).astype(f32)
+                d["soi"] = (
+                    (i % pack)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, pack), 1)
+                ).astype(f32)
+            if use_bias:
+                d["orow_u"] = (
+                    (u // 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, BIAS_ROWS), 1)
+                ).astype(f32)
+                d["ocol_u"] = (
+                    (u % 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                ).astype(f32)
+            tiles.append(d)
+
+        OU = jnp.concatenate([d["ou"] for d in tiles], axis=0)
+        GU = dot(OU, P_out[:sup, :])  # (tpg*T, 128): step-start snapshot
+        if use_bias:
+            OROW = jnp.concatenate([d["orow_u"] for d in tiles], axis=0)
+            GB = dot(OROW, P_out[sup:, :])  # (tpg*T, 128)
+
+        # pass 2: per-tile residuals + item-side updates; user deltas pool
+        sse = jnp.zeros((), f32)
+        d_pu_parts = []
+        x_bias_parts = []
+        for j, d in enumerate(tiles):
+            t = g * tpg + j
+            c = tc_ref[t]
+            qs = c * qstride
+            u, i, r, oi = d["u"], d["i"], d["r"], d["oi"]
+            gu = GU[j * T : (j + 1) * T, :]
+            gi = dot(oi, Qseg[pl.ds(qs, sip), :])
+            if pack > 1:
+                sou, soi = d["sou"], d["soi"]
+                pu = sou[:, 0:1] * gu[:, :rank]
+                qi = soi[:, 0:1] * gi[:, :rank]
+                for s in range(1, pack):
+                    pu = pu + sou[:, s : s + 1] * gu[:, s * rank : (s + 1) * rank]
+                    qi = qi + soi[:, s : s + 1] * gi[:, s * rank : (s + 1) * rank]
+            else:
+                pu, qi = gu, gi
+
+            pred = jnp.sum(pu * qi, axis=-1) + mu
+            mask = (u < su).astype(f32)
+            if use_bias:
+                orow_i = (
+                    (i // 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, BIAS_ROWS), 1)
+                ).astype(f32)
+                ocol_i = (
+                    (i % 128)[:, None]
+                    == lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                ).astype(f32)
+                bub = jnp.sum(GB[j * T : (j + 1) * T, :] * d["ocol_u"], axis=1)
+                bib = jnp.sum(
+                    dot(orow_i, Qseg[pl.ds(qs + sip, BIAS_ROWS), :]) * ocol_i,
+                    axis=1,
+                )
+                pred = pred + bub + bib
+
+            e = r - pred
+
+            d_pu = lr * (e[:, None] * qi - reg * pu)
+            d_qi = lr * (e[:, None] * pu - reg * qi)
+            if pack > 1:
+                d_pu128 = jnp.concatenate(
+                    [d_pu * d["sou"][:, s : s + 1] for s in range(pack)],
+                    axis=1,
+                )
+                d_qi128 = jnp.concatenate(
+                    [d_qi * d["soi"][:, s : s + 1] for s in range(pack)],
+                    axis=1,
+                )
+            else:
+                d_pu128, d_qi128 = d_pu, d_qi
+            d_pu_parts.append(d_pu128)
+            Qseg[pl.ds(qs, sip), :] = Qseg[pl.ds(qs, sip), :] + dot_t(
+                oi, d_qi128
+            )
+            if use_bias:
+                d_bu = lr * (e - reg * bub) * mask
+                d_bi = lr * (e - reg * bib) * mask
+                x_bias_parts.append(d["ocol_u"] * d_bu[:, None])
+                Qseg[pl.ds(qs + sip, BIAS_ROWS), :] = Qseg[
+                    pl.ds(qs + sip, BIAS_ROWS), :
+                ] + dot_t(orow_i, ocol_i * d_bi[:, None])
+
+            sse = sse + jnp.sum((e * mask) ** 2)
+
+        # step-end user-side scatter: one matmul per table region
+        D = jnp.concatenate(d_pu_parts, axis=0)
+        P_out[:sup, :] = P_out[:sup, :] + dot_t(OU, D)
+        if use_bias:
+            X = jnp.concatenate(x_bias_parts, axis=0)
+            P_out[sup:, :] = P_out[sup:, :] + dot_t(OROW, X)
+
+        acc_ref[0] = acc_ref[0] + sse
+
+        @pl.when(g == ng - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                Qseg, Q_hbm.at[pl.ds(0, nwin * qstride), :], sem
+            )
+            cp.start()
+            cp.wait()
+            sse_ref[:, :] = acc_ref[0][None, None]
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "mxu_bf16",
+        "mxu_bf16", "step_u",
     ),
 )
 def blocked_sgd_sweep_pallas(
@@ -258,6 +461,7 @@ def blocked_sgd_sweep_pallas(
     exact: bool = False,
     interpret: bool = False,
     mxu_bf16: bool = False,
+    step_u: bool = False,
 ):
     """One item-sweep of fused SGD. The sweep's Q segment must fit the VMEM
     budget (epochs over larger item tables run as several sweeps — see
@@ -286,7 +490,7 @@ def blocked_sgd_sweep_pallas(
             Pm, Qs, chunk, lr, reg, mu,
             su=su, si=si, rank=rank, tpg=tpg, nwin=nwin,
             use_bias=use_bias, exact=exact, interpret=interpret,
-            mxu_bf16=mxu_bf16,
+            mxu_bf16=mxu_bf16, step_u=step_u,
         )
         sse = sse + s
     return Pm, Qs, sse
@@ -295,6 +499,7 @@ def blocked_sgd_sweep_pallas(
 def _sweep_chunk_call(
     Pm, Qs, sweep, lr, reg, mu,
     *, su, si, rank, tpg, nwin, use_bias, exact, interpret, mxu_bf16=False,
+    step_u=False,
 ):
     pack = 128 // rank
     pstride = su // pack + BIAS_ROWS
@@ -304,7 +509,8 @@ def _sweep_chunk_call(
     hp = jnp.stack(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
-    kernel = _kernel_body(
+    body = _kernel_body_step_u if step_u else _kernel_body
+    kernel = body(
         su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

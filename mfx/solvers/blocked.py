@@ -41,12 +41,14 @@ VMEM_Q_BUDGET = 11 * 1024 * 1024
 DENSE_HEAD_ITEMS = 8192
 
 
-def sweep_geometry(num_items: int, rank: int, si: int) -> int:
+def sweep_geometry(
+    num_items: int, rank: int, si: int, budget: int | None = None
+) -> int:
     """Windows per sweep so the merged Q segment fits the VMEM budget."""
     pack = 128 // rank
     qstride = si // pack + BIAS_ROWS
     c = -(-num_items // si)
-    nwin = max(1, VMEM_Q_BUDGET // (qstride * 128 * 4))
+    nwin = max(1, (budget or VMEM_Q_BUDGET) // (qstride * 128 * 4))
     return min(c, nwin)
 
 
@@ -63,14 +65,14 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "sweep_meta", "mxu_bf16",
+        "sweep_meta", "mxu_bf16", "step_u",
     ),
     donate_argnums=(0, 1),
 )
 def _fused_epoch(
     Pm, Qm, sweeps, dense_tensors, lr, reg, mu,
     *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
-    mxu_bf16=False,
+    mxu_bf16=False, step_u=False,
 ):
     """One whole epoch — dense phase + every item-sweep — as a single
     donated XLA program. One dispatch per epoch, no host sync inside, and
@@ -97,7 +99,7 @@ def _fused_epoch(
             Pm, Qs, arrs, lr, reg, mu,
             su=su, si=si, rank=rank, tpg=tpg,
             use_bias=use_bias, exact=exact, interpret=interpret,
-            mxu_bf16=mxu_bf16,
+            mxu_bf16=mxu_bf16, step_u=step_u,
         )
         Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
         sse = sse + s[0, 0]
@@ -126,7 +128,12 @@ def train_epochs_blocked(
         replan_every = cfg.replan_every
 
     if cfg.kernel == "pallas":
-        nwin = sweep_geometry(I, rank, si)
+        budget = VMEM_Q_BUDGET
+        if cfg.step_user_batch:
+            # the step-batched concats (OU/GU/GB/deltas) live in VMEM
+            # alongside the Q segment; shrink the segment budget to fit
+            budget -= tpg * cfg.tile * (su // (128 // rank) + 4 * 128) * 4
+        nwin = sweep_geometry(I, rank, si, budget=max(1 << 21, budget))
         Pm, Qm = pk.pack_state(model, su, si)
         use_dev_plan = cfg.plan_device == "device" or (
             cfg.plan_device == "auto" and jax.default_backend() == "tpu"
@@ -204,7 +211,7 @@ def train_epochs_blocked(
                 Pm, Qm, sweep_args, dense_tensors, lr, cfg.reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
                 exact=exact, interpret=interpret, sweep_meta=sweep_meta,
-                mxu_bf16=cfg.mxu == "bf16",
+                mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
             )
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates

@@ -149,3 +149,39 @@ def test_pallas_mxu_bf16_close_to_f32_interpret():
     )
     d = np.abs(np.asarray(bf16m.P) - np.asarray(f32m.P)).max()
     assert d > 0  # the bf16 path must actually differ (cast is live)
+
+
+def test_pallas_step_user_batch_close_to_per_tile_interpret():
+    """step_u batches the user side per grid step (step-start snapshot
+    reads, step-end segment-sum scatter). One sweep must stay within the
+    snapshot-staleness envelope of the per-tile path, and pad slots must
+    still be exact no-ops."""
+    su, si, T, tpg, nwin, rank = 128, 128, 32, 4, 2, 64
+    coo = synthetic.make_synthetic(300, 260, 3000, seed=5)
+    perm = epoch_permutation(3000, 0, 0)
+    plans = bh.build_sweep_plans(
+        coo.user, coo.item, coo.rating, 300, 260, su, si, T, tpg, nwin, perm
+    )
+    model = init_model(2, 300, 260, rank, global_mean=coo.global_mean)
+    outs = []
+    for step_u in (False, True):
+        Pm, Qm = pk.pack_state(model, su, si)
+        for p in plans:
+            Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+            Pm, Qs, _ = blocked_sgd_sweep_pallas(
+                Pm, Qs, pk.sweep_arrays(p), 0.05, 0.02, float(model.mu),
+                su=su, si=si, rank=rank, tpg=tpg,
+                use_bias=True, interpret=True, step_u=step_u,
+            )
+            Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+        outs.append(pk.unpack_state(Pm, Qm, model.mu, 300, 260, rank, su, si))
+    ref, got = outs
+    # lr=0.05 on O(0.125) tables: intra-step staleness shifts values by
+    # O(lr * delta) — atol 0.05 catches wiring bugs while admitting the
+    # documented semantics difference
+    np.testing.assert_allclose(np.asarray(got.P), np.asarray(ref.P), atol=0.05)
+    np.testing.assert_allclose(np.asarray(got.Q), np.asarray(ref.Q), atol=0.05)
+    np.testing.assert_allclose(np.asarray(got.bu), np.asarray(ref.bu), atol=0.05)
+    np.testing.assert_allclose(np.asarray(got.bi), np.asarray(ref.bi), atol=0.05)
+    d = np.abs(np.asarray(got.P) - np.asarray(ref.P)).max()
+    assert d > 0  # the batched path must actually differ
