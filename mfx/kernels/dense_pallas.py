@@ -242,7 +242,8 @@ def dense_sgd_phase_pallas(
     Qh: jax.Array,  # merged item table; only the first nwin windows touched
     dense: dict[str, jax.Array],
     # sa (ND,) i32 user-block per stratum (sorted); sc (ND,) i32 head window
-    # R (ND, pack²·sup, sip) bf16 decimated raw ratings
+    # R (ND, pack²·sup, sip) int8 decimated ratings: round(r * R_SCALE),
+    #   0 = absent (see R_SCALE above)
     # aux_u (ND, sup, auxw); aux_i (ND, auxw, sip)
     lr,
     reg,

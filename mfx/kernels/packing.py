@@ -101,7 +101,17 @@ class PackedModel:
     def materialize(self):
         if self._model is None:
             mu, U, I, rank, su, si = self._meta
-            self._model = unpack_state(self.Pm, self.Qm, mu, U, I, rank, su, si)
+            try:
+                self._model = unpack_state(
+                    self.Pm, self.Qm, mu, U, I, rank, su, si
+                )
+            except RuntimeError as e:  # deleted donated buffers
+                raise RuntimeError(
+                    "this PackedModel view is stale: the blocked trainer "
+                    "donated its backing tables to the next epoch. Use "
+                    "each yielded model (or .materialize()) BEFORE "
+                    "advancing the generator"
+                ) from e
         return self._model
 
     def block_until_ready(self):

@@ -169,12 +169,15 @@ def train_sweeps_als_dp(
 ):
     """DP mirror of ``train_sweeps_als``; yields (sweep, model)."""
     row_chunk = row_chunk or cfg.user_chunk
+    # device-resident cols/vals built once (see train_sweeps_als)
     by_u = np.argsort(train.user, kind="stable")
-    u_rows, u_cols, u_vals = (
-        train.user[by_u], train.item[by_u], train.rating[by_u])
+    u_rows = train.user[by_u]
+    u_cols, u_vals = jnp.asarray(train.item[by_u]), jnp.asarray(
+        train.rating[by_u])
     by_i = np.argsort(train.item, kind="stable")
-    i_rows, i_cols, i_vals = (
-        train.item[by_i], train.user[by_i], train.rating[by_i])
+    i_rows = train.item[by_i]
+    i_cols, i_vals = jnp.asarray(train.user[by_i]), jnp.asarray(
+        train.rating[by_i])
     u_plan = build_bucket_plan(u_rows, model.num_users)
     i_plan = build_bucket_plan(i_rows, model.num_items)
 

@@ -174,6 +174,7 @@ def _ring_axes(mesh: Mesh):
 def make_ring_blocked_epoch_fn(
     mesh: Mesh, geo: RingGeometry, rank: int, use_bias: bool,
     exact: bool = False, interpret: bool = False,
+    mxu_bf16: bool = False, step_u: bool = False,
 ):
     """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh."""
     axes = _ring_axes(mesh)
@@ -189,6 +190,7 @@ def make_ring_blocked_epoch_fn(
                 Pm, Qm, sweep, lr, reg, mu,
                 su=geo.su, si=geo.si, rank=rank, tpg=geo.tpg,
                 use_bias=use_bias, exact=exact, interpret=interpret,
+                mxu_bf16=mxu_bf16, step_u=step_u,
             )
             Qm = lax.ppermute(Qm, axes, ring)
             return (Pm, Qm), sse[0, 0]
@@ -221,10 +223,6 @@ def make_ring_blocked_epoch_fn(
     return epoch
 
 
-def _pad_rows(x, rows):
-    return jnp.pad(x, ((0, rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
-
-
 def train_epochs_ring_blocked(
     model: MFModel,
     train: RatingsCOO,
@@ -247,16 +245,17 @@ def train_epochs_ring_blocked(
 
     # pad tables to S equal blocks, then convert to the merged layout
     padded = MFModel(
-        P=_pad_rows(model.P, S * geo.ublock),
-        Q=_pad_rows(model.Q, S * geo.iblock),
-        bu=_pad_rows(model.bu[:, None], S * geo.ublock)[:, 0],
-        bi=_pad_rows(model.bi[:, None], S * geo.iblock)[:, 0],
+        P=pk._pad_rows(model.P, S * geo.ublock),
+        Q=pk._pad_rows(model.Q, S * geo.iblock),
+        bu=pk._pad_rows(model.bu[:, None], S * geo.ublock)[:, 0],
+        bi=pk._pad_rows(model.bi[:, None], S * geo.iblock)[:, 0],
         mu=model.mu,
     )
     Pm, Qm = pk.pack_state(padded, geo.su, geo.si)
 
     epoch_fn = make_ring_blocked_epoch_fn(
-        mesh, geo, rank, use_bias, exact=exact, interpret=interpret
+        mesh, geo, rank, use_bias, exact=exact, interpret=interpret,
+        mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
     )
     replan_every = cfg.replan_every
     plan = None

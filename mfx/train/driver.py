@@ -57,6 +57,14 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
             f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
+    if mode in ("sharded", "hybrid") and sgd.kernel == "pallas" and (
+        sgd.dense_chi > 0
+    ):
+        raise ValueError(
+            "the dense Zipf-head phase is single-chip only; the DSGD ring "
+            "would silently skip it — set sgd.dense_chi=0 for "
+            f"parallel.mode={mode!r} (or run parallel.mode='single')"
+        )
 
 
 def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh):
@@ -168,6 +176,16 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     if resume and cfg.checkpoint_dir and latest_step(cfg.checkpoint_dir) is not None:
         model, ckpt_epoch, _ = load_checkpoint(cfg.checkpoint_dir)
         start_epoch = ckpt_epoch + 1
+        if model.num_users > coo.num_users or model.num_items > coo.num_items:
+            # sharded-mode checkpoints store the PADDED tables (pad rows
+            # are zeros). Slice back to the dataset's real rows so the
+            # trainer re-pads for the CURRENT topology — restoring onto a
+            # different mesh size than the one that saved would otherwise
+            # misalign the ring plan's block arithmetic with the table
+            # layout and silently train wrong rows.
+            from mfx.parallel.sharded import unshard_model
+
+            model = unshard_model(model, coo.num_users, coo.num_items)
     if model is None:
         import jax.numpy as jnp
 
