@@ -88,6 +88,30 @@ class SGDConfig:
     # 'auto'   — device on TPU backends, host otherwise
     plan_device: str = "auto"
 
+    def __post_init__(self):
+        # free-string fields: any typo ('bfloat16', 'Device', …) would
+        # otherwise silently select a fallback path — the same silent-
+        # fallback class the driver's parallel-mode validation rejects
+        if self.mxu not in ("f32", "bf16"):
+            raise ValueError(
+                f"sgd.mxu must be 'f32' or 'bf16', got {self.mxu!r}"
+            )
+        if self.plan_device not in ("auto", "host", "device"):
+            raise ValueError(
+                "sgd.plan_device must be 'auto', 'host' or 'device', "
+                f"got {self.plan_device!r}"
+            )
+        if self.kernel not in ("jnp", "blocked_jnp", "pallas"):
+            raise ValueError(
+                "sgd.kernel must be 'jnp', 'blocked_jnp' or 'pallas', "
+                f"got {self.kernel!r}"
+            )
+        if self.partitioner not in ("fixed", "conflict_free", "blocked"):
+            raise ValueError(
+                "sgd.partitioner must be 'fixed', 'conflict_free' or "
+                f"'blocked', got {self.partitioner!r}"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class ALSConfig:

@@ -65,15 +65,30 @@ def _auc_chunk(model, users, pos, neg, weights):
     return jnp.sum(wins), jnp.sum(weights)
 
 
-def sampled_auc(model, coo, seed: int = 0, chunk: int = 1 << 20) -> float:
+def sampled_auc(
+    model, coo, seed: int = 0, chunk: int = 1 << 20,
+    pos_keys: np.ndarray | None = None,
+) -> float:
     """Implicit-feedback ranking quality: P(score(pos) > score(neg)) with
-    one uniform negative per held-out positive (standard sampled AUC)."""
-    from mfx.data.bpr import sample_negatives
+    one exact negative per held-out positive (uniform over the catalog,
+    rejection-filtered against the positive set — plain uniform sampling
+    would let negatives collide with positives and understate AUC).
+
+    ``pos_keys``: sorted ``u * num_items + i`` keys of ALL observed
+    positives (train ∪ test; see mfx.data.bpr.build_positive_index). When
+    omitted, the eval split's own positives are used — pass the full
+    index for an unbiased estimate (the driver does)."""
+    from mfx.data.bpr import build_positive_index, sample_negatives
 
     n = coo.n_ratings
     if n == 0:
         return 0.5
-    neg = sample_negatives(n, coo.num_items, seed, epoch=0xE7A1)  # eval-only stream
+    if pos_keys is None:
+        pos_keys = build_positive_index(coo)
+    neg = sample_negatives(
+        n, coo.num_items, seed, epoch=0xE7A1,  # eval-only stream
+        users=coo.user, pos_keys=pos_keys,
+    )
     chunk = min(chunk, max(1024, n))
     wins = cnt = 0.0
     u = np.zeros(chunk, np.int32)

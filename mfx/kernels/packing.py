@@ -97,9 +97,24 @@ class PackedModel:
         self.Qm = Qm
         self._meta = (mu, num_users, num_items, rank, su, si)
         self._model = None
+        self._stale = False
+
+    def invalidate(self):
+        """Called by the yielding trainer when it resumes: the backing
+        buffers are donated to the next epoch, so an unmaterialized view
+        must fail loudly instead of reading freed memory."""
+        self._stale = True
+        self.Pm = self.Qm = None  # drop refs so donation can reuse them
 
     def materialize(self):
         if self._model is None:
+            if self._stale:
+                raise RuntimeError(
+                    "this PackedModel view is stale: the blocked trainer "
+                    "donated its backing tables to the next epoch. Use "
+                    "each yielded model (or .materialize()) BEFORE "
+                    "advancing the generator"
+                )
             mu, U, I, rank, su, si = self._meta
             try:
                 self._model = unpack_state(

@@ -117,10 +117,18 @@ def train_epochs_blocked(
     replan_every: int | None = None,
     exact: bool = False,
     interpret: bool = False,
+    timings: dict | None = None,
 ) -> Iterator[tuple[int, object, float]]:
     """Yields (epoch, model, train_rmse) like mfx.solvers.sgd.train_epochs,
     running the fused Pallas kernel (cfg.kernel == 'pallas') or the pure-XLA
-    blocked mirror ('blocked_jnp')."""
+    blocked mirror ('blocked_jnp').
+
+    ``timings``, if given, is filled with {'planner': 'device'|'host',
+    'plan_s': cumulative seconds spent building epoch plans (blocking on
+    the device pass), 'prep_s': one-time dense-split/skeleton prep} so the
+    bench can report plan cost separately from compile cost."""
+    import time as _time
+
     su, si = cfg.ublock, cfg.iblock
     U, I, rank = model.num_users, model.num_items, model.rank
     mu = float(model.mu)
@@ -138,6 +146,10 @@ def train_epochs_blocked(
         use_dev_plan = cfg.plan_device == "device" or (
             cfg.plan_device == "auto" and jax.default_backend() == "tpu"
         )
+        if timings is not None:
+            timings["planner"] = "device" if use_dev_plan else "host"
+            timings.setdefault("plan_s", 0.0)
+        _t_prep = _time.time()
         want_dense = (
             cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4)
         )
@@ -184,12 +196,22 @@ def train_epochs_blocked(
                 u_dev, i_dev, U, I, su, si, cfg.tile, tpg, nwin
             )
             sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
+        if timings is not None:
+            jax.block_until_ready(dense_tensors)
+            timings["prep_s"] = _time.time() - _t_prep
         sweep_args = None
         sweep_meta = None
+        view = None
         for epoch in range(start_epoch, cfg.epochs):
+            # resuming donates the packed tables to this epoch's program:
+            # flag the previously yielded lazy view so stale access fails
+            # loudly instead of reading freed buffers
+            if view is not None:
+                view.invalidate()
             lr = cfg.lr * (cfg.lr_decay**epoch)
             replan = replan_every and epoch % replan_every == 0
             if sweep_args is None or replan:
+                _t_plan = _time.time()
                 if use_dev_plan:
                     tl_all = pdv.epoch_tiles_device(
                         skel, u_dev, i_dev, r_dev, seed, epoch
@@ -207,6 +229,9 @@ def train_epochs_blocked(
                     # rebuilding them is a large host copy per epoch
                     sweep_args = tuple(pk.sweep_arrays(p) for p in plans)
                     sweep_meta = tuple((p.win0, p.nwin) for p in plans)
+                if timings is not None:
+                    jax.block_until_ready(sweep_args)
+                    timings["plan_s"] += _time.time() - _t_plan
             Pm, Qm, sse = _fused_epoch(
                 Pm, Qm, sweep_args, dense_tensors, lr, cfg.reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
@@ -215,9 +240,9 @@ def train_epochs_blocked(
             )
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates
-            # the buffers). Consumers use it before advancing — as the
-            # driver, bench, and tests all do.
-            yield epoch, pk.PackedModel(Pm, Qm, mu, U, I, rank, su, si), float(
+            # the buffers and invalidates the view — stale access raises).
+            view = pk.PackedModel(Pm, Qm, mu, U, I, rank, su, si)
+            yield epoch, view, float(
                 jnp.sqrt(sse / max(1, train.n_ratings))
             )
     elif cfg.kernel == "blocked_jnp":

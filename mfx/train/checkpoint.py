@@ -69,7 +69,7 @@ def latest_step(ckpt_dir) -> int | None:
 
 
 def load_checkpoint(
-    ckpt_dir, step: int | None = None, shardings: dict | None = None
+    ckpt_dir, step: int | None = None, shardings=None
 ) -> tuple[MFModel, int, int]:
     """Returns (model, epoch, seed). Raises FileNotFoundError if absent.
 
@@ -77,8 +77,10 @@ def load_checkpoint(
     ``NamedSharding`` at save time and re-materializes per-device shards on
     restore (tested in tests/distributed/test_sharded_checkpoint.py). Pass
     ``shardings`` — a dict mapping state keys (``P``, ``Q``, ``bu``,
-    ``bi``) to target shardings — to restore onto a different topology
-    than the one that saved."""
+    ``bi``) to target shardings, or a callable ``(key, shape, dtype) ->
+    Sharding | None`` — to restore onto a different topology than the one
+    that saved (restoring without it replays the SAVED shardings, which
+    Orbax cannot rebuild on a different device count)."""
     ckpt_dir = Path(ckpt_dir).absolute()
     if step is None:
         step = latest_step(ckpt_dir)
@@ -87,11 +89,15 @@ def load_checkpoint(
     path = ckpt_dir / f"{step}"
     if _HAVE_ORBAX and path.exists():
         ckptr = ocp.StandardCheckpointer()
-        if shardings:
+        if shardings is not None:
             meta = ckptr.metadata(path).item_metadata.tree
+            get = shardings if callable(shardings) else (
+                lambda k, shape, dtype: shardings.get(k)
+            )
             abstract = {
                 k: jax.ShapeDtypeStruct(
-                    tuple(m.shape), m.dtype, sharding=shardings.get(k)
+                    tuple(m.shape), m.dtype,
+                    sharding=get(k, tuple(m.shape), m.dtype),
                 )
                 for k, m in meta.items()
             }

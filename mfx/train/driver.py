@@ -174,7 +174,36 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     start_epoch = 0
     model = None
     if resume and cfg.checkpoint_dir and latest_step(cfg.checkpoint_dir) is not None:
-        model, ckpt_epoch, _ = load_checkpoint(cfg.checkpoint_dir)
+        # restore with CURRENT-topology shardings, never the recorded ones:
+        # Orbax replays the NamedSharding captured at save time, which
+        # cannot be rebuilt when the device count changed (its own warning)
+        # — so a sharded-mode checkpoint saved on a different mesh would
+        # fail before the padded-row slice logic below ever runs.
+        shard_fn = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from mfx.runtime.mesh import DATA_AXIS, MODEL_AXIS
+
+            axes = tuple(
+                a for a in (DATA_AXIS, MODEL_AXIS) if mesh.shape.get(a, 1) > 1
+            ) or (MODEL_AXIS,)
+            S = 1
+            for a in axes:
+                S *= mesh.shape[a]
+            row_sharded = cfg.parallel.mode in ("sharded", "hybrid")
+
+            def shard_fn(k, shape, dtype, _S=S, _axes=axes):
+                if (
+                    row_sharded
+                    and k in ("P", "Q", "bu", "bi")
+                    and shape
+                    and shape[0] % _S == 0
+                ):
+                    return NamedSharding(mesh, PartitionSpec(_axes))
+                return NamedSharding(mesh, PartitionSpec())
+
+        model, ckpt_epoch, _ = load_checkpoint(cfg.checkpoint_dir, shardings=shard_fn)
         start_epoch = ckpt_epoch + 1
         if model.num_users > coo.num_users or model.num_items > coo.num_items:
             # sharded-mode checkpoints store the PADDED tables (pad rows
@@ -211,6 +240,23 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     implicit = cfg.solver == "bpr"
     n_chips = jax.device_count() if mesh is None else mesh.devices.size
 
+    # sampled-AUC negatives reject against ALL observed positives (train
+    # and held-out) — built once per run, only for implicit solvers
+    _auc_keys = None
+
+    def _auc(m):
+        nonlocal _auc_keys
+        if _auc_keys is None:
+            import numpy as np
+
+            from mfx.data.bpr import build_positive_index
+
+            _auc_keys = np.concatenate(
+                [build_positive_index(train_coo), build_positive_index(test_coo)]
+            )
+            _auc_keys.sort()
+        return sampled_auc(m, test_coo, seed=seed, pos_keys=_auc_keys)
+
     it = _make_epoch_iter(cfg, model, train_coo, seed, start_epoch, mesh)
     epochs_run = 0
     last_ups = 0.0
@@ -235,7 +281,7 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             }
             if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
                 if implicit:
-                    test_auc = sampled_auc(model, test_coo, seed=seed)
+                    test_auc = _auc(model)
                     rec["test_auc"] = round(test_auc, 5)
                 else:
                     test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
@@ -269,7 +315,7 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     if test_rmse is None and not implicit:
         test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
     if implicit and test_auc is None:
-        test_auc = sampled_auc(model, test_coo, seed=seed)
+        test_auc = _auc(model)
     log.close()
     return TrainResult(
         model=model,
