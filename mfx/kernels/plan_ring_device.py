@@ -1,0 +1,271 @@
+"""Device-side epoch planning for the fused-Pallas DSGD ring
+(SURVEY.md §3.3 hot-loop #2; VERDICT round 2, Missing #2 / directive #2).
+
+Round 2 planned every ring epoch on the host (S² ``build_sweep_plans``
+calls per replan — the exact 100+s/epoch single-core problem
+``plan_device.py`` solved for single-chip, reintroduced where the big
+datasets live). This module generalizes the skeleton + seeded-sort
+device pass to the ring schedule:
+
+  **Ring stratum membership is permutation-invariant too.** A rating's
+  cell is (sub-step t, shard s) with ``s = u // ublock``,
+  ``t = (block(i) - s) mod S``; within the cell it stratifies by (local
+  user block a, local item window c) exactly like the single-chip plan.
+  The stratum id simply gains a (segment, t, s) prefix — everything else
+  (counts → fixed tile layout; per-epoch seeded two-key sort + unique
+  scatter) is unchanged.
+
+Held item blocks larger than the VMEM budget stream through the kernel
+as **segments** of ``nwin`` windows per sub-step (VERDICT directive #3);
+the plan is laid out segment-major so each segment's uniform
+``[S, S, NT_k]`` slab slices contiguously out of one flat device tile
+stream. Per-cell grid lengths are padded to the segment-wide max with
+repeated-last-block steps and all-sentinel tiles (exact no-ops by the
+kernel's one-hot construction).
+
+Load balance across cells comes from the caller's block-cyclic item
+mapping (mfx/parallel/ring_blocked.py) — frequency-relabeled hot items
+spread round-robin over shards, so cell sizes are near-uniform and the
+padded slabs stay tight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["RingSkeleton", "build_ring_skeleton", "epoch_tiles_ring"]
+
+
+@dataclasses.dataclass
+class RingSegmentSlice:
+    """Static per-segment view: one kernel call per (sub-step, shard)."""
+
+    win0: int  # first window of the segment within the held block
+    nwin: int
+    nt: int  # padded tiles per cell (uniform across cells)
+    f0: int  # first tile of this segment in the flat stream
+    sa: jax.Array  # (S, S, ng) int32 user block per grid step
+    tc: jax.Array  # (S, S, nt) int32 segment-local window per tile
+
+
+@dataclasses.dataclass
+class RingSkeleton:
+    S: int
+    ublock: int
+    iblock: int
+    su: int
+    si: int
+    tile: int
+    tpg: int
+    nwin: int  # windows per segment (VMEM budget)
+    nt_total: int  # flat stream length in tiles
+    n_real: int
+    segments: list[RingSegmentSlice]
+    # device constants for the per-epoch pass
+    strat_start: jax.Array  # (NS,) int32 exclusive cumsum of counts
+    pos_base: jax.Array  # (NS,) int32 first flat SLOT of each stratum
+    seg_off: jax.Array  # (nseg,) int32 sid offset per segment
+    nw_arr: jax.Array  # (nseg,) int32 windows per segment
+
+
+def _sid_ring(u, ir, seg_off, nw_arr, *, S, ublock, iblock, su, si, nwin, A):
+    i32 = jnp.int32
+    s = (u // ublock).astype(i32)
+    b = (ir // iblock).astype(i32)
+    t = (b - s) % S
+    a = ((u % ublock) // su).astype(i32)
+    cl = ((ir % iblock) // si).astype(i32)
+    k = cl // nwin
+    cw = cl - k * nwin
+    return seg_off[k] + ((t * S + s) * A + a) * nw_arr[k] + cw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "ublock", "iblock", "su", "si", "nwin", "A", "ns"),
+)
+def _device_counts(u, ir, seg_off, nw_arr, *, S, ublock, iblock, su, si,
+                   nwin, A, ns):
+    sid = _sid_ring(u, ir, seg_off, nw_arr, S=S, ublock=ublock,
+                    iblock=iblock, su=su, si=si, nwin=nwin, A=A)
+    return jax.ops.segment_sum(
+        jnp.ones_like(sid, jnp.int32), sid, num_segments=ns
+    )
+
+
+def build_ring_skeleton(
+    u_dev: jax.Array,
+    ir_dev: jax.Array,  # block-cyclic-mapped item ids (see ring_blocked)
+    S: int,
+    ublock: int,
+    iblock: int,
+    su: int,
+    si: int,
+    tile: int,
+    tpg: int,
+    nwin: int,
+) -> RingSkeleton:
+    """Once per run: one device segment_sum + O(num_strata) host layout."""
+    A = ublock // su
+    C = iblock // si
+    nseg = -(-C // nwin)
+    nw = np.minimum(nwin, C - np.arange(nseg) * nwin).astype(np.int32)
+    seg_off = np.zeros(nseg, np.int64)
+    np.cumsum(S * S * A * nw[:-1].astype(np.int64), out=seg_off[1:])
+    ns = S * S * A * C
+    if ns >= 2**31:
+        raise NotImplementedError(
+            "ring stratum space exceeds int32; raise su/si or shard planning"
+        )
+    seg_off_dev = jnp.asarray(seg_off.astype(np.int32))
+    nw_dev = jnp.asarray(nw)
+    counts = np.asarray(
+        _device_counts(
+            u_dev, ir_dev, seg_off_dev, nw_dev, S=S, ublock=ublock,
+            iblock=iblock, su=su, si=si, nwin=nwin, A=A, ns=ns,
+        )
+    ).astype(np.int64)
+
+    strat_start = np.zeros(ns + 1, np.int64)
+    np.cumsum(counts, out=strat_start[1:])
+
+    tiles_per = -(-counts // tile)
+    pos_base = np.zeros(ns, np.int64)
+    segments: list[RingSegmentSlice] = []
+    f_cursor = 0  # flat tile cursor
+    off = 0  # sid cursor
+    for k in range(nseg):
+        nwk = int(nw[k])
+        cnt_k = tiles_per[off : off + S * S * A * nwk].reshape(S, S, A, nwk)
+        real_per_a = cnt_k.sum(axis=3)  # (S, S, A)
+        padded_per_a = -(-real_per_a // tpg) * tpg
+        ng_cells = padded_per_a.sum(axis=2) // tpg  # (S, S)
+        ng = max(1, int(ng_cells.max()))
+        nt = ng * tpg
+
+        sa = np.zeros((S, S, ng), np.int32)
+        tc = np.zeros((S, S, nt), np.int32)
+        for t in range(S):
+            for s in range(S):
+                runs = (padded_per_a[t, s] // tpg).astype(np.int64)
+                sa_cell = np.repeat(np.arange(A, dtype=np.int32), runs)
+                sa[t, s, : sa_cell.shape[0]] = sa_cell
+                if sa_cell.shape[0] < ng:  # pad: repeat last visited block
+                    sa[t, s, sa_cell.shape[0] :] = (
+                        sa_cell[-1] if sa_cell.shape[0] else 0
+                    )
+                tp = cnt_k[t, s]  # (A, nwk)
+                run_base = np.zeros(A + 1, np.int64)
+                np.cumsum(padded_per_a[t, s], out=run_base[1:])
+                within = np.cumsum(tp, axis=1) - tp
+                cell_f0 = f_cursor + (t * S + s) * nt
+                sid_lo = off + (t * S + s) * A * nwk
+                pos_base[sid_lo : sid_lo + A * nwk] = (
+                    (cell_f0 + run_base[:-1, None] + within).reshape(-1)
+                    * tile
+                )
+                # window ids at the real tile slots
+                strat_of_tile = np.repeat(
+                    np.arange(A * nwk, dtype=np.int64), tp.reshape(-1)
+                )
+                starts = np.cumsum(tp.reshape(-1)) - tp.reshape(-1)
+                within_t = np.arange(
+                    strat_of_tile.shape[0], dtype=np.int64
+                ) - np.repeat(starts, tp.reshape(-1))
+                base_local = (run_base[:-1, None] + within).reshape(-1)
+                real_ids = base_local[strat_of_tile] + within_t
+                tc[t, s, real_ids] = (strat_of_tile % nwk).astype(np.int32)
+        segments.append(
+            RingSegmentSlice(
+                win0=k * nwin,
+                nwin=nwk,
+                nt=nt,
+                f0=f_cursor,
+                sa=jnp.asarray(sa),
+                tc=jnp.asarray(tc),
+            )
+        )
+        f_cursor += S * S * nt
+        off += S * S * A * nwk
+
+    if f_cursor * tile * 3 >= 2**31:
+        raise NotImplementedError(
+            f"ring tile stream ({f_cursor} tiles x {tile}) exceeds int32 "
+            "addressing; plan per-host shards (multi-host) or raise tile"
+        )
+    return RingSkeleton(
+        S=S, ublock=ublock, iblock=iblock, su=su, si=si, tile=tile,
+        tpg=tpg, nwin=nwin, nt_total=f_cursor,
+        n_real=int(counts.sum()),
+        segments=segments,
+        strat_start=jnp.asarray(strat_start[:-1].astype(np.int32)),
+        pos_base=jnp.asarray(pos_base.astype(np.int32)),
+        seg_off=seg_off_dev,
+        nw_arr=nw_dev,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "ublock", "iblock", "su", "si", "tile", "nwin", "A", "nt_total"
+    ),
+)
+def _epoch_tiles(
+    u, ir, r, key, strat_start, pos_base, seg_off, nw_arr,
+    *, S, ublock, iblock, su, si, tile, nwin, A, nt_total,
+):
+    # same seeded two-key sort + unique scatter as the single-chip pass
+    # (mfx/kernels/plan_device.py) with the ring stratum id
+    n = u.shape[0]
+    sid = _sid_ring(u, ir, seg_off, nw_arr, S=S, ublock=ublock,
+                    iblock=iblock, su=su, si=si, nwin=nwin, A=A)
+    rand = jax.random.bits(key, (n,), dtype=jnp.uint32).astype(jnp.int32)
+    ul = (u % su).astype(jnp.int32)
+    il = (ir % si).astype(jnp.int32)
+    rb = lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
+    sid_s, _, ul, il, rb = lax.sort(
+        (sid, rand, ul, il, rb), num_keys=2, is_stable=True
+    )
+    pos = jnp.arange(n, dtype=jnp.int32) - strat_start[sid_s]
+    d = pos_base[sid_s] + pos
+    o = (d // tile) * (3 * tile) + d % tile
+    flat = jnp.broadcast_to(
+        jnp.array([su, si, 0], jnp.int32)[None, :, None], (nt_total, 3, tile)
+    ).reshape(-1)
+    st = dict(mode="promise_in_bounds", unique_indices=True)
+    flat = flat.at[o].set(ul, **st)
+    flat = flat.at[o + tile].set(il, **st)
+    flat = flat.at[o + 2 * tile].set(rb, **st)
+    return flat.reshape(nt_total, 3, tile)
+
+
+def epoch_tiles_ring(
+    skel: RingSkeleton, u_dev, ir_dev, r_dev, seed: int, epoch: int
+) -> list[jax.Array]:
+    """Per-epoch device pass: the flat tile stream sliced into one
+    ``(S, S, nt_k, 3, T)`` slab per segment."""
+    key = jax.random.fold_in(jax.random.key(seed), epoch)
+    A = skel.ublock // skel.su
+    flat = _epoch_tiles(
+        u_dev, ir_dev, r_dev, key,
+        skel.strat_start, skel.pos_base, skel.seg_off, skel.nw_arr,
+        S=skel.S, ublock=skel.ublock, iblock=skel.iblock,
+        su=skel.su, si=skel.si, tile=skel.tile, nwin=skel.nwin, A=A,
+        nt_total=skel.nt_total,
+    )
+    S = skel.S
+    out = []
+    for seg in skel.segments:
+        out.append(
+            flat[seg.f0 : seg.f0 + S * S * seg.nt].reshape(
+                S, S, seg.nt, 3, skel.tile
+            )
+        )
+    return out

