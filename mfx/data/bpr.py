@@ -23,7 +23,10 @@ from mfx.data.coo import RatingsCOO
 
 __all__ = [
     "build_positive_index",
+    "build_positive_index_device",
+    "members_2key",
     "sample_negatives",
+    "sample_negatives_device",
     "bpr_epoch_triples",
 ]
 
@@ -75,6 +78,77 @@ def sample_negatives(
         pending = pending[_members(pos_keys, ukeys[pending] + neg[pending])]
         rounds += 1
     return neg
+
+
+def build_positive_index_device(u_dev, i_dev):
+    """Device analog of :func:`build_positive_index`: the positive set as
+    a (users, items) pair lexicographically sorted on device. Pairs (not
+    ``u * num_items + i`` scalars) because configs[4]-scale key ranges
+    (10M users x 1M items) overflow int32 and jax runs 32-bit."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    pu, pi = lax.sort(
+        (jnp.asarray(u_dev, jnp.int32), jnp.asarray(i_dev, jnp.int32)),
+        num_keys=2,
+    )
+    return pu, pi
+
+
+def members_2key(pu, pi, qu, qi):
+    """Vectorized membership of query pairs (qu, qi) in the lex-sorted
+    positive pair arrays — a fixed-depth binary search (32 steps covers
+    any int32-indexable set), all device ops."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = pu.shape[0]
+    lo = jnp.zeros(qu.shape, jnp.int32)
+    hi = jnp.full(qu.shape, n, jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        active = lo < hi
+        mid = jnp.minimum((lo + hi) // 2, n - 1)
+        mu = pu[mid]
+        mi = pi[mid]
+        less = (mu < qu) | ((mu == qu) & (mi < qi))
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, 32, body, (lo, hi))
+    safe = jnp.minimum(lo, n - 1)
+    return (lo < n) & (pu[safe] == qu) & (pi[safe] == qi)
+
+
+def sample_negatives_device(
+    key, users, pu, pi, num_items: int, rounds: int = MAX_REJECTION_ROUNDS
+):
+    """Device-side exact negative sampling (VERDICT round 2, directive
+    #8): seeded uniform draws with membership rejection against the
+    sorted positive pairs — per-epoch host work is O(1). Same contract
+    as :func:`sample_negatives` (after ``rounds`` redraws a residual
+    collision survives with probability density**rounds); the RNG stream
+    is jax.random, so triples differ from the NumPy path but are
+    bitwise-reproducible for a given (key, shape)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = users.shape[0]
+
+    def draw(k):
+        return jax.random.randint(k, (n,), 0, num_items, dtype=jnp.int32)
+
+    neg = draw(jax.random.fold_in(key, 0))
+
+    def body(r, neg):
+        pending = members_2key(pu, pi, users, neg)
+        fresh = draw(jax.random.fold_in(key, r + 1))
+        return jnp.where(pending, fresh, neg)
+
+    return lax.fori_loop(0, rounds, body, neg)
 
 
 def bpr_epoch_triples(

@@ -146,34 +146,47 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
         # E parity blocks: (sup, K) @ (K, sip) contractions over dim 1/1.
         # R is stored int8 as round(rating * R_SCALE), 0 = absent (see
         # R_SCALE above); decode is one VPU convert + multiply per cell.
+        #
+        # Each E[(a,b)] is consumed IMMEDIATELY into the dP/dQ/bias-sum
+        # accumulators and then dead: materializing all pack² parity
+        # blocks at once grows the kernel's VMEM stack quadratically in
+        # sup (18.8 MB at block=1024 vs the 16 MB scoped limit — the
+        # round-2 "su=1024 dense busts VMEM" failure). Accumulation
+        # order matches the old all-at-once form term for term (b
+        # ascending inside a ascending), so results are bitwise-equal.
         dims_nt = ((1,), (1,))  # x (sup,K) · y (sip,K) -> (sup, sip)
+        dims_nn = ((1,), (0,))  # (sup,sip) · (sip,K) -> (sup,K)
+        dims_tn = ((0,), (0,))  # (sup,sip) ·ᵀ (sup,K) -> (sip,K)
         inv_scale = f32(1.0 / R_SCALE)
-        E = {}
+        dP = [None] * pack
+        dQ = [None] * pack
+        ebu = [None] * pack  # per-a row sums of Σ_b E
+        ebi = [None] * pack  # per-b col sums of Σ_a E
+        sse_acc = None
         for a in range(pack):
             for b in range(pack):
                 p_idx = a * pack + b
                 Rab = R_ref[0, p_idx * sup : (p_idx + 1) * sup, :].astype(f32)
                 Sab = dotg(Pa[a], Qb[b], dims_nt)
-                E[(a, b)] = jnp.where(
+                Eab = jnp.where(
                     Rab > 0.0, Rab * inv_scale - Sab - bu[a] - bi[b] - mu, 0.0
                 )
+                ta = dotg(Eab, Qb[b], dims_nn)
+                dP[a] = ta if dP[a] is None else dP[a] + ta
+                tb = dotg(Eab, Pa[a], dims_tn)
+                dQ[b] = tb if dQ[b] is None else dQ[b] + tb
+                ru = jnp.sum(Eab, axis=1)
+                ebu[a] = ru if ebu[a] is None else ebu[a] + ru
+                ci = jnp.sum(Eab, axis=0)
+                ebi[b] = ci if ebi[b] is None else ebi[b] + ci
+                sq = jnp.sum(Eab**2)
+                sse_acc = sq if sse_acc is None else sse_acc + sq
 
         # trust scaling for heavy rows (see DSTAR)
         s_u = [jnp.minimum(1.0, DSTAR / jnp.maximum(Du[a], 1.0))
                for a in range(pack)]
         s_i = [jnp.minimum(1.0, DSTAR / jnp.maximum(Di[a], 1.0))
                for a in range(pack)]
-
-        dims_nn = ((1,), (0,))  # (sup,sip) · (sip,K) -> (sup,K)
-        dims_tn = ((0,), (0,))  # (sup,sip) ·ᵀ (sup,K) -> (sip,K)
-        dP = [
-            sum(dotg(E[(a, b)], Qb[b], dims_nn) for b in range(pack))
-            for a in range(pack)
-        ]
-        dQ = [
-            sum(dotg(E[(a, b)], Pa[a], dims_tn) for a in range(pack))
-            for b in range(pack)
-        ]
 
         # full-width writes (lane sub-range stores need masking in Mosaic)
         P_out[0:sup, :] = jnp.concatenate(
@@ -193,31 +206,17 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
 
         # per-stratum E sums for the post-phase bias update (single writes)
         dbu_ref[0, :, :] = jnp.concatenate(
-            [
-                jnp.sum(
-                    sum(E[(a, b)] for b in range(pack)), axis=1
-                )[:, None]
-                for a in range(pack)
-            ]
+            [ebu[a][:, None] for a in range(pack)]
             + [jnp.zeros((sup, auxw - pack), f32)],
             axis=1,
         )
         dbi_ref[0, :, :] = jnp.concatenate(
-            [
-                jnp.sum(
-                    sum(E[(a, b)] for a in range(pack)), axis=0
-                )[None, :]
-                for b in range(pack)
-            ]
+            [ebi[b][None, :] for b in range(pack)]
             + [jnp.zeros((auxw - pack, sip), f32)],
             axis=0,
         )
 
-        acc_ref[0] = acc_ref[0] + sum(
-            jnp.sum(E[(a, b)] ** 2)
-            for a in range(pack)
-            for b in range(pack)
-        )
+        acc_ref[0] = acc_ref[0] + sse_acc
 
         @pl.when(g == ng - 1)
         def _():

@@ -16,6 +16,7 @@ schedule a torus all-to-all lowers to, without per-row routing machinery.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterator
 
 import jax
@@ -32,7 +33,13 @@ from mfx.parallel.sharded import shard_model, unshard_model
 from mfx.runtime.mesh import MODEL_AXIS
 from mfx.solvers.bpr import bpr_minibatch_update
 
-__all__ = ["item_shuffle", "plan_bpr_ring_epoch", "train_epochs_bpr_ring"]
+__all__ = [
+    "item_shuffle",
+    "plan_bpr_ring_epoch",
+    "build_bpr_ring_skeleton",
+    "bpr_ring_epoch_device",
+    "train_epochs_bpr_ring",
+]
 
 
 def item_shuffle(num_items: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -149,6 +156,145 @@ def plan_bpr_ring_epoch(
     )
 
 
+@dataclasses.dataclass
+class BprRingSkeleton:
+    """Once-per-run device-prep state (directive #8): cell occupancy is
+    permutation-invariant, so the padded batch geometry is fixed and each
+    epoch is one seeded device sort/scatter + on-device rejection."""
+
+    S: int
+    ublock: int
+    iblock: int
+    nb: int
+    width: int  # nb * per-shard batch size
+    n_real: int
+    strat_start: "jax.Array"  # (S*S,) exclusive cumsum of cell counts
+    cell_block: "jax.Array"  # (S*S,) item block held by each cell
+    block_rows: "jax.Array"  # (S*S,) real rows of that block
+    s_of_cell: "jax.Array"  # (S*S,) shard of each cell
+    pu: "jax.Array"  # lex-sorted positive pairs (relabeled item space)
+    pi: "jax.Array"
+
+
+def build_bpr_ring_skeleton(
+    u_dev, irel_dev, S: int, num_users: int, num_items: int,
+    batch_size: int,
+) -> BprRingSkeleton:
+    ublock = -(-num_users // S)
+    iblock = -(-num_items // S)
+    cell = (
+        ((irel_dev // iblock) - (u_dev // ublock)) % S
+    ) * S + (u_dev // ublock)
+    counts = np.asarray(
+        jax.ops.segment_sum(jnp.ones_like(cell), cell, num_segments=S * S)
+    ).astype(np.int64)
+    nb = max(1, int(-(-counts.max() // batch_size)))
+    width = nb * batch_size
+    strat_start = np.zeros(S * S, np.int64)
+    np.cumsum(counts[:-1], out=strat_start[1:])
+    cell_block = np.empty(S * S, np.int64)
+    for t in range(S):
+        for s in range(S):
+            cell_block[t * S + s] = (s + t) % S
+    block_rows = np.maximum(
+        np.minimum(num_items - cell_block * iblock, iblock), 1
+    )
+    from mfx.data.bpr import build_positive_index_device
+
+    pu, pi = build_positive_index_device(u_dev, irel_dev)
+    return BprRingSkeleton(
+        S=S, ublock=ublock, iblock=iblock, nb=nb, width=width,
+        n_real=int(counts.sum()),
+        strat_start=jnp.asarray(strat_start.astype(np.int32)),
+        cell_block=jnp.asarray(cell_block.astype(np.int32)),
+        block_rows=jnp.asarray(block_rows.astype(np.int32)),
+        s_of_cell=jnp.asarray(
+            (np.arange(S * S, dtype=np.int64) % S).astype(np.int32)
+        ),
+        pu=pu,
+        pi=pi,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "ublock", "iblock", "width"),
+)
+def _bpr_ring_epoch_device(
+    u_dev, irel_dev, key_shuf, key_neg, strat_start, cell_block,
+    block_rows, s_of_cell, pu, pi,
+    *, S, ublock, iblock, width,
+):
+    from jax import lax
+
+    from mfx.data.bpr import MAX_REJECTION_ROUNDS, members_2key
+
+    n = u_dev.shape[0]
+    cell = (
+        ((irel_dev // iblock) - (u_dev // ublock)) % S
+    ) * S + (u_dev // ublock)
+    rand = jax.random.bits(key_shuf, (n,), dtype=jnp.uint32).astype(
+        jnp.int32
+    )
+    ul = (u_dev % ublock).astype(jnp.int32)
+    il = (irel_dev % iblock).astype(jnp.int32)
+    cell_s, _, ul, il = lax.sort(
+        (cell.astype(jnp.int32), rand, ul, il), num_keys=2, is_stable=True
+    )
+    pos = jnp.arange(n, dtype=jnp.int32) - strat_start[cell_s]
+    d = cell_s * width + pos
+    st = dict(mode="promise_in_bounds", unique_indices=True)
+    users = jnp.zeros((S * S * width,), jnp.int32).at[d].set(ul, **st)
+    positems = jnp.zeros((S * S * width,), jnp.int32).at[d].set(il, **st)
+    weights = jnp.zeros((S * S * width,), jnp.float32).at[d].set(1.0, **st)
+    users = users.reshape(S * S, width)
+    positems = positems.reshape(S * S, width)
+    weights = weights.reshape(S * S, width)
+
+    # block-local negatives with exact rejection against the (relabeled)
+    # positive pairs, entirely on device
+    def draw(k):
+        r = jax.random.randint(
+            k, (S * S, width), 0, iblock, dtype=jnp.int32
+        )
+        return r % block_rows[:, None]
+
+    neg = draw(jax.random.fold_in(key_neg, 0))
+    gu = users + s_of_cell[:, None] * ublock
+    gbase = (cell_block * iblock)[:, None]
+
+    def body(r, neg):
+        pending = members_2key(pu, pi, gu, gbase + neg) & (weights > 0)
+        fresh = draw(jax.random.fold_in(key_neg, r + 1))
+        return jnp.where(pending, fresh, neg)
+
+    neg = lax.fori_loop(0, MAX_REJECTION_ROUNDS, body, neg)
+    return users, positems, neg, weights
+
+
+def bpr_ring_epoch_device(
+    skel: BprRingSkeleton, u_dev, irel_dev, seed: int, epoch: int,
+    batch_size: int,
+) -> dict:
+    base = jax.random.key(seed)
+    ks = jax.random.fold_in(jax.random.fold_in(base, 0x5F), epoch)
+    kn = jax.random.fold_in(jax.random.fold_in(base, 0xBB5D), epoch)
+    u, p, negs, w = _bpr_ring_epoch_device(
+        u_dev, irel_dev, ks, kn, skel.strat_start, skel.cell_block,
+        skel.block_rows, skel.s_of_cell, skel.pu, skel.pi,
+        S=skel.S, ublock=skel.ublock, iblock=skel.iblock,
+        width=skel.width,
+    )
+    S, nb = skel.S, skel.nb
+    shape = (S, S, nb, batch_size)
+    return {
+        "users": u.reshape(shape),
+        "pos": p.reshape(shape),
+        "neg": negs.reshape(shape),
+        "weights": w.reshape(shape),
+    }
+
+
 def make_bpr_ring_epoch_fn(mesh: Mesh):
     S = mesh.shape[MODEL_AXIS]
     ring = [(j, (j - 1) % S) for j in range(S)]
@@ -219,8 +365,26 @@ def train_epochs_bpr_ring(
     U, I = train.num_users, train.num_items
     fwd, inv = item_shuffle(I, seed)
     epoch_fn = make_bpr_ring_epoch_fn(mesh)
-    # exact negatives: positive-key index in the relabeled item space
-    pos_keys = np.sort(train.user.astype(np.int64) * I + fwd[train.item])
+    use_dev = cfg.sample_device == "device" or (
+        cfg.sample_device == "auto" and jax.default_backend() == "tpu"
+    )
+    per_shard_bs = -(-cfg.batch_size // S)
+    if use_dev:
+        # device prep (directive #8): skeleton once, then each epoch is a
+        # seeded device sort/scatter + in-graph negative rejection —
+        # per-epoch host work is O(1)
+        u_dev = jnp.asarray(train.user, jnp.int32)
+        irel_dev = jnp.asarray(fwd)[jnp.asarray(train.item, jnp.int32)]
+        skel = build_bpr_ring_skeleton(
+            u_dev, irel_dev, S, U, I, per_shard_bs
+        )
+        n_real = skel.n_real
+    else:
+        # exact negatives: positive-key index in the relabeled item space
+        pos_keys = np.sort(
+            train.user.astype(np.int64) * I + fwd[train.item]
+        )
+        n_real = train.n_ratings
     # relabel item rows once: internal Q[j] = Q_orig[inv[j]]
     shuffled = MFModel(
         P=model.P, Q=jnp.asarray(np.asarray(model.Q)[inv]),
@@ -228,16 +392,22 @@ def train_epochs_bpr_ring(
     )
     padded = shard_model(shuffled, S)
     for epoch in range(start_epoch, cfg.epochs):
-        plan = plan_bpr_ring_epoch(
-            train, S, -(-cfg.batch_size // S), seed + cfg.neg_seed, epoch,
-            item_map=fwd, pos_keys=pos_keys,
-        )
-        arrays = {
-            "users": jnp.asarray(plan.users),
-            "pos": jnp.asarray(plan.pos),
-            "neg": jnp.asarray(plan.neg),
-            "weights": jnp.asarray(plan.weights),
-        }
+        if use_dev:
+            arrays = bpr_ring_epoch_device(
+                skel, u_dev, irel_dev, seed + cfg.neg_seed, epoch,
+                per_shard_bs,
+            )
+        else:
+            plan = plan_bpr_ring_epoch(
+                train, S, per_shard_bs, seed + cfg.neg_seed, epoch,
+                item_map=fwd, pos_keys=pos_keys,
+            )
+            arrays = {
+                "users": jnp.asarray(plan.users),
+                "pos": jnp.asarray(plan.pos),
+                "neg": jnp.asarray(plan.neg),
+                "weights": jnp.asarray(plan.weights),
+            }
         padded, loss = epoch_fn(
             padded, arrays,
             jnp.asarray(cfg.lr, model.P.dtype),
@@ -248,4 +418,4 @@ def train_epochs_bpr_ring(
             P=out.P, Q=jnp.asarray(np.asarray(out.Q)[fwd]),
             bu=out.bu, bi=jnp.asarray(np.asarray(out.bi)[fwd]), mu=out.mu,
         )
-        yield epoch, out, float(loss) / max(1, plan.n_real)
+        yield epoch, out, float(loss) / max(1, n_real)

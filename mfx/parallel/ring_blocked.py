@@ -118,19 +118,35 @@ def make_ring_blocked_epoch_fn(
     seg_meta: tuple,  # ((win0, nwin), ...) static per segment
     exact: bool = False, interpret: bool = False,
     mxu_bf16: bool = False, step_u: bool = False,
+    with_dense: bool = False,
 ):
-    """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh."""
+    """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh.
+
+    With ``with_dense``, each sub-step first runs the dense Zipf-head
+    phase on the held block's local head strata (mfx/solvers/dense_prep
+    ``prepare_dense_ring`` slabs), then the sparse segments — the same
+    dense-then-sparse order as the single-chip fused epoch."""
     axes = _ring_axes(mesh)
     S = geo.S
     ring = [(j, (j - 1) % S) for j in range(S)]
     nseg = len(seg_meta)
 
-    def _epoch(Pm_, Qm_, sas, tcs, tls, lr, reg, mu):
+    def _epoch(Pm_, Qm_, sas, tcs, tls, dense, lr, reg, mu):
         # locals: Pm_ merged P partition; Qm_ the merged block held at t=0
         def substep(carry, xs):
             Pm, Qm = carry
-            xsa, xtc, xtl = xs
+            xsa, xtc, xtl, xdense = xs
             sse = jnp.zeros((), jnp.float32)
+            if with_dense:
+                from mfx.solvers.dense_prep import dense_phase_core
+
+                local = {k: v[0] for k, v in xdense.items()}
+                Pm, Qm, s = dense_phase_core(
+                    Pm, Qm, local, lr, reg, mu,
+                    su=geo.su, si=geo.si, rank=rank, use_bias=use_bias,
+                    exact=exact, interpret=interpret,
+                )
+                sse = sse + s
             for k, (win0, nwin) in enumerate(seg_meta):
                 sweep = {
                     "sa": xsa[k][0], "tc": xtc[k][0], "tl": xtl[k][0]
@@ -147,17 +163,24 @@ def make_ring_blocked_epoch_fn(
             Qm = lax.ppermute(Qm, axes, ring)
             return (Pm, Qm), sse
 
-        (Pm_, Qm_), sses = lax.scan(substep, (Pm_, Qm_), (sas, tcs, tls))
+        (Pm_, Qm_), sses = lax.scan(
+            substep, (Pm_, Qm_), (sas, tcs, tls, dense)
+        )
         return Pm_, Qm_, lax.psum(jnp.sum(sses), axes)
 
     shard_spec = P(axes)
     plan_spec = P(None, axes)
+    dense_spec = {
+        k: plan_spec
+        for k in ("sa", "sc", "R", "du_s", "di_s", "du_tot", "di_tot")
+    } if with_dense else {}
     sharded = jax.shard_map(
         _epoch,
         mesh=mesh,
         in_specs=(
             shard_spec, shard_spec,
             (plan_spec,) * nseg, (plan_spec,) * nseg, (plan_spec,) * nseg,
+            dense_spec,
             P(), P(), P(),
         ),
         out_specs=(shard_spec, shard_spec, P()),
@@ -165,8 +188,8 @@ def make_ring_blocked_epoch_fn(
     )
 
     @jax.jit
-    def epoch(Pm, Qm, sas, tcs, tls, lr, reg, mu):
-        return sharded(Pm, Qm, sas, tcs, tls, lr, reg, mu)
+    def epoch(Pm, Qm, sas, tcs, tls, dense, lr, reg, mu):
+        return sharded(Pm, Qm, sas, tcs, tls, dense, lr, reg, mu)
 
     return epoch
 
@@ -209,10 +232,29 @@ def train_epochs_ring_blocked(
     )
     Pm, Qm = pk.pack_state(padded, geo.su, geo.si)
 
-    # device-resident COO in ring coordinates; the skeleton is built once
+    # device-resident COO in ring coordinates
     u_dev = jnp.asarray(train.user)
     ir_dev = cyclic_map(jnp.asarray(train.item, jnp.int32), S, geo.iblock)
     r_dev = jnp.asarray(train.rating)
+
+    # dense Zipf-head strata per (sub-step, shard) cell (directive #5)
+    pack = 128 // rank
+    want_dense = cfg.dense_chi > 0 and geo.su == geo.si and pack in (1, 2, 4)
+    dense_tensors = {}
+    if want_dense:
+        from mfx.solvers.blocked import DENSE_HEAD_ITEMS
+        from mfx.solvers.dense_prep import prepare_dense_ring
+
+        dense_tensors, (u_dev, ir_dev, r_dev), _ = prepare_dense_ring(
+            u_dev, ir_dev, r_dev, S, geo.ublock, geo.iblock, geo.su,
+            geo.si, chi_min=cfg.dense_chi, head_items=DENSE_HEAD_ITEMS,
+            pack=pack,
+        )
+        if dense_tensors is None:
+            dense_tensors = {}
+    with_dense = bool(dense_tensors)
+
+    # the sparse plan skeleton is built once from the remaining ratings
     skel = prd.build_ring_skeleton(
         u_dev, ir_dev, S, geo.ublock, geo.iblock, geo.su, geo.si,
         geo.tile, geo.tpg, geo.nwin,
@@ -225,6 +267,7 @@ def train_epochs_ring_blocked(
         mesh, geo, rank, use_bias, seg_meta,
         exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
+        with_dense=with_dense,
     )
     replan_every = cfg.replan_every
     tls = None
@@ -235,7 +278,7 @@ def train_epochs_ring_blocked(
                 prd.epoch_tiles_ring(skel, u_dev, ir_dev, r_dev, seed, epoch)
             )
         Pm, Qm, sse = epoch_fn(
-            Pm, Qm, sas, tcs, tls,
+            Pm, Qm, sas, tcs, tls, dense_tensors,
             jnp.asarray(lr, jnp.float32),
             jnp.asarray(cfg.reg, jnp.float32),
             jnp.asarray(mu, jnp.float32),

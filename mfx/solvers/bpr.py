@@ -95,6 +95,31 @@ def _pad_triples(u, i, j, batch_size):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("batch_size", "num_items"))
+def _epoch_triples_device(
+    u_dev, i_dev, pu, pi, key_perm, key_neg, *, batch_size, num_items
+):
+    """One epoch's padded triple batches built entirely on device: seeded
+    permutation, exact negatives (sample_negatives_device), padding."""
+    from mfx.data.bpr import sample_negatives_device
+
+    n = u_dev.shape[0]
+    perm = jax.random.permutation(key_perm, n)
+    u = u_dev[perm]
+    i = i_dev[perm]
+    j = sample_negatives_device(key_neg, u, pu, pi, num_items)
+    nb = max(1, -(-n // batch_size))
+    pad = nb * batch_size - n
+    w = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))
+    shape = (nb, batch_size)
+    return {
+        "users": jnp.pad(u, (0, pad)).reshape(shape),
+        "pos": jnp.pad(i, (0, pad)).reshape(shape),
+        "neg": jnp.pad(j, (0, pad)).reshape(shape),
+        "weights": w.reshape(shape),
+    }
+
+
 def train_epochs_bpr(
     model: MFModel,
     train: RatingsCOO,
@@ -102,14 +127,37 @@ def train_epochs_bpr(
     seed: int = 0,
     start_epoch: int = 0,
 ) -> Iterator[tuple[int, MFModel, float]]:
-    """Yields (epoch, model, mean_pairwise_loss)."""
-    pos_keys = build_positive_index(train)  # exact negatives (VERDICT #9)
+    """Yields (epoch, model, mean_pairwise_loss).
+
+    With ``cfg.sample_device`` device (or auto on TPU), per-epoch prep —
+    permutation, exact negative rejection, batch padding — runs on the
+    accelerator (directive #8); host per-epoch work is O(1)."""
+    use_dev = cfg.sample_device == "device" or (
+        cfg.sample_device == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_dev:
+        from mfx.data.bpr import build_positive_index_device
+
+        u_dev = jnp.asarray(train.user, jnp.int32)
+        i_dev = jnp.asarray(train.item, jnp.int32)
+        pu, pi = build_positive_index_device(u_dev, i_dev)
+        base = jax.random.key(seed + cfg.neg_seed)
+    else:
+        pos_keys = build_positive_index(train)  # exact negatives
     for epoch in range(start_epoch, cfg.epochs):
-        perm = epoch_permutation(train.n_ratings, seed, epoch)
-        u, i, j = bpr_epoch_triples(
-            train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys
-        )
-        batches = _pad_triples(u, i, j, cfg.batch_size)
+        if use_dev:
+            kp = jax.random.fold_in(jax.random.fold_in(base, 0xBE), epoch)
+            kn = jax.random.fold_in(jax.random.fold_in(base, 0xB1), epoch)
+            batches = _epoch_triples_device(
+                u_dev, i_dev, pu, pi, kp, kn,
+                batch_size=cfg.batch_size, num_items=train.num_items,
+            )
+        else:
+            perm = epoch_permutation(train.n_ratings, seed, epoch)
+            u, i, j = bpr_epoch_triples(
+                train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys
+            )
+            batches = _pad_triples(u, i, j, cfg.batch_size)
         model, loss = _epoch_scan(
             model,
             batches,

@@ -322,6 +322,169 @@ def prepare_dense_device(
     return tensors, (u_sp, i_sp, r_sp), info
 
 
+def prepare_dense_ring(
+    u_dev: jax.Array,
+    ir_dev: jax.Array,  # block-cyclic ring item ids (parallel/ring_blocked)
+    r_dev: jax.Array,
+    S: int,
+    ublock: int,
+    iblock: int,
+    su: int,
+    si: int,
+    chi_min: float,
+    head_items: int,
+    pack: int,
+):
+    """Per-cell dense Zipf-head split for the DSGD ring (VERDICT round 2,
+    directive #5 — round 2 rejected dense_chi>0 for sharded modes).
+
+    A rating's cell is (sub-step t = (block - shard) mod S, shard s);
+    within it, strata are (local user block a, local item window c).
+    Thanks to the block-cyclic item mapping every held block carries its
+    own frequency-sorted local head (global head item i sits at local id
+    i // S), so eligibility is the same chi test as single-chip against
+    the first ceil(ceil(head_items/S)/si) local windows.
+
+    Returns ``(tensors | None, (u_sp, ir_sp, r_sp), info)``. Tensors are
+    uniform [S, S, NDmax, ...] slabs (cells padded with zero strata —
+    exact no-ops in the dense kernel: R=0 masks every cell, degrees 0):
+    ``sa``/``sc`` local block/window ids, ``R`` int8 decimated ratings,
+    ``du_s``/``di_s`` per-stratum degrees, ``du_tot``/``di_tot`` per-cell
+    totals for the bias trust scaling.
+    """
+    if su != si:
+        raise ValueError("dense path requires su == si")
+    A = ublock // su
+    C = iblock // si
+    nwh = min(C, -(-(-(-head_items // S)) // si))
+    i32 = jnp.int32
+    ns = S * S * A * C
+    s_of = (u_dev // ublock).astype(i32)
+    b_of = (ir_dev // iblock).astype(i32)
+    t_of = (b_of - s_of) % S
+    a_of = ((u_dev % ublock) // su).astype(i32)
+    c_of = ((ir_dev % iblock) // si).astype(i32)
+    cell = t_of * S + s_of
+    sid = (cell * A + a_of) * C + c_of
+    counts = np.asarray(
+        jax.ops.segment_sum(jnp.ones_like(sid), sid, num_segments=ns)
+    )
+    thresh = max(1.0, chi_min * su * si)
+    eligible = (counts >= thresh).reshape(S * S, A, C)
+    eligible[:, :, nwh:] = False
+    nd_cell = eligible.reshape(S * S, -1).sum(axis=1)
+    ndmax = int(nd_cell.max())
+    if ndmax == 0:
+        return None, (u_dev, ir_dev, r_dev), {"dense_frac": 0.0}
+    sup, sip = su // pack, si // pack
+    cells_sz = pack * pack * sup * sip
+    if S * S * ndmax * cells_sz >= 2**31:
+        raise NotImplementedError(
+            "ring dense tensor exceeds int32 addressing; raise chi_min"
+        )
+    # slab slot per eligible stratum: cell * NDmax + rank within cell,
+    # strata ordered (a, c) inside the cell (kernel grid is a-contiguous)
+    remap = np.full(ns, -1, np.int32)
+    sa_d = np.zeros((S * S, ndmax), np.int32)
+    sc_d = np.zeros((S * S, ndmax), np.int32)
+    for q in range(S * S):
+        el = np.flatnonzero(eligible[q].reshape(-1))  # sorted by (a, c)
+        nd = el.shape[0]
+        remap[q * A * C + el] = q * ndmax + np.arange(nd, dtype=np.int32)
+        sa_d[q, :nd] = el // C
+        sc_d[q, :nd] = el % C
+        if nd and nd < ndmax:
+            sa_d[q, nd:] = sa_d[q, nd - 1]  # pad keeps a-runs contiguous
+
+    st_full = jnp.asarray(remap)[sid]
+    dense_mask = st_full >= 0
+    n_dense = int(dense_mask.sum())  # one D2H scalar; fixes shapes below
+    order = jnp.argsort(~dense_mask, stable=True)  # dense first
+    dpos, spos = order[:n_dense], order[n_dense:]
+    u_sp, ir_sp, r_sp = u_dev[spos], ir_dev[spos], r_dev[spos]
+
+    ud, ird, rd = u_dev[dpos], ir_dev[dpos], r_dev[dpos]
+    st = st_full[dpos]
+    lu = (ud % su).astype(i32)
+    li = (ird % si).astype(i32)
+    parity = (lu % pack) * pack + (li % pack)
+    flat_pos = (
+        st * cells_sz + parity * (sup * sip) + (lu // pack) * sip
+        + (li // pack)
+    )
+
+    def seg(ids, n):
+        return jax.ops.segment_sum(
+            jnp.ones_like(ids, jnp.float32), ids, num_segments=n
+        )
+
+    nd_slab = S * S * ndmax
+    deg_us = seg(st * su + lu, nd_slab * su).reshape(nd_slab, su)
+    deg_is = seg(st * si + li, nd_slab * si).reshape(nd_slab, si)
+    cell_d = (cell * A + a_of)[dpos]
+    du_tot = seg(cell_d * su + lu, S * S * A * su).reshape(S * S * A, su)
+    cell_w = (cell[dpos] * nwh + c_of[dpos])
+    di_tot = seg(cell_w * si + li, S * S * nwh * si).reshape(S * S * nwh, si)
+
+    # chunked int8 R build over the device-sorted slab position stream
+    # (identical scheme to prepare_dense_device; chunks never split a
+    # stratum, so dedup-averaging is exact per cell)
+    from mfx.kernels.dense_pallas import R_SCALE
+
+    fp_order = jnp.argsort(flat_pos)
+    fp = flat_pos[fp_order]
+    rv = rd[fp_order]
+    chunk_nd = max(1, (128 << 20) // cells_sz)
+    bounds = (
+        np.arange(0, nd_slab + chunk_nd, chunk_nd).clip(max=nd_slab)
+        * cells_sz
+    )
+    cuts = np.asarray(jnp.searchsorted(fp, jnp.asarray(bounds)))
+    parts = []
+    for ci in range(len(bounds) - 1):
+        lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
+        lo_cell = int(bounds[ci])
+        size = int(bounds[ci + 1]) - lo_cell
+        if size == 0:
+            continue
+        m = hi_s - lo_s
+        mp = 1 << max(0, (m - 1)).bit_length()
+        pos = jnp.full((mp,), size, i32)
+        val = jnp.zeros((mp,), jnp.float32)
+        pos = pos.at[:m].set((fp[lo_s:hi_s] - lo_cell).astype(i32))
+        val = val.at[:m].set(rv[lo_s:hi_s])
+        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(val, mode="drop")
+        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(
+            jnp.where(jnp.arange(mp) < m, 1.0, 0.0), mode="drop"
+        )
+        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
+        parts.append(
+            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0)
+            .astype(jnp.int8)
+            .reshape(-1, pack * pack * sup, sip)
+        )
+    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+    def dec(x, lead, size):
+        return x.reshape(lead + (size // pack, pack))
+
+    tensors = {
+        "sa": jnp.asarray(sa_d).reshape(S, S, ndmax),
+        "sc": jnp.asarray(sc_d).reshape(S, S, ndmax),
+        "R": R.reshape(S, S, ndmax, pack * pack * sup, sip),
+        "du_s": dec(deg_us, (S, S, ndmax), su),
+        "di_s": dec(deg_is, (S, S, ndmax), si),
+        "du_tot": dec(du_tot, (S, S, A), su),
+        "di_tot": dec(di_tot, (S, S, nwh), si),
+    }
+    info = {
+        "dense_frac": n_dense / max(1, int(u_dev.shape[0])),
+        "num_strata": int(nd_cell.sum()),
+        "ndmax": ndmax,
+    }
+    return tensors, (u_sp, ir_sp, r_sp), info
+
+
 def _bias_from_merged(T, stride, sup, size):
     """(blocks*stride, 128) merged table -> (blocks, size) bias vectors."""
     blocks = T.shape[0] // stride

@@ -57,13 +57,13 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
             f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
-    if mode in ("sharded", "hybrid") and sgd.kernel == "pallas" and (
+    if mode in ("sharded", "hybrid") and sgd.kernel == "jnp" and (
         sgd.dense_chi > 0
     ):
         raise ValueError(
-            "the dense Zipf-head phase is single-chip only; the DSGD ring "
-            "would silently skip it — set sgd.dense_chi=0 for "
-            f"parallel.mode={mode!r} (or run parallel.mode='single')"
+            "the dense Zipf-head phase needs the fused kernel; set "
+            "sgd.kernel=pallas (the DSGD ring runs per-shard dense strata "
+            "on the held block) or sgd.dense_chi=0"
         )
 
 

@@ -78,3 +78,70 @@ def test_bpr_ring_learns_and_deterministic():
     np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
     auc = sampled_auc(outs[0], test, seed=9)
     assert auc > 0.58, auc
+
+
+def test_bpr_ring_device_plan_covers_pairs_exactly():
+    """Device ring prep (directive #8): every (user, pos) pair appears
+    exactly once; negatives stay block-local, in-catalog, and are never
+    positives."""
+    import jax.numpy as jnp
+
+    from mfx.data.bpr import build_positive_index
+    from mfx.parallel.bpr_sharded import (
+        bpr_ring_epoch_device, build_bpr_ring_skeleton,
+    )
+
+    coo = synthetic.make_implicit_synthetic(120, 160, 5_000, rank=4, seed=3)
+    S = 4
+    fwd, inv = item_shuffle(160, seed=7)
+    u_dev = jnp.asarray(coo.user)
+    irel = jnp.asarray(fwd)[jnp.asarray(coo.item)]
+    skel = build_bpr_ring_skeleton(u_dev, irel, S, 120, 160, 64)
+    assert skel.n_real == 5_000
+    arrays = bpr_ring_epoch_device(skel, u_dev, irel, seed=0, epoch=0,
+                                   batch_size=64)
+    users = np.asarray(arrays["users"])
+    pos = np.asarray(arrays["pos"])
+    neg = np.asarray(arrays["neg"])
+    w = np.asarray(arrays["weights"]).astype(bool)
+    pos_set = set(zip(coo.user.tolist(), coo.item.tolist()))
+    got_pairs = set()
+    neg_hits = 0
+    for t in range(S):
+        for s in range(S):
+            b = (s + t) % S
+            wm = w[t, s]
+            gu = s * skel.ublock + users[t, s][wm]
+            gp = b * skel.iblock + pos[t, s][wm]
+            gn = b * skel.iblock + neg[t, s]
+            assert np.all(gn < min((b + 1) * skel.iblock, 160))
+            got_pairs.update(zip(gu.tolist(), inv[gp].tolist()))
+            gn_real = gn[wm]
+            neg_hits += sum(
+                (uu, ii) in pos_set
+                for uu, ii in zip(gu.tolist(), inv[gn_real].tolist())
+            )
+    ref = set(zip(coo.user.tolist(), coo.item.tolist()))
+    assert got_pairs == ref
+    assert neg_hits == 0  # exact rejection on device
+
+
+@requires_8
+def test_bpr_ring_device_learns_and_deterministic():
+    coo = synthetic.make_implicit_synthetic(200, 300, 40_000, rank=2, seed=3)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=4)
+    cfg = BPRConfig(lr=0.1, reg=0.002, epochs=12, batch_size=2048,
+                    sample_device="device")
+    outs = []
+    for _ in range(2):
+        model = init_model(1, 200, 300, 8, global_mean=0.0)
+        for _, model, loss in train_epochs_bpr_ring(
+            model, train, cfg, mesh, seed=0
+        ):
+            pass
+        outs.append(model)
+    np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
+    np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
+    auc = sampled_auc(outs[0], test, seed=9)
+    assert auc > 0.58, auc

@@ -200,3 +200,68 @@ def test_ring_blocked_streamed_block_on_mesh(monkeypatch):
     assert hist[-1] < hist[0]
     np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
     np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
+
+
+def test_mesh_of_1_bitwise_with_dense_head():
+    """dense_chi > 0 in the ring (VERDICT round 2, directive #5): mesh-of-1
+    must stay bitwise-identical to the single-chip dense+sparse pipeline
+    (identical split, identical strata order, identical kernels)."""
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    U1, I1, N1 = 300, 260, 12_000
+    coo = synthetic.make_synthetic(U1, I1, N1, rank=4, noise=0.3, seed=7)
+    cfg = dataclasses.replace(CFG, epochs=2, dense_chi=0.05)
+    mesh = make_mesh()  # 1x1
+
+    m_ring = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_ring, _ in train_epochs_ring_blocked(
+        m_ring, coo, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True
+    ):
+        pass
+
+    m_single = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_single, _ in train_epochs_blocked(
+        m_single, coo, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+
+    for a, b in [
+        (m_ring.P, m_single.P), (m_ring.Q, m_single.Q),
+        (m_ring.bu, m_single.bu), (m_ring.bi, m_single.bi),
+    ]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_8
+def test_ring_dense_head_on_mesh():
+    """8-shard ring with per-cell dense strata: trains, deterministic, and
+    converges like the dense-disabled ring on the same data."""
+    coo = synthetic.make_synthetic(600, 640, 40_000, rank=4, noise=0.3,
+                                   seed=8)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=8)
+
+    def run(chi):
+        model = init_model(0, 600, 640, 64, global_mean=train.global_mean)
+        for _, model, tr in train_epochs_ring_blocked(
+            model, train,
+            dataclasses.replace(CFG, epochs=4, dense_chi=chi),
+            use_bias=True, mesh=mesh, seed=0, interpret=True,
+        ):
+            pass
+        return model, tr
+
+    m_dense, tr_dense = run(0.05)
+    m_dense2, _ = run(0.05)
+    np.testing.assert_array_equal(
+        np.asarray(m_dense.P), np.asarray(m_dense2.P)
+    )
+    m_off, tr_off = run(0.0)
+    r_dense = rmse(m_dense, test)
+    r_off = rmse(m_off, test)
+    assert np.isfinite(tr_dense)
+    # dense strata batch the same updates per-stratum (trust-scaled), so
+    # early-epoch convergence lags slightly at this exaggerated chi; the
+    # held-out gap must stay small and both must be learning
+    assert r_dense < 0.75 and r_off < 0.75, (r_dense, r_off)
+    assert abs(r_dense - r_off) < 0.07, (r_dense, r_off)

@@ -42,8 +42,13 @@ NOISE = 0.35
 
 
 def _setup():
+    # the DP composition of configs[3] (available via mode=dp overrides;
+    # the preset's default path is the fused ring, tested below)
     cfg = preset("netflix100m_rank128_dp")
-    sgd = dataclasses.replace(cfg.sgd, epochs=8, batch_size=1 << 15)
+    sgd = dataclasses.replace(
+        cfg.sgd, epochs=8, batch_size=1 << 15,
+        partitioner="fixed", kernel="jnp", dense_chi=0.0,
+    )
     coo = synthetic.make_synthetic(U, I, N, rank=8, noise=NOISE, seed=5)
     train, test = train_test_split(coo, test_frac=0.05, seed=0)
     model = init_model(
@@ -56,7 +61,6 @@ def _setup():
 def test_netflix_preset_converges_on_zipf_skew():
     cfg, sgd, train, test, model = _setup()
     assert sgd.dup_trust == 16.0  # the preset ships the guard ON
-    assert sgd.partitioner == "fixed" and sgd.kernel == "jnp"
     mesh = make_mesh(data=8)
     history = []
     for _, model, tr in train_epochs_dp(
@@ -85,3 +89,41 @@ def test_netflix_preset_diverges_without_dup_trust():
     ):
         last = rmse(model, test)
     assert not np.isfinite(last) or last > 2.0, last
+
+
+@requires_8
+def test_netflix_preset_default_path_runs_fused_ring():
+    """The preset's CONFIGURED path (VERDICT round 2, directive #4): the
+    fused Pallas kernel in the 8-shard DSGD ring at rank 128 (pack 1)
+    with the per-shard dense head — must train and improve on the scaled
+    Zipf-skewed stand-in through the driver's routing."""
+    from mfx.parallel.ring_blocked import train_epochs_ring_blocked
+    from mfx.train.driver import _validate_parallel_sgd
+
+    cfg = preset("netflix100m_rank128_dp")
+    assert cfg.sgd.kernel == "pallas" and cfg.parallel.mode == "sharded"
+    _validate_parallel_sgd(cfg)  # driver accepts the preset as configured
+
+    # geometry + lr scaled with the ~300x-smaller stand-in (the preset's
+    # lr=0.006 moves RMSE imperceptibly in 3 tiny epochs); the assertion
+    # here is the preset ROUTING + rank-128/pack-1 ring mechanics
+    sgd = dataclasses.replace(
+        cfg.sgd, epochs=3, lr=0.03, ublock=128, iblock=128, tile=64,
+        dense_chi=0.05, replan_every=1,
+    )
+    coo = synthetic.make_synthetic(U, I, N // 10, rank=8, noise=NOISE,
+                                   seed=5)
+    train, test = train_test_split(coo, test_frac=0.05, seed=0)
+    model = init_model(0, U, I, cfg.model.rank,
+                       global_mean=train.global_mean)
+    mesh = make_mesh(model=8)
+    history = []
+    for _, model, tr in train_epochs_ring_blocked(
+        model, train, sgd, use_bias=cfg.model.use_bias, mesh=mesh, seed=0,
+        interpret=True,
+    ):
+        history.append(tr)
+    history = np.asarray(history)
+    assert np.isfinite(history).all(), history
+    assert history[-1] < history[0], history  # training is learning
+    assert np.isfinite(rmse(model, test))
