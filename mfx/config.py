@@ -211,7 +211,13 @@ PRESETS: dict[str, TrainConfig] = {
             batch_size=1 << 16,
             partitioner="blocked",
             kernel="pallas",
-            tile=256,  # best measured real-plan geometry on v5e (STATUS.md)
+            # su=si=1024 runs the sparse sweeps 1.19x faster than 512
+            # (bigger one-hot matmuls, better tile fill) now that the
+            # dense kernel's accumulator form keeps its VMEM stack flat
+            # (round-2 blocker); tile=256 best measured on v5e
+            ublock=1024,
+            iblock=1024,
+            tile=256,
             # dense fast path for the Zipf head; 0.0025 is the measured
             # optimum with int8 R streaming (67% of ratings dense)
             dense_chi=0.0025,
