@@ -33,13 +33,16 @@ TARGET_UPS_PER_CHIP = 1e9  # BASELINE.json north star
 
 # quality-metric targets (BASELINE.json "epochs to RMSE 0.92 on ML-25M"):
 # on real data the absolute target applies; the seeded synthetic stand-in
-# injects noise=0.35, but its EMPIRICAL converged test floor is ~1.07x
-# that (clip truncation + regularized finite-sample fit — measured
-# 0.3746 over 30-epoch runs across schedules), so the analog gate is
-# 1.08x noise = within 1% of the achievable floor
+# injects noise=0.35 AND (since generator v4) rounds labels to the real
+# half-star grid, so its EMPIRICAL converged test floor is ~1.15x the
+# injected noise (rounding variance step^2/12 + clip truncation +
+# regularized finite-sample fit — measured 0.4023 at epoch 32 of the
+# preset schedule, still creeping ~1e-4/epoch). The analog gate is
+# 1.16x noise = 0.406, within 1% of the achievable floor (same margin
+# the v3 gate used; methodology in STATUS.md).
 TARGET_RMSE_REAL = 0.92
 SYNTHETIC_NOISE_FLOOR = 0.35
-SYNTHETIC_TARGET_FACTOR = 1.08
+SYNTHETIC_TARGET_FACTOR = 1.16
 MAX_CONVERGENCE_EPOCHS = 40
 
 

@@ -77,6 +77,12 @@ class SGDConfig:
     # with exact segment-sum accumulation; item side stays per-tile.
     # False = the parity-tested per-tile path.
     step_user_batch: bool = False
+    # dense-phase rating stream width: 'int8' grid (round(r*25), ~0.012
+    # std error), or 'int4' nibbles (round(r*2) — EXACT for real star-
+    # scale ratings, half the HBM stream). 'auto' picks int4 when every
+    # rating is exactly on the half-star grid and rank is 64/32
+    # (pack 2/4); 'on' forces it; 'off' keeps int8.
+    dense_int4: str = "auto"
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4
@@ -110,6 +116,11 @@ class SGDConfig:
             raise ValueError(
                 "sgd.partitioner must be 'fixed', 'conflict_free' or "
                 f"'blocked', got {self.partitioner!r}"
+            )
+        if self.dense_int4 not in ("auto", "on", "off"):
+            raise ValueError(
+                "sgd.dense_int4 must be 'auto', 'on' or 'off', "
+                f"got {self.dense_int4!r}"
             )
 
 

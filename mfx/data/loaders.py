@@ -38,7 +38,11 @@ DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser(
 # bumped whenever synthetic generation OR parsing/relabeling changes, so
 # stale caches never leak into new runs (the cache filename carries this
 # version). v3: items relabeled by descending frequency on parse.
-GENERATOR_VERSION = 3
+# v4: benchmark-shape synthetics round ratings to their real star scale
+# (ML-25M half-stars, ML-100K/1M + Netflix whole stars) — faithful to the
+# real data's label quantization and lossless under the int4 dense
+# rating stream.
+GENERATOR_VERSION = 4
 
 
 def _densify(raw_u: np.ndarray, raw_i: np.ndarray, ratings: np.ndarray) -> RatingsCOO:
@@ -137,15 +141,21 @@ def parse_netflix(root) -> RatingsCOO:
 # ---- registry ---------------------------------------------------------------
 
 # name -> (raw subdir, parser, synthetic fallback)
-def _synth(shape, rank, seed) -> Callable[[], RatingsCOO]:
-    return lambda: syn.make_synthetic(*shape, rank=rank, seed=seed)
+def _synth(shape, rank, seed, star_step=None) -> Callable[[], RatingsCOO]:
+    return lambda: syn.make_synthetic(
+        *shape, rank=rank, seed=seed, star_step=star_step
+    )
 
 
 _REGISTRY: dict[str, tuple[str, Callable, Callable[[], RatingsCOO]]] = {
-    "ml-100k": ("ml-100k", parse_ml100k, _synth(syn.ML100K_SHAPE, 16, 100)),
-    "ml-1m": ("ml-1m", parse_ml1m, _synth(syn.ML1M_SHAPE, 32, 101)),
-    "ml-25m": ("ml-25m", parse_ml25m, _synth(syn.ML25M_SHAPE, 64, 102)),
-    "netflix": ("netflix", parse_netflix, _synth(syn.NETFLIX_SHAPE, 128, 103)),
+    "ml-100k": ("ml-100k", parse_ml100k,
+                _synth(syn.ML100K_SHAPE, 16, 100, star_step=1.0)),
+    "ml-1m": ("ml-1m", parse_ml1m,
+              _synth(syn.ML1M_SHAPE, 32, 101, star_step=1.0)),
+    "ml-25m": ("ml-25m", parse_ml25m,
+               _synth(syn.ML25M_SHAPE, 64, 102, star_step=0.5)),
+    "netflix": ("netflix", parse_netflix,
+                _synth(syn.NETFLIX_SHAPE, 128, 103, star_step=1.0)),
     "billion-implicit": (
         "billion-implicit",
         None,

@@ -41,6 +41,7 @@ def make_synthetic(
     clip: tuple[float, float] = (0.5, 5.0),
     seed: int = 0,
     chunk: int = 8_000_000,
+    star_step: float | None = None,
 ) -> RatingsCOO:
     """Seeded explicit-feedback synthetic dataset from a true low-rank model.
 
@@ -48,6 +49,13 @@ def make_synthetic(
     (user, item) pairs are sampled iid (duplicates possible, harmless for
     SGD benchmarking). Popularity is Zipf-tilted on items to mimic the
     long-tail degree distribution of MovieLens/Netflix data.
+
+    ``star_step`` rounds ratings to that granularity, matching real rating
+    scales exactly (MovieLens-25M: half-stars 0.5; ML-100K/1M and Netflix:
+    whole stars 1.0) — this raises the achievable RMSE floor by the
+    rounding variance (~step²/12) and makes the int4 dense-rating stream
+    (mfx/kernels/dense_pallas.py) lossless, as it is on the real data.
+    None keeps the legacy continuous ratings (small test datasets).
     """
     rng = np.random.default_rng(seed)
     scale = 1.0 / np.sqrt(rank)
@@ -75,6 +83,8 @@ def make_synthetic(
         i = np.minimum(i, num_items - 1)
         r = mean + np.einsum("bk,bk->b", true_p[u], true_q[i])
         r += rng.normal(0.0, noise, size=m).astype(np.float32)
+        if star_step is not None:
+            r = np.round(r / star_step) * star_step
         users[start:stop] = u
         items[start:stop] = i
         ratings[start:stop] = np.clip(r, lo, hi, dtype=np.float32, casting="unsafe")

@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mfx.kernels.sgd_pallas import BIAS_ROWS
 
-__all__ = ["dense_sgd_phase_pallas", "aux_width", "DSTAR", "R_SCALE"]
+__all__ = ["dense_sgd_phase_pallas", "aux_width", "DSTAR", "R_SCALE",
+           "R4_SCALE"]
 
 # strata per kernel call: bounds SMEM scalar prefetch (sa, sc)
 _STRATA_CHUNK = 32768
@@ -59,6 +60,13 @@ _STRATA_CHUNK = 32768
 # [13, 125] well inside int8, and the stream is half of the bf16 layout —
 # a direct 2x on the dense phase's measured throughput ceiling.
 R_SCALE = 25.0
+
+# int4 variant: real rating scales are exact half/whole stars, so
+# round(rating * 2) fits 4 bits with ZERO quantization error (int8's
+# R_SCALE=25 grid has ~0.012 std error). Two parity blocks nibble-pack
+# into one byte along the parity dim (no lane interleaving), halving the
+# R stream the dense phase is HBM-bound on.
+R4_SCALE = 2.0
 
 # Per-row trust scaling: a full-stratum batch step on a row with in-stratum
 # degree d has curvature ∝ lr·d·‖row‖², so rows with d > DSTAR take the
@@ -75,11 +83,16 @@ def aux_width(pack: int) -> int:
     return 8 if pack <= 2 else 16
 
 
-def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
+def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8"):
     if pack not in (1, 2, 4):
         raise NotImplementedError(
             "dense path supports ranks 128/64/32 (pack 1/2/4); rank "
             f"{rank} (pack {pack}) is out of its regime"
+        )
+    if rfmt == "int4" and pack == 1:
+        raise NotImplementedError(
+            "int4 nibble-packing pairs parity blocks (pack^2 even); "
+            "rank 128 (pack 1) uses the int8 stream"
         )
     sup, sip = su // pack, si // pack
     auxw = aux_width(pack)
@@ -157,7 +170,23 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
         dims_nt = ((1,), (1,))  # x (sup,K) · y (sip,K) -> (sup, sip)
         dims_nn = ((1,), (0,))  # (sup,sip) · (sip,K) -> (sup,K)
         dims_tn = ((0,), (0,))  # (sup,sip) ·ᵀ (sup,K) -> (sip,K)
-        inv_scale = f32(1.0 / R_SCALE)
+        inv_scale = f32(1.0 / R_SCALE if rfmt == "int8" else 1.0 / R4_SCALE)
+
+        def load_R(p_idx):
+            if rfmt == "int8":
+                return R_ref[
+                    0, p_idx * sup : (p_idx + 1) * sup, :
+                ].astype(f32)
+            # int4: two parity blocks share a byte block — low nibble =
+            # even parity, high = odd. Mask to u8 semantics first (high
+            # nibbles >= 8 make the stored int8 negative).
+            half = p_idx // 2
+            byte = (
+                R_ref[0, half * sup : (half + 1) * sup, :].astype(jnp.int32)
+                & 255
+            )
+            nib = (byte >> 4) if (p_idx % 2) else (byte & 15)
+            return nib.astype(f32)
         dP = [None] * pack
         dQ = [None] * pack
         ebu = [None] * pack  # per-a row sums of Σ_b E
@@ -166,7 +195,7 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
         for a in range(pack):
             for b in range(pack):
                 p_idx = a * pack + b
-                Rab = R_ref[0, p_idx * sup : (p_idx + 1) * sup, :].astype(f32)
+                Rab = load_R(p_idx)
                 Sab = dotg(Pa[a], Qb[b], dims_nt)
                 Eab = jnp.where(
                     Rab > 0.0, Rab * inv_scale - Sab - bu[a] - bi[b] - mu, 0.0
@@ -233,7 +262,7 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "su", "si", "rank", "nwin", "use_bias", "exact", "interpret"
+        "su", "si", "rank", "nwin", "use_bias", "exact", "interpret", "rfmt"
     ),
 )
 def dense_sgd_phase_pallas(
@@ -255,9 +284,14 @@ def dense_sgd_phase_pallas(
     use_bias: bool = True,
     exact: bool = False,
     interpret: bool = False,
+    rfmt: str = "int8",
 ):
     """Run the dense phase. Returns (Pm, Qh, dbu, dbi, sse) where dbu/dbi
-    are per-stratum E sums for the post-phase bias update."""
+    are per-stratum E sums for the post-phase bias update.
+
+    ``rfmt``: 'int8' (round(r*R_SCALE) bytes) or 'int4' (round(r*2)
+    nibbles, parity-pair-packed — exact for real star-scale ratings and
+    half the HBM stream; see R4_SCALE)."""
     pack = 128 // rank
     auxw = aux_width(pack)
     nd = dense["sa"].shape[0]
@@ -266,13 +300,15 @@ def dense_sgd_phase_pallas(
     hp = jnp.stack(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
-    kernel = _kernel_body(su, si, rank, pack, nwin, use_bias, exact)
+    kernel = _kernel_body(su, si, rank, pack, nwin, use_bias, exact,
+                          rfmt=rfmt)
     pstride = sup + BIAS_ROWS
+    r_rows = (pack * pack // (2 if rfmt == "int4" else 1)) * sup
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nd,),
         in_specs=[
-            pl.BlockSpec((1, pack * pack * sup, sip), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((1, r_rows, sip), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -118,7 +118,7 @@ def make_ring_blocked_epoch_fn(
     seg_meta: tuple,  # ((win0, nwin), ...) static per segment
     exact: bool = False, interpret: bool = False,
     mxu_bf16: bool = False, step_u: bool = False,
-    with_dense: bool = False,
+    with_dense: bool = False, rfmt: str = "int8",
 ):
     """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh.
 
@@ -144,7 +144,7 @@ def make_ring_blocked_epoch_fn(
                 Pm, Qm, s = dense_phase_core(
                     Pm, Qm, local, lr, reg, mu,
                     su=geo.su, si=geo.si, rank=rank, use_bias=use_bias,
-                    exact=exact, interpret=interpret,
+                    exact=exact, interpret=interpret, rfmt=rfmt,
                 )
                 sse = sse + s
             for k, (win0, nwin) in enumerate(seg_meta):
@@ -241,14 +241,16 @@ def train_epochs_ring_blocked(
     pack = 128 // rank
     want_dense = cfg.dense_chi > 0 and geo.su == geo.si and pack in (1, 2, 4)
     dense_tensors = {}
+    rfmt = "int8"
     if want_dense:
-        from mfx.solvers.blocked import DENSE_HEAD_ITEMS
+        from mfx.solvers.blocked import DENSE_HEAD_ITEMS, dense_rfmt
         from mfx.solvers.dense_prep import prepare_dense_ring
 
+        rfmt = dense_rfmt(cfg, pack, r_dev)
         dense_tensors, (u_dev, ir_dev, r_dev), _ = prepare_dense_ring(
             u_dev, ir_dev, r_dev, S, geo.ublock, geo.iblock, geo.su,
             geo.si, chi_min=cfg.dense_chi, head_items=DENSE_HEAD_ITEMS,
-            pack=pack,
+            pack=pack, rfmt=rfmt,
         )
         if dense_tensors is None:
             dense_tensors = {}
@@ -267,7 +269,7 @@ def train_epochs_ring_blocked(
         mesh, geo, rank, use_bias, seg_meta,
         exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
-        with_dense=with_dense,
+        with_dense=with_dense, rfmt=rfmt,
     )
     replan_every = cfg.replan_every
     tls = None

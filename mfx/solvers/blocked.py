@@ -41,6 +41,21 @@ VMEM_Q_BUDGET = 11 * 1024 * 1024
 DENSE_HEAD_ITEMS = 8192
 
 
+def dense_rfmt(cfg: SGDConfig, pack: int, rating) -> str:
+    """Pick the dense-phase rating stream format (SGDConfig.dense_int4).
+    int4 pairs parity blocks, so it needs pack in (2, 4); 'auto' also
+    requires every rating to sit exactly on the half-star grid (then the
+    4-bit encoding is lossless — true for all real MovieLens/Netflix
+    scales)."""
+    if cfg.dense_int4 == "off" or pack not in (2, 4):
+        return "int8"
+    if cfg.dense_int4 == "on":
+        return "int4"
+    r = jnp.asarray(rating)
+    half = bool(jnp.all(jnp.round(r * 2.0) == r * 2.0))
+    return "int4" if half else "int8"
+
+
 def sweep_geometry(
     num_items: int, rank: int, si: int, budget: int | None = None
 ) -> int:
@@ -65,14 +80,14 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "sweep_meta", "mxu_bf16", "step_u",
+        "sweep_meta", "mxu_bf16", "step_u", "rfmt",
     ),
     donate_argnums=(0, 1),
 )
 def _fused_epoch(
     Pm, Qm, sweeps, dense_tensors, lr, reg, mu,
     *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
-    mxu_bf16=False, step_u=False,
+    mxu_bf16=False, step_u=False, rfmt="int8",
 ):
     """One whole epoch — dense phase + every item-sweep — as a single
     donated XLA program. One dispatch per epoch, no host sync inside, and
@@ -90,7 +105,7 @@ def _fused_epoch(
         Pm, Qm, s = run_dense_phase(
             Pm, Qm, dense_tensors, lr, reg, mu,
             su=su, si=si, rank=rank, use_bias=use_bias,
-            exact=exact, interpret=interpret,
+            exact=exact, interpret=interpret, rfmt=rfmt,
         )
         sse = sse + s
     for (win0, nwin), arrs in zip(sweep_meta, sweeps):
@@ -154,6 +169,9 @@ def train_epochs_blocked(
             cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4)
         )
         nwin_head = min(-(-DENSE_HEAD_ITEMS // si), -(-I // si))
+        rfmt = dense_rfmt(cfg, 128 // rank, train.rating) if want_dense else (
+            "int8"
+        )
 
         # dense fast path: carve Zipf-head strata out of the sparse stream
         dense_tensors = None
@@ -172,7 +190,7 @@ def train_epochs_blocked(
                     dp.prepare_dense_device(
                         u_dev, i_dev, r_dev, U, I, su, si,
                         chi_min=cfg.dense_chi, nwin_head=nwin_head,
-                        pack=128 // rank,
+                        pack=128 // rank, rfmt=rfmt,
                     )
                 )
         elif want_dense:
@@ -185,7 +203,7 @@ def train_epochs_blocked(
             )
             if split.num_strata:
                 dense_tensors = dp.build_dense_tensors(
-                    split, train.rating, su, si, 128 // rank
+                    split, train.rating, su, si, 128 // rank, rfmt=rfmt
                 )
                 sparse_train = train.select(split.sparse_idx)
 
@@ -237,6 +255,7 @@ def train_epochs_blocked(
                 su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
                 exact=exact, interpret=interpret, sweep_meta=sweep_meta,
                 mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
+                rfmt=rfmt,
             )
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates

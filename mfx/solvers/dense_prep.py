@@ -134,7 +134,32 @@ def split_dense_strata(
     )
 
 
-def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack):
+
+
+def _quantize_chunk(ravg, rfmt):
+    from mfx.kernels.dense_pallas import R4_SCALE, R_SCALE
+
+    if rfmt == "int8":
+        return (
+            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0).astype(jnp.int8)
+        )
+    # int4: exact for star-scale ratings (r*2 integral); duplicates that
+    # averaged off-grid round to the nearest half-star (same documented
+    # approximation class as int8's 0.04 grid)
+    return jnp.clip(jnp.round(ravg * R4_SCALE), 0.0, 15.0).astype(jnp.int8)
+
+
+def _pack_nibbles(R, nd, pack, sup, sip):
+    """(nd, pack²·sup, sip) int4-valued bytes -> parity-pair nibble-packed
+    (nd, (pack²/2)·sup, sip): low nibble = even parity block, high = odd."""
+    p2 = pack * pack
+    R = R.reshape(nd, p2, sup, sip).astype(jnp.int32)
+    packed = (R[:, 0::2] & 15) | ((R[:, 1::2] & 15) << 4)
+    return packed.astype(jnp.int8).reshape(nd, (p2 // 2) * sup, sip)
+
+
+def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack,
+                        rfmt: str = "int8"):
     """Device tensors for the dense phase (built once per run)."""
     sup, sip = su // pack, si // pack
     nd = split.num_strata
@@ -164,11 +189,11 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack):
         cnt = jnp.zeros((size,), jnp.float32).at[pos].add(1.0)
         ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
         parts.append(
-            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0)
-            .astype(jnp.int8)
-            .reshape(hi - lo, p2 * sup, sip)
+            _quantize_chunk(ravg, rfmt).reshape(hi - lo, p2 * sup, sip)
         )
     R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if rfmt == "int4":
+        R = _pack_nibbles(R, nd, pack, sup, sip)
     # degree columns, decimated: per-stratum (factor reg) + totals (bias reg)
     def dec(deg, blocks, size):  # (blocks, size) -> (blocks, size/pack, pack)
         return jnp.asarray(deg, jnp.float32).reshape(blocks, size // pack, pack)
@@ -195,6 +220,7 @@ def prepare_dense_device(
     chi_min: float,
     nwin_head: int,
     pack: int,
+    rfmt: str = "int8",
 ):
     """Device-side dense/sparse split + dense tensor build.
 
@@ -299,11 +325,11 @@ def prepare_dense_device(
         )
         ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
         parts.append(
-            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0)
-            .astype(jnp.int8)
-            .reshape(-1, pack * pack * sup, sip)
+            _quantize_chunk(ravg, rfmt).reshape(-1, pack * pack * sup, sip)
         )
     R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if rfmt == "int4":
+        R = _pack_nibbles(R, nd, pack, sup, sip)
 
     def dec(deg, blocks, size):
         return deg.reshape(blocks, size // pack, pack)
@@ -334,6 +360,7 @@ def prepare_dense_ring(
     chi_min: float,
     head_items: int,
     pack: int,
+    rfmt: str = "int8",
 ):
     """Per-cell dense Zipf-head split for the DSGD ring (VERDICT round 2,
     directive #5 — round 2 rejected dense_chi>0 for sharded modes).
@@ -459,11 +486,11 @@ def prepare_dense_ring(
         )
         ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
         parts.append(
-            jnp.clip(jnp.round(ravg * R_SCALE), 0.0, 127.0)
-            .astype(jnp.int8)
-            .reshape(-1, pack * pack * sup, sip)
+            _quantize_chunk(ravg, rfmt).reshape(-1, pack * pack * sup, sip)
         )
     R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if rfmt == "int4":
+        R = _pack_nibbles(R, nd_slab, pack, sup, sip)
 
     def dec(x, lead, size):
         return x.reshape(lead + (size // pack, pack))
@@ -471,7 +498,10 @@ def prepare_dense_ring(
     tensors = {
         "sa": jnp.asarray(sa_d).reshape(S, S, ndmax),
         "sc": jnp.asarray(sc_d).reshape(S, S, ndmax),
-        "R": R.reshape(S, S, ndmax, pack * pack * sup, sip),
+        "R": R.reshape(
+            S, S, ndmax,
+            (pack * pack // (2 if rfmt == "int4" else 1)) * sup, sip,
+        ),
         "du_s": dec(deg_us, (S, S, ndmax), su),
         "di_s": dec(deg_is, (S, S, ndmax), si),
         "du_tot": dec(du_tot, (S, S, A), su),
@@ -508,12 +538,13 @@ import functools
 
 @functools.partial(
     jax.jit,
-    static_argnames=("su", "si", "rank", "use_bias", "exact", "interpret"),
+    static_argnames=("su", "si", "rank", "use_bias", "exact", "interpret",
+                     "rfmt"),
     donate_argnums=(0, 1),
 )
 def run_dense_phase(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False,
+    exact=False, interpret=False, rfmt="int8",
 ):
     """One dense phase over all dense strata. Qm is the FULL merged item
     table, donated; the kernel addresses only its head rows. Returns
@@ -527,13 +558,13 @@ def run_dense_phase(
     """
     return dense_phase_core(
         Pm, Qm, tensors, lr, reg, mu, su=su, si=si, rank=rank,
-        use_bias=use_bias, exact=exact, interpret=interpret,
+        use_bias=use_bias, exact=exact, interpret=interpret, rfmt=rfmt,
     )
 
 
 def dense_phase_core(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False,
+    exact=False, interpret=False, rfmt="int8",
 ):
     pack = 128 // rank
     auxw = aux_width(pack)
@@ -573,7 +604,7 @@ def dense_phase_core(
     Pm, Qh, dbu, dbi, sse = dense_sgd_phase_pallas(
         Pm, Qh, dense, lr, reg, mu,
         su=su, si=si, rank=rank, nwin=nwin, use_bias=use_bias,
-        exact=exact, interpret=interpret,
+        exact=exact, interpret=interpret, rfmt=rfmt,
     )
 
     if use_bias:

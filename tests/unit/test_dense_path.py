@@ -12,7 +12,8 @@ from mfx.models import init_model
 from mfx.solvers import dense_prep as dp
 
 
-def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
+def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si,
+            rscale=R_SCALE, rmax=127.0):
     """Dense-matrix mirror: duplicate (u, i) pairs merge by averaging,
     R travels int8-quantized (dense_pallas.R_SCALE), degrees count raw
     ratings (matching the kernel's aux arrays)."""
@@ -37,9 +38,9 @@ def _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si):
         np.add.at(rsum, (lu, li), r)
         np.add.at(cnt, (lu, li), 1.0)
         Ravg = np.where(cnt > 0, rsum / np.maximum(cnt, 1.0), 0.0)
-        q = np.clip(np.round(Ravg * R_SCALE), 0.0, 127.0).astype(np.float32)
+        q = np.clip(np.round(Ravg * rscale), 0.0, rmax).astype(np.float32)
         W = q > 0
-        Ravg = (q * np.float32(1.0 / R_SCALE)).astype(np.float64)
+        Ravg = (q * np.float32(1.0 / rscale)).astype(np.float64)
         rows = slice(a * su, min((a + 1) * su, U0))
         cols = slice(c * si, min((c + 1) * si, I0))
         # .copy(): snapshot semantics — P[rows] is a view, and the in-place
@@ -215,3 +216,68 @@ def test_blocked_trainer_device_pipeline_interpret():
         last = tr
     assert last < first
     assert rmse(model, test) < 1.0
+
+
+@pytest.mark.parametrize("rank,su", [(64, 256), (32, 512)])  # pack 2 / 4
+def test_dense_phase_int4_matches_mirror_interpret(rank, su):
+    """int4 nibble stream (directive #10) vs the mirror on the r*2 grid;
+    half-star data makes the encoding lossless."""
+    U0, I0, si = 600, 600, su
+    pack = 128 // rank
+    coo = synthetic.make_synthetic(U0, I0, 25_000, rank=8, seed=3,
+                                   star_step=0.5)
+    split = dp.split_dense_strata(
+        coo.user, coo.item, U0, I0, su, si,
+        chi_min=0.01, nwin_head=3, pack=pack,
+    )
+    assert split.num_strata > 0
+    model = init_model(2, U0, I0, rank, global_mean=coo.global_mean)
+    model = model.__class__(
+        P=model.P, Q=model.Q,
+        bu=model.bu + 0.05, bi=model.bi - 0.03, mu=model.mu,
+    )
+    tensors = dp.build_dense_tensors(split, coo.rating, su, si, pack,
+                                     rfmt="int4")
+    Pm, Qm = pk.pack_state(model, su, si)
+    lr, reg, mu = 0.008, 0.02, float(model.mu)
+    Pm2, Qm2, sse = dp.run_dense_phase(
+        Pm, Qm, tensors, lr, reg, mu,
+        su=su, si=si, rank=rank, use_bias=True, exact=True, interpret=True,
+        rfmt="int4",
+    )
+    got = pk.unpack_state(Pm2, Qm2, model.mu, U0, I0, rank, su, si)
+    P, Q, bu, bi = _mirror(model, split, coo, lr, reg, mu, U0, I0, su, si,
+                           rscale=2.0, rmax=15.0)
+    np.testing.assert_allclose(np.asarray(got.P), P, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), Q, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.bu), bu, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.bi), bi, atol=5e-6)
+    assert float(sse) > 0
+
+
+def test_blocked_trainer_int4_auto_on_half_stars():
+    """dense_int4='auto' engages on half-star data and the hybrid epoch
+    trains; continuous data falls back to int8."""
+    import dataclasses
+
+    from mfx.config import SGDConfig
+    from mfx.solvers.blocked import dense_rfmt, train_epochs_blocked
+
+    cfg = SGDConfig(
+        lr=0.01, reg=0.02, epochs=2, partitioner="blocked", kernel="pallas",
+        ublock=256, iblock=256, tile=64, dense_chi=0.02,
+    )
+    coo_h = synthetic.make_synthetic(500, 500, 30_000, rank=6, seed=5,
+                                     star_step=0.5)
+    coo_c = synthetic.make_synthetic(500, 500, 30_000, rank=6, seed=5)
+    assert dense_rfmt(cfg, 2, coo_h.rating) == "int4"
+    assert dense_rfmt(cfg, 2, coo_c.rating) == "int8"
+    assert dense_rfmt(cfg, 1, coo_h.rating) == "int8"  # rank 128 regime
+
+    model = init_model(0, 500, 500, 64, global_mean=coo_h.global_mean)
+    hist = []
+    for _, m, tr in train_epochs_blocked(
+        model, coo_h, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        hist.append(tr)
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]

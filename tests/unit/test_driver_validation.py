@@ -38,7 +38,11 @@ def test_all_presets_pass_validation():
             _validate_parallel_sgd(cfg)
 
 
-def test_netflix_preset_enables_dup_trust():
+def test_netflix_preset_runs_fused_ring_and_keeps_dup_trust():
+    # round 3 re-pointed configs[3] at the fused Pallas ring; dup_trust
+    # stays set for the mode=dp override composition (the divergence
+    # guard the DP path needs on Zipf-skewed data)
     cfg = PRESETS["netflix100m_rank128_dp"]
-    assert cfg.sgd.partitioner == "fixed"
+    assert cfg.sgd.partitioner == "blocked" and cfg.sgd.kernel == "pallas"
+    assert cfg.parallel.mode == "sharded"
     assert cfg.sgd.dup_trust > 0.0
