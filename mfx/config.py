@@ -77,6 +77,16 @@ class SGDConfig:
     # with exact segment-sum accumulation; item side stays per-tile.
     # False = the parity-tested per-tile path.
     step_user_batch: bool = False
+    # bias update granularity on the fused-kernel path:
+    # 'tile'  — per-tile bias gather/scatter inside the kernel (exact
+    #           per-occurrence updates; the parity-tested default)
+    # 'epoch' — biases frozen per epoch: the planner bakes bu[u]+bi[i]
+    #           into the tile stream, the kernel emits residuals, and one
+    #           batched trust-scaled bias update applies per epoch —
+    #           removes the per-tile bias machinery (~26% of the sparse
+    #           path). Requires kernel='pallas' + the device planner;
+    #           single-chip only (the ring keeps 'tile').
+    bias_mode: str = "tile"
     # dense-phase rating stream width: 'int8' grid (round(r*25), ~0.012
     # std error), or 'int4' nibbles (round(r*2) — EXACT for real star-
     # scale ratings, half the HBM stream). 'auto' picks int4 when every
@@ -121,6 +131,21 @@ class SGDConfig:
             raise ValueError(
                 "sgd.dense_int4 must be 'auto', 'on' or 'off', "
                 f"got {self.dense_int4!r}"
+            )
+        if self.bias_mode not in ("tile", "epoch"):
+            raise ValueError(
+                f"sgd.bias_mode must be 'tile' or 'epoch', got "
+                f"{self.bias_mode!r}"
+            )
+        if self.bias_mode == "epoch" and self.kernel != "pallas":
+            raise ValueError(
+                "sgd.bias_mode='epoch' is implemented by the fused Pallas "
+                "kernel; set sgd.kernel='pallas'"
+            )
+        if self.bias_mode == "epoch" and self.step_user_batch:
+            raise ValueError(
+                "sgd.bias_mode='epoch' and sgd.step_user_batch are "
+                "mutually exclusive kernel variants"
             )
 
 

@@ -204,12 +204,13 @@ def _epoch_tiles(
     # within-stratum shuffle; ties are resolved by lax.sort's stable order
     # on the remaining operands, keeping the pass deterministic either way
     rand = jax.random.bits(key, (n,), dtype=jnp.uint32).astype(jnp.int32)
-    ul = (u % su).astype(jnp.int32)
-    il = (i % si).astype(jnp.int32)
     rb = lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
-    sid_s, _, ul, il, rb = lax.sort(
-        (sid, rand, ul, il, rb), num_keys=2, is_stable=True
+    sid_s, _, u_s, i_s, rb = lax.sort(
+        (sid, rand, u.astype(jnp.int32), i.astype(jnp.int32), rb),
+        num_keys=2, is_stable=True,
     )
+    ul = u_s % su
+    il = i_s % si
     pos = jnp.arange(n, dtype=jnp.int32) - strat_start[sid_s]
     d = pos_base[sid_s] + pos  # strictly increasing padded slot per rating
     o = (d // tile) * (3 * tile) + d % tile
@@ -220,18 +221,26 @@ def _epoch_tiles(
     flat = flat.at[o].set(ul, **st)
     flat = flat.at[o + tile].set(il, **st)
     flat = flat.at[o + 2 * tile].set(rb, **st)
-    return flat.reshape(nt_total, 3, tile)
+    return flat.reshape(nt_total, 3, tile), d, u_s, i_s
 
 
 def epoch_tiles_device(
-    skel: PlanSkeleton, u_dev, i_dev, r_dev, seed: int, epoch: int
-) -> jax.Array:
+    skel: PlanSkeleton, u_dev, i_dev, r_dev, seed: int, epoch: int,
+    with_slots: bool = False,
+):
     """The per-epoch pass: (NT, 3, T) tile stream on device, within-stratum
-    order seeded by (seed, epoch)."""
+    order seeded by (seed, epoch). With ``with_slots``, also returns the
+    per-rating flat slot index ``d`` and the sorted global (u, i) id
+    streams — the state the epoch-frozen bias mode needs to refresh its
+    per-slot bias stream and segment-sum residuals each epoch
+    (mfx/solvers/blocked.py)."""
     key = jax.random.fold_in(jax.random.key(seed), epoch)
-    return _epoch_tiles(
+    tiles, d, u_s, i_s = _epoch_tiles(
         u_dev, i_dev, r_dev, key,
         skel.strat_start, skel.pos_base, skel.offs_sweep, skel.nw_arr,
         su=skel.su, si=skel.si, tile=skel.tile, nwin=skel.nwin,
         nt_total=skel.nt_total,
     )
+    if with_slots:
+        return tiles, d, u_s, i_s
+    return tiles

@@ -71,11 +71,21 @@ def _kernel_body(
     use_bias: bool,
     exact: bool,
     mxu_bf16: bool,
+    bias_mode: str = "tile",
 ):
+    # bias_mode='epoch': biases are FROZEN for the epoch — the planner
+    # bakes bu[u]+bi[i] into a per-tile bias stream (bt) and the kernel
+    # emits per-slot residuals (e·mask) instead of running the per-tile
+    # bias gather/scatter machinery (compares + skinny matmuls, measured
+    # 26% of the sparse path); the trainer applies ONE batched
+    # trust-scaled bias update per epoch from segment-summed residuals
+    # (mfx/solvers/blocked.py). The bias rows of the merged blocks stay
+    # untouched (they remain the canonical bias storage).
     sup, sip = su // pack, si // pack
     qstride = sip + BIAS_ROWS
     prec = lax.Precision.HIGHEST if exact else None
     f32 = jnp.float32
+    epoch_bias = use_bias and bias_mode == "epoch"
     # mxu_bf16: feed the one-hot gather/scatter matmuls to the MXU in
     # bfloat16 (f32 accumulate). One-hot matrices are exact in bf16; the
     # gathered factors / scattered deltas round to 8-bit mantissa (~0.4%
@@ -97,14 +107,14 @@ def _kernel_body(
             precision=prec, preferred_element_type=f32,
         )
 
-    def kernel(
-        hp_ref, sa_ref, tc_ref,  # scalar prefetch: f32[3], i32[NG], i32[NT]
-        tl_ref,  # (tpg, 3, T) packed tiles: rows = (u, i_local, bitcast(r))
-        P_in,  # pipelined (sup+8, 128) user block (aliased input)
-        Q_in,  # ANY; donated alias of Q_hbm
-        P_out, Q_hbm, sse_ref,  # outputs
-        Qseg, acc_ref, sem,  # scratch
-    ):
+    def kernel(*refs):
+        if epoch_bias:
+            (hp_ref, sa_ref, tc_ref, tl_ref, bt_ref, P_in, Q_in,
+             P_out, Q_hbm, e_ref, sse_ref, Qseg, acc_ref, sem) = refs
+        else:
+            (hp_ref, sa_ref, tc_ref, tl_ref, P_in, Q_in,
+             P_out, Q_hbm, sse_ref, Qseg, acc_ref, sem) = refs
+            bt_ref = e_ref = None
         del Q_in
         g = pl.program_id(0)
         ng = pl.num_programs(0)
@@ -169,7 +179,9 @@ def _kernel_body(
 
             pred = jnp.sum(pu * qi, axis=-1) + mu
             mask = (u < su).astype(f32)
-            if use_bias:
+            if epoch_bias:
+                pred = pred + bt_ref[j, 0, :]
+            elif use_bias:
                 # bias of local row x lives at block row x//128, lane x%128
                 orow_u = (
                     (u // 128)[:, None]
@@ -209,7 +221,10 @@ def _kernel_body(
                 d_pu128, d_qi128 = d_pu, d_qi
             P_out[:sup, :] = P_out[:sup, :] + dot_t(ou, d_pu128)
             Qseg[pl.ds(qs, sip), :] = Qseg[pl.ds(qs, sip), :] + dot_t(oi, d_qi128)
-            if use_bias:
+            if epoch_bias:
+                e_ref[j, 0, :] = e * mask  # per-slot residuals for the
+                # post-epoch batched bias update
+            elif use_bias:
                 d_bu = lr * (e - reg * bub) * mask  # (T,)
                 d_bi = lr * (e - reg * bib) * mask
                 P_out[sup:, :] = P_out[sup:, :] + dot_t(
@@ -442,7 +457,7 @@ def _kernel_body_step_u(
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "mxu_bf16", "step_u",
+        "mxu_bf16", "step_u", "bias_mode",
     ),
 )
 def blocked_sgd_sweep_pallas(
@@ -462,10 +477,14 @@ def blocked_sgd_sweep_pallas(
     interpret: bool = False,
     mxu_bf16: bool = False,
     step_u: bool = False,
+    bias_mode: str = "tile",
 ):
     """One item-sweep of fused SGD. The sweep's Q segment must fit the VMEM
     budget (epochs over larger item tables run as several sweeps — see
-    mfx.solvers.blocked). Tables are donated. Returns (Pm, Qs, sse).
+    mfx.solvers.blocked). Tables are donated. Returns (Pm, Qs, sse) — or
+    (Pm, Qs, e, sse) with ``bias_mode='epoch'``, where ``sweep['bt']``
+    carries the frozen per-slot bias sums and ``e`` the (NT, T) masked
+    residuals for the post-epoch batched bias update.
 
     Chunked into multiple kernel calls only to bound SMEM prefetch size;
     blocks write back at chunk edges, so the result is identical to one
@@ -475,89 +494,133 @@ def blocked_sgd_sweep_pallas(
     ng = sweep["sa"].shape[0]
     if nt != ng * tpg:
         raise ValueError(f"tc length {nt} != sa length {ng} * tpg {tpg}")
+    epoch_bias = use_bias and bias_mode == "epoch"
+    if epoch_bias and step_u:
+        raise NotImplementedError("bias_mode='epoch' with step_user_batch")
     pack = 128 // rank
     nwin = Qs.shape[0] // (si // pack + BIAS_ROWS)
     f32 = jnp.float32
     sse = jnp.zeros((1, 1), f32)
     step = (TILE_CHUNK // tpg) * tpg
+    e_parts = []
     for off in range(0, nt, step):
         chunk = {
             "sa": sweep["sa"][off // tpg : (off + step) // tpg],
             "tc": sweep["tc"][off : off + step],
             "tl": sweep["tl"][off : off + step],
         }
-        Pm, Qs, s = _sweep_chunk_call(
+        if epoch_bias:
+            chunk["bt"] = sweep["bt"][off : off + step]
+        out = _sweep_chunk_call(
             Pm, Qs, chunk, lr, reg, mu,
             su=su, si=si, rank=rank, tpg=tpg, nwin=nwin,
             use_bias=use_bias, exact=exact, interpret=interpret,
-            mxu_bf16=mxu_bf16, step_u=step_u,
+            mxu_bf16=mxu_bf16, step_u=step_u, bias_mode=bias_mode,
         )
+        if epoch_bias:
+            Pm, Qs, e, s = out
+            e_parts.append(e)
+        else:
+            Pm, Qs, s = out
         sse = sse + s
+    if epoch_bias:
+        e_all = e_parts[0] if len(e_parts) == 1 else jnp.concatenate(
+            e_parts, axis=0
+        )
+        return Pm, Qs, e_all, sse
     return Pm, Qs, sse
 
 
 def _sweep_chunk_call(
     Pm, Qs, sweep, lr, reg, mu,
     *, su, si, rank, tpg, nwin, use_bias, exact, interpret, mxu_bf16=False,
-    step_u=False,
+    step_u=False, bias_mode="tile",
 ):
     pack = 128 // rank
     pstride = su // pack + BIAS_ROWS
     ng = sweep["sa"].shape[0]
     tile = sweep["tl"].shape[2]
+    nt = ng * tpg
+    epoch_bias = use_bias and bias_mode == "epoch"
     f32 = jnp.float32
     hp = jnp.stack(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
     body = _kernel_body_step_u if step_u else _kernel_body
-    kernel = body(
-        su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16
+    if step_u:
+        kernel = body(
+            su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16
+        )
+    else:
+        kernel = body(
+            su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16,
+            bias_mode=bias_mode,
+        )
+    blk_spec = pl.BlockSpec(
+        (pstride, 128),
+        lambda g, hp, sa, tc: (sa[g], 0),
+        memory_space=pltpu.VMEM,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (tpg, 3, tile), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    if epoch_bias:
+        # (NT, 1, T) with a (tpg, 1, T) block: the trailing dims equal the
+        # array's, satisfying Mosaic's block-shape rule (tpg < 8 sublanes
+        # would otherwise be rejected)
+        in_specs.append(
+            pl.BlockSpec(
+                (tpg, 1, tile), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs += [blk_spec, pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [blk_spec, pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_shape = [
+        jax.ShapeDtypeStruct(Pm.shape, f32),
+        jax.ShapeDtypeStruct(Qs.shape, f32),
+    ]
+    if epoch_bias:
+        out_specs.append(
+            pl.BlockSpec(
+                (tpg, 1, tile), lambda g, *_: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nt, 1, tile), f32))
+    out_specs.append(
+        pl.BlockSpec((1, 1), lambda g, *_: (0, 0), memory_space=pltpu.VMEM)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), f32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # hp, sa, tc
         grid=(ng,),
-        in_specs=[
-            pl.BlockSpec(
-                (tpg, 3, tile), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
-            ),
-            # user block: one contiguous visit run per block id
-            pl.BlockSpec(
-                (pstride, 128),
-                lambda g, hp, sa, tc: (sa[g], 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Q segment (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (pstride, 128),
-                lambda g, hp, sa, tc: (sa[g], 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, 1), lambda g, *_: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((nwin * (si // pack + BIAS_ROWS), 128), f32),
             pltpu.SMEM((1,), f32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out_shape = [
-        jax.ShapeDtypeStruct(Pm.shape, f32),
-        jax.ShapeDtypeStruct(Qs.shape, f32),
-        jax.ShapeDtypeStruct((1, 1), f32),
-    ]
+    # positional indices incl. scalar-prefetch args:
+    # tile path: hp=0, sa=1, tc=2, tl=3, P=4, Q=5
+    # epoch-bias path: hp=0, sa=1, tc=2, tl=3, bt=4, P=5, Q=6
+    aliases = {5: 0, 6: 1} if epoch_bias else {4: 0, 5: 1}
+    args = [hp, sweep["sa"], sweep["tc"], sweep["tl"]]
+    if epoch_bias:
+        args.append(sweep["bt"])
+    args += [Pm, Qs]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # positional indices incl. scalar-prefetch args:
-        # hp=0, sa=1, tc=2, tl=3, P=4, Q=5
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("arbitrary",),  # sequential grid, required
         ),
         interpret=interpret,
-    )(hp, sweep["sa"], sweep["tc"], sweep["tl"], Pm, Qs)
+    )(*args)

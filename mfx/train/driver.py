@@ -57,6 +57,12 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
             f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
+    if mode in ("sharded", "hybrid") and sgd.bias_mode == "epoch":
+        raise ValueError(
+            "sgd.bias_mode='epoch' is single-chip only (the DSGD ring "
+            "runs per-tile bias updates); set sgd.bias_mode='tile' for "
+            f"parallel.mode={mode!r}"
+        )
     if mode in ("sharded", "hybrid") and sgd.kernel == "jnp" and (
         sgd.dense_chi > 0
     ):
