@@ -7,11 +7,12 @@ with the epoch plan reused (the production configuration: planning is
 amortized/overlapped; its one-time cost is reported separately as
 ``host_plan_s``). Real MovieLens data cannot be downloaded in this
 environment, so the default dataset is the seeded synthetic with ML-25M's
-exact shape and a Zipf item distribution; ``epochs_to_target`` tracks
-convergence to 105% of the dataset's known noise floor (the analog of
-"epochs to RMSE 0.92" — that absolute number is only meaningful on the
-real ML-25M ratings, which the loader will pick up automatically if
-present under $MFX_DATA_ROOT).
+exact shape, Zipf item popularity, and half-star label quantization
+(generator v4); ``epochs_to_target`` tracks convergence to within ~1% of
+the measured synthetic floor (SYNTHETIC_TARGET_FACTOR below — the analog
+of "epochs to RMSE 0.92", which applies as an absolute on the real
+ML-25M ratings the loader picks up automatically when present under
+$MFX_DATA_ROOT).
 """
 
 from __future__ import annotations
