@@ -126,26 +126,36 @@ def run_bench(
 
     # replanning-on steady state: 2 epochs at replan_every=1 (an upper
     # bound on any replan_every >= 1 cadence; everything is compiled by
-    # now, so this measures plan + epoch device time per epoch)
+    # now, so this measures plan + epoch device time per epoch). The main
+    # pipeline's device arrays are released first (a second full prep
+    # would otherwise double HBM residency), and a failure here is
+    # reported as null rather than sinking the headline.
     epoch_s_replan = None
     replan_s = None
     if convergence:
-        t2: dict = {}
-        gen2 = train_epochs_blocked(
-            init_model(
-                cfg.model.seed, coo.num_users, coo.num_items,
-                cfg.model.rank, global_mean=train.global_mean,
-            ),
-            train, _dc.replace(cfg.sgd, epochs=2), use_bias,
-            seed=cfg.data.seed, tpg=tpg, replan_every=1,
-            interpret=interpret, timings=t2,
-        )
-        next(gen2)  # epoch 0: re-pays one-time prep; exclude from timing
-        t0 = time.time()
-        for _ in gen2:
-            pass
-        epoch_s_replan = time.time() - t0
-        replan_s = t2.get("plan_s", 0.0) / 2  # per-replan (2 plans ran)
+        gen.close()
+        del final_model
+        try:
+            t2: dict = {}
+            gen2 = train_epochs_blocked(
+                init_model(
+                    cfg.model.seed, coo.num_users, coo.num_items,
+                    cfg.model.rank, global_mean=train.global_mean,
+                ),
+                train, _dc.replace(cfg.sgd, epochs=2), use_bias,
+                seed=cfg.data.seed, tpg=tpg, replan_every=1,
+                interpret=interpret, timings=t2,
+            )
+            next(gen2)  # epoch 0: re-pays prep; excluded from timing
+            t0 = time.time()
+            for _ in gen2:
+                pass
+            epoch_s_replan = time.time() - t0
+            replan_s = t2.get("plan_s", 0.0) / 2  # per-replan (2 ran)
+        except Exception as exc:  # auxiliary metric only — keep headline
+            import sys
+
+            print(f"replan measurement skipped: {exc!r}", file=sys.stderr)
 
     return {
         "metric": "sgd_rating_updates_per_sec_per_chip_rank%d" % cfg.model.rank,
