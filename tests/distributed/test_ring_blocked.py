@@ -265,3 +265,32 @@ def test_ring_dense_head_on_mesh():
     # held-out gap must stay small and both must be learning
     assert r_dense < 0.75 and r_off < 0.75, (r_dense, r_off)
     assert abs(r_dense - r_off) < 0.07, (r_dense, r_off)
+
+
+def test_mesh_of_1_bitwise_rank32_pack4():
+    """Rank 32 (pack 4): the rank-packed ring must stay bitwise-identical
+    to the single-chip path in the densest packing regime too."""
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    U1, I1, N1 = 300, 260, 9_000
+    coo = synthetic.make_synthetic(U1, I1, N1, rank=4, noise=0.3, seed=12)
+    cfg = dataclasses.replace(CFG, epochs=2, dense_chi=0.05)
+    mesh = make_mesh()  # 1x1
+
+    m_ring = init_model(3, U1, I1, 32, global_mean=coo.global_mean)
+    for _, m_ring, _ in train_epochs_ring_blocked(
+        m_ring, coo, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True
+    ):
+        pass
+
+    m_single = init_model(3, U1, I1, 32, global_mean=coo.global_mean)
+    for _, m_single, _ in train_epochs_blocked(
+        m_single, coo, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+
+    for a, b in [
+        (m_ring.P, m_single.P), (m_ring.Q, m_single.Q),
+        (m_ring.bu, m_single.bu), (m_ring.bi, m_single.bi),
+    ]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
