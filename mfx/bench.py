@@ -110,39 +110,56 @@ def run_bench(
     ups = n_upd / bench_s
     test_rmse = rmse(final_model, test)
 
-    # epochs-to-target-RMSE: keep training past the timed window until the
-    # quality gate is reached (the second half of the BASELINE metric)
+    import gc
+
+    gen.close()  # release the headline pipeline's device arrays
+    del final_model
+    gc.collect()
+
+    def _fresh():
+        return init_model(
+            cfg.model.seed, coo.num_users, coo.num_items, cfg.model.rank,
+            global_mean=train.global_mean,
+        )
+
+    # epochs-to-target-RMSE (the second half of the BASELINE metric): a
+    # SEPARATE fresh-model run with held-out eval after EVERY epoch.
+    # Round 2 continued the headline generator instead, which could only
+    # observe counts > epochs+1 — the preset actually reaches the gate in
+    # ONE epoch (everything is compiled by now, so this probe costs a
+    # few epoch-times plus evals).
     epochs_to_target = None
-    epochs_run = epochs + 1
-    if test_rmse <= target_rmse:
-        epochs_to_target = epochs_run
-    elif convergence:
-        for _, final_model, _ in gen:
-            epochs_run += 1
-            test_rmse = rmse(final_model, test)
-            if test_rmse <= target_rmse:
-                epochs_to_target = epochs_run
+    if convergence:
+        gen3 = train_epochs_blocked(
+            _fresh(),
+            train, _dc.replace(cfg.sgd, epochs=MAX_CONVERGENCE_EPOCHS),
+            use_bias, seed=cfg.data.seed, tpg=tpg, replan_every=0,
+            interpret=interpret,
+        )
+        for ep, m, _ in gen3:
+            hit = rmse(m, test) <= target_rmse
+            del m
+            if hit:
+                epochs_to_target = ep + 1
                 break
+        gen3.close()
+        del gen3
+        gc.collect()
+    elif test_rmse <= target_rmse:
+        epochs_to_target = epochs + 1
 
     # replanning-on steady state: 2 epochs at replan_every=1 (an upper
-    # bound on any replan_every >= 1 cadence; everything is compiled by
-    # now, so this measures plan + epoch device time per epoch). The main
-    # pipeline's device arrays are released first (a second full prep
-    # would otherwise double HBM residency), and a failure here is
-    # reported as null rather than sinking the headline.
+    # bound on any replan_every >= 1 cadence; this measures plan + epoch
+    # device time per epoch). Each aux stage frees its predecessor's
+    # device arrays first; a failure here is reported as null rather
+    # than sinking the headline.
     epoch_s_replan = None
     replan_s = None
     if convergence:
-        gen.close()
-        del final_model
         try:
             t2: dict = {}
             gen2 = train_epochs_blocked(
-                init_model(
-                    cfg.model.seed, coo.num_users, coo.num_items,
-                    cfg.model.rank, global_mean=train.global_mean,
-                ),
-                train, _dc.replace(cfg.sgd, epochs=2), use_bias,
+                _fresh(), train, _dc.replace(cfg.sgd, epochs=2), use_bias,
                 seed=cfg.data.seed, tpg=tpg, replan_every=1,
                 interpret=interpret, timings=t2,
             )

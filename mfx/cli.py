@@ -63,7 +63,8 @@ def cmd_bench(args) -> int:
     from mfx.bench import run_bench
 
     result = run_bench(preset=args.preset, epochs=args.epochs,
-                       overrides=args.overrides)
+                       overrides=args.overrides,
+                       convergence=not args.no_convergence)
     print(json.dumps(result, sort_keys=True))
     return 0
 
@@ -107,6 +108,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="measure updates/sec/chip")
     _add_config_args(p)
     p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--no-convergence", action="store_true",
+                   help="skip the epochs-to-target probe and the "
+                        "replanning steady-state measurement")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("datasets", help="list known datasets")

@@ -84,6 +84,7 @@ def test_checkpoint_roundtrip(tmp_path):
 def test_cli_bench_smoke(tmp_path):
     rc, out = _run_cli([
         "bench", "--preset", "ml100k_rank16", "--epochs", "1",
+        "--no-convergence",
         "--set", "data.dataset=synthetic-small",
         "--set", f"data.root={tmp_path}",
         "--set", "sgd.partitioner=blocked",
