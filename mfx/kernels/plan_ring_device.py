@@ -49,7 +49,6 @@ class RingSegmentSlice:
     win0: int  # first window of the segment within the held block
     nwin: int
     nt: int  # padded tiles per cell (uniform across cells)
-    f0: int  # first tile of this segment in the flat stream
     sa: jax.Array  # (S, S, ng) int32 user block per grid step
     tc: jax.Array  # (S, S, nt) int32 segment-local window per tile
 
@@ -64,14 +63,20 @@ class RingSkeleton:
     tile: int
     tpg: int
     nwin: int  # windows per segment (VMEM budget)
-    nt_total: int  # flat stream length in tiles
+    nt_total: int  # total padded tiles across all slabs
     n_real: int
     segments: list[RingSegmentSlice]
     # device constants for the per-epoch pass
     strat_start: jax.Array  # (NS,) int32 exclusive cumsum of counts
-    pos_base: jax.Array  # (NS,) int32 first flat SLOT of each stratum
+    pos_base: jax.Array  # (NS,) int32 SLAB-RELATIVE first slot per stratum
     seg_off: jax.Array  # (nseg,) int32 sid offset per segment
     nw_arr: jax.Array  # (nseg,) int32 windows per segment
+    # per-(segment, sub-step) boundaries into the sorted rating stream —
+    # the per-epoch scatter builds one [S, nt, 3, T] slab per (k, t), so
+    # int32 indexing bounds apply per slab, not to the whole epoch
+    # (billion-rating planning headroom; sid order is (k, t, s, a, cw),
+    # making every (k, t) range contiguous in the sorted stream)
+    kt_bounds: "np.ndarray"  # (nseg, S+1) int64 host array
 
 
 def _sid_ring(u, ir, seg_off, nw_arr, *, S, ublock, iblock, su, si, nwin, A):
@@ -164,10 +169,10 @@ def build_ring_skeleton(
                 run_base = np.zeros(A + 1, np.int64)
                 np.cumsum(padded_per_a[t, s], out=run_base[1:])
                 within = np.cumsum(tp, axis=1) - tp
-                cell_f0 = f_cursor + (t * S + s) * nt
+                cell_rel = s * nt  # slot base RELATIVE to the (k,t) slab
                 sid_lo = off + (t * S + s) * A * nwk
                 pos_base[sid_lo : sid_lo + A * nwk] = (
-                    (cell_f0 + run_base[:-1, None] + within).reshape(-1)
+                    (cell_rel + run_base[:-1, None] + within).reshape(-1)
                     * tile
                 )
                 # window ids at the real tile slots
@@ -181,12 +186,16 @@ def build_ring_skeleton(
                 base_local = (run_base[:-1, None] + within).reshape(-1)
                 real_ids = base_local[strat_of_tile] + within_t
                 tc[t, s, real_ids] = (strat_of_tile % nwk).astype(np.int32)
+        if S * nt * 3 * tile >= 2**31:
+            raise NotImplementedError(
+                f"a single (segment, sub-step) slab ({S}x{nt} tiles x "
+                f"{tile}) exceeds int32 addressing; raise the shard count"
+            )
         segments.append(
             RingSegmentSlice(
                 win0=k * nwin,
                 nwin=nwk,
                 nt=nt,
-                f0=f_cursor,
                 sa=jnp.asarray(sa),
                 tc=jnp.asarray(tc),
             )
@@ -194,11 +203,14 @@ def build_ring_skeleton(
         f_cursor += S * S * nt
         off += S * S * A * nwk
 
-    if f_cursor * tile * 3 >= 2**31:
-        raise NotImplementedError(
-            f"ring tile stream ({f_cursor} tiles x {tile}) exceeds int32 "
-            "addressing; plan per-host shards (multi-host) or raise tile"
-        )
+    # sorted-stream boundaries per (k, t): sid order is (k, t, s, a, cw)
+    kt_bounds = np.zeros((nseg, S + 1), np.int64)
+    off2 = 0
+    for k in range(nseg):
+        nwk = int(nw[k])
+        for t in range(S + 1):
+            kt_bounds[k, t] = strat_start[off2 + min(t, S) * S * A * nwk]
+        off2 += S * S * A * nwk
     return RingSkeleton(
         S=S, ublock=ublock, iblock=iblock, su=su, si=si, tile=tile,
         tpg=tpg, nwin=nwin, nt_total=f_cursor,
@@ -208,20 +220,17 @@ def build_ring_skeleton(
         pos_base=jnp.asarray(pos_base.astype(np.int32)),
         seg_off=seg_off_dev,
         nw_arr=nw_dev,
+        kt_bounds=kt_bounds,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "S", "ublock", "iblock", "su", "si", "tile", "nwin", "A", "nt_total"
-    ),
+    static_argnames=("S", "ublock", "iblock", "su", "si", "nwin", "A"),
 )
-def _epoch_tiles(
-    u, ir, r, key, strat_start, pos_base, seg_off, nw_arr,
-    *, S, ublock, iblock, su, si, tile, nwin, A, nt_total,
-):
-    # same seeded two-key sort + unique scatter as the single-chip pass
+def _sort_stream(u, ir, r, key, seg_off, nw_arr,
+                 *, S, ublock, iblock, su, si, nwin, A):
+    # same seeded two-key sort as the single-chip pass
     # (mfx/kernels/plan_device.py) with the ring stratum id
     n = u.shape[0]
     sid = _sid_ring(u, ir, seg_off, nw_arr, S=S, ublock=ublock,
@@ -233,39 +242,70 @@ def _epoch_tiles(
     sid_s, _, ul, il, rb = lax.sort(
         (sid, rand, ul, il, rb), num_keys=2, is_stable=True
     )
-    pos = jnp.arange(n, dtype=jnp.int32) - strat_start[sid_s]
-    d = pos_base[sid_s] + pos
+    return sid_s, ul, il, rb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mp", "S", "nt", "tile", "su", "si")
+)
+def _scatter_slab(
+    sid_s, ul, il, rb, b0, m, strat_start, pos_base,
+    *, mp, S, nt, tile, su, si,
+):
+    """Scatter one (segment, sub-step)'s contiguous sorted-stream slice
+    into its [S, nt, 3, T] slab. ``mp`` is the slice length padded to a
+    power of two (few jit variants); pad lanes scatter out of bounds and
+    drop. All index arithmetic is slab-local, so int32 bounds apply per
+    slab rather than per epoch."""
+    i32 = jnp.int32
+    j = jnp.arange(mp, dtype=i32)
+    valid = j < m
+    take = jnp.minimum(b0 + j, sid_s.shape[0] - 1)
+    sid_c = sid_s[take]
+    pos = (b0 + j) - strat_start[sid_c]
+    d = pos_base[sid_c] + pos  # slab-relative slot
+    size = S * nt * 3 * tile
     o = (d // tile) * (3 * tile) + d % tile
+    o = jnp.where(valid, o, size)
     flat = jnp.broadcast_to(
-        jnp.array([su, si, 0], jnp.int32)[None, :, None], (nt_total, 3, tile)
+        jnp.array([su, si, 0], i32)[None, :, None], (S * nt, 3, tile)
     ).reshape(-1)
-    st = dict(mode="promise_in_bounds", unique_indices=True)
-    flat = flat.at[o].set(ul, **st)
-    flat = flat.at[o + tile].set(il, **st)
-    flat = flat.at[o + 2 * tile].set(rb, **st)
-    return flat.reshape(nt_total, 3, tile)
+    st = dict(mode="drop", unique_indices=True)
+    flat = flat.at[o].set(ul[take], **st)
+    flat = flat.at[o + tile].set(il[take], **st)
+    flat = flat.at[o + 2 * tile].set(rb[take], **st)
+    return flat.reshape(S, nt, 3, tile)
 
 
 def epoch_tiles_ring(
     skel: RingSkeleton, u_dev, ir_dev, r_dev, seed: int, epoch: int
 ) -> list[jax.Array]:
-    """Per-epoch device pass: the flat tile stream sliced into one
-    ``(S, S, nt_k, 3, T)`` slab per segment."""
+    """Per-epoch device pass: one seeded global sort, then per-(segment,
+    sub-step) slab scatters, returning one ``(S, S, nt_k, 3, T)`` slab
+    per segment (sub-step-major, matching the ring scan)."""
     key = jax.random.fold_in(jax.random.key(seed), epoch)
     A = skel.ublock // skel.su
-    flat = _epoch_tiles(
-        u_dev, ir_dev, r_dev, key,
-        skel.strat_start, skel.pos_base, skel.seg_off, skel.nw_arr,
-        S=skel.S, ublock=skel.ublock, iblock=skel.iblock,
-        su=skel.su, si=skel.si, tile=skel.tile, nwin=skel.nwin, A=A,
-        nt_total=skel.nt_total,
-    )
     S = skel.S
+    sid_s, ul, il, rb = _sort_stream(
+        u_dev, ir_dev, r_dev, key, skel.seg_off, skel.nw_arr,
+        S=S, ublock=skel.ublock, iblock=skel.iblock,
+        su=skel.su, si=skel.si, nwin=skel.nwin, A=A,
+    )
     out = []
-    for seg in skel.segments:
-        out.append(
-            flat[seg.f0 : seg.f0 + S * S * seg.nt].reshape(
-                S, S, seg.nt, 3, skel.tile
+    for k, seg in enumerate(skel.segments):
+        slabs = []
+        for t in range(S):
+            b0 = int(skel.kt_bounds[k, t])
+            m = int(skel.kt_bounds[k, t + 1]) - b0
+            mp = 1 << max(0, (m - 1)).bit_length() if m else 1
+            slabs.append(
+                _scatter_slab(
+                    sid_s, ul, il, rb,
+                    jnp.asarray(b0, jnp.int32), jnp.asarray(m, jnp.int32),
+                    skel.strat_start, skel.pos_base,
+                    mp=mp, S=S, nt=seg.nt, tile=skel.tile,
+                    su=skel.su, si=skel.si,
+                )
             )
-        )
+        out.append(jnp.stack(slabs, axis=0))
     return out
