@@ -4,8 +4,8 @@
 The headline number is SGD rating updates/sec/chip through the fused
 Pallas kernel at the preset's geometry, timed over whole epochs on device
 with the epoch plan reused (the production configuration: planning is
-amortized/overlapped; its one-time cost is reported separately as
-``host_plan_s``). Real MovieLens data cannot be downloaded in this
+amortized; one-time costs are disaggregated as prep_s/plan_s/compile_s
+in the JSON). Real MovieLens data cannot be downloaded in this
 environment, so the default dataset is the seeded synthetic with ML-25M's
 exact shape, Zipf item popularity, and half-star label quantization
 (generator v4); ``epochs_to_target`` tracks convergence to within ~1% of
@@ -20,7 +20,6 @@ from __future__ import annotations
 import time
 
 import jax
-import jax.numpy as jnp
 
 from mfx.config import apply_overrides, preset as get_preset
 from mfx.data.loaders import load_dataset

@@ -190,6 +190,12 @@ def build_bpr_ring_skeleton(
     ).astype(np.int64)
     nb = max(1, int(-(-counts.max() // batch_size)))
     width = nb * batch_size
+    if S * S * width >= 2**31:
+        raise NotImplementedError(
+            "BPR ring batch slabs exceed int32 addressing at this scale; "
+            "raise bpr.batch_size or plan per-host shards (each host "
+            "builds only its user shard's cells)"
+        )
     strat_start = np.zeros(S * S, np.int64)
     np.cumsum(counts[:-1], out=strat_start[1:])
     cell_block = np.empty(S * S, np.int64)

@@ -12,7 +12,6 @@ strata — the determinism guarantees are unaffected (seeded either way).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Iterator
 

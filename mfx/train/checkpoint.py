@@ -11,7 +11,6 @@ needs saving; see mfx.data.split.epoch_permutation).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import jax
