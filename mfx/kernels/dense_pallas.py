@@ -164,9 +164,11 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8"):
         # accumulators and then dead: materializing all pack² parity
         # blocks at once grows the kernel's VMEM stack quadratically in
         # sup (18.8 MB at block=1024 vs the 16 MB scoped limit — the
-        # round-2 "su=1024 dense busts VMEM" failure). Accumulation
-        # order matches the old all-at-once form term for term (b
-        # ascending inside a ascending), so results are bitwise-equal.
+        # round-2 "su=1024 dense busts VMEM" failure). dP/dQ/sse
+        # accumulate in the old form's exact term order (b ascending
+        # inside a ascending, bitwise-equal); the dbu/dbi row/col sums
+        # reassociate (reduce-then-add vs add-then-reduce), an ulp-level
+        # change to the bias sums relative to the round-2 kernel.
         dims_nt = ((1,), (1,))  # x (sup,K) · y (sip,K) -> (sup, sip)
         dims_nn = ((1,), (0,))  # (sup,sip) · (sip,K) -> (sup,K)
         dims_tn = ((0,), (0,))  # (sup,sip) ·ᵀ (sup,K) -> (sip,K)

@@ -192,11 +192,12 @@ def build_plan_skeleton(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("su", "si", "tile", "nwin", "nt_total")
+    jax.jit,
+    static_argnames=("su", "si", "tile", "nwin", "nt_total", "with_slots"),
 )
 def _epoch_tiles(
     u, i, r, key, strat_start, pos_base, offs_sweep, nw_arr,
-    *, su, si, tile, nwin, nt_total,
+    *, su, si, tile, nwin, nt_total, with_slots=False,
 ):
     n = u.shape[0]
     sid = _sid(u, i, offs_sweep, nw_arr, su=su, si=si, nwin=nwin)
@@ -221,7 +222,13 @@ def _epoch_tiles(
     flat = flat.at[o].set(ul, **st)
     flat = flat.at[o + tile].set(il, **st)
     flat = flat.at[o + 2 * tile].set(rb, **st)
-    return flat.reshape(nt_total, 3, tile), d, u_s, i_s
+    tiles = flat.reshape(nt_total, 3, tile)
+    if not with_slots:
+        # the slot/id streams are only needed by the epoch-frozen bias
+        # mode; keeping them out of the jitted outputs lets XLA fuse them
+        # away on the default path (~3n int32 of HBM per replan otherwise)
+        return tiles, None, None, None
+    return tiles, d, u_s, i_s
 
 
 def epoch_tiles_device(
@@ -239,7 +246,7 @@ def epoch_tiles_device(
         u_dev, i_dev, r_dev, key,
         skel.strat_start, skel.pos_base, skel.offs_sweep, skel.nw_arr,
         su=skel.su, si=skel.si, tile=skel.tile, nwin=skel.nwin,
-        nt_total=skel.nt_total,
+        nt_total=skel.nt_total, with_slots=with_slots,
     )
     if with_slots:
         return tiles, d, u_s, i_s

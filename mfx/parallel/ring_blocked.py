@@ -87,13 +87,20 @@ def ring_geometry(
     su, si = cfg.ublock, cfg.iblock
     ublock = -(-(-(-num_users // S)) // su) * su
     iblock = -(-(-(-num_items // S)) // si) * si
-    # segments of nwin windows stream the held block through VMEM
-    from mfx.solvers.blocked import sweep_geometry
+    # segments of nwin windows stream the held block through VMEM; the
+    # step-batched kernel variant keeps its concat buffers in VMEM too,
+    # so its scratch comes out of the segment budget exactly as on the
+    # single-chip path (mfx/solvers/blocked.py)
+    from mfx.solvers.blocked import VMEM_Q_BUDGET, sweep_geometry
 
-    nwin = sweep_geometry(iblock, rank, si)
+    tpg = 4
+    budget = VMEM_Q_BUDGET
+    if cfg.step_user_batch:
+        budget -= tpg * cfg.tile * (su // (128 // rank) + 4 * 128) * 4
+    nwin = sweep_geometry(iblock, rank, si, budget=max(1 << 21, budget))
     return RingGeometry(
         S=S, su=su, si=si, ublock=ublock, iblock=iblock,
-        tile=cfg.tile, tpg=4, nwin=nwin,
+        tile=cfg.tile, tpg=tpg, nwin=nwin,
     )
 
 

@@ -46,10 +46,16 @@ def dense_rfmt(cfg: SGDConfig, pack: int, rating) -> str:
     requires every rating to sit exactly on the half-star grid (then the
     4-bit encoding is lossless — true for all real MovieLens/Netflix
     scales)."""
+    if cfg.dense_int4 == "on":
+        if pack not in (2, 4):
+            raise ValueError(
+                "sgd.dense_int4='on' requires rank 64/32 (pack 2/4): int4 "
+                f"nibble-packing pairs parity blocks and pack={pack} has "
+                "none to pair — use 'auto' or 'off' at this rank"
+            )
+        return "int4"
     if cfg.dense_int4 == "off" or pack not in (2, 4):
         return "int8"
-    if cfg.dense_int4 == "on":
-        return "int4"
     r = jnp.asarray(rating)
     half = bool(jnp.all(jnp.round(r * 2.0) == r * 2.0))
     return "int4" if half else "int8"

@@ -170,8 +170,6 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack,
     # strata chunks: the f32 sum/count scratch for the full tensor would
     # be ~8 bytes/cell (>9 GB at ML-25M scale, chi 0.0025) — chunking
     # bounds scratch at ~1 GB while the int8 result is 1 byte/cell.
-    from mfx.kernels.dense_pallas import R_SCALE
-
     cells = p2 * sup * sip
     chunk_nd = max(1, (128 << 20) // cells)  # ~128M cells of f32 scratch
     order = np.argsort(split.flat_pos, kind="stable")
@@ -207,6 +205,50 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack,
         "du_tot": dec(split.deg_u, split.deg_u.shape[0], su),  # (A, sup, 2)
         "di_tot": dec(split.deg_i, split.nwin_head, si),  # (nwin, sip, 2)
     }
+
+
+def _build_r_tensor(flat_pos, rd, n_strata, cells, pack, sup, sip, rfmt):
+    """Chunked dedup-average R build over a device position stream —
+    shared by the single-chip and ring device preps (identical algorithm;
+    a fix here reaches both). Duplicate (u, i) cells merge by averaging;
+    chunk boundaries never split a stratum, so the average is exact per
+    cell. Returns the (n_strata, rows, sip) int8 tensor (nibble-packed
+    for rfmt='int4')."""
+    i32 = jnp.int32
+    fp_order = jnp.argsort(flat_pos)
+    fp = flat_pos[fp_order]
+    rv = rd[fp_order]
+    chunk_nd = max(1, (128 << 20) // cells)
+    bounds = (
+        np.arange(0, n_strata + chunk_nd, chunk_nd).clip(max=n_strata)
+        * cells
+    )
+    cuts = np.asarray(jnp.searchsorted(fp, jnp.asarray(bounds)))
+    parts = []
+    for ci in range(len(bounds) - 1):
+        lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
+        lo_cell = int(bounds[ci])
+        size = int(bounds[ci + 1]) - lo_cell
+        if size == 0:
+            continue
+        m = hi_s - lo_s
+        mp = 1 << max(0, (m - 1)).bit_length()  # pow2 pad: few jit variants
+        pos = jnp.full((mp,), size, i32)  # pad -> out of range, dropped
+        val = jnp.zeros((mp,), jnp.float32)
+        pos = pos.at[:m].set((fp[lo_s:hi_s] - lo_cell).astype(i32))
+        val = val.at[:m].set(rv[lo_s:hi_s])
+        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(val, mode="drop")
+        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(
+            jnp.where(jnp.arange(mp) < m, 1.0, 0.0), mode="drop"
+        )
+        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
+        parts.append(
+            _quantize_chunk(ravg, rfmt).reshape(-1, pack * pack * sup, sip)
+        )
+    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if rfmt == "int4":
+        R = _pack_nibbles(R, n_strata, pack, sup, sip)
+    return R
 
 
 def prepare_dense_device(
@@ -297,39 +339,8 @@ def prepare_dense_device(
         (idn // si).astype(i32) * si + li, nwin_head * si
     ).reshape(nwin_head, si)
 
-    # chunked int8 R build over the device-sorted position stream
-    from mfx.kernels.dense_pallas import R_SCALE
-
-    fp_order = jnp.argsort(flat_pos)
-    fp = flat_pos[fp_order]
-    rv = rd[fp_order]
-    chunk_nd = max(1, (128 << 20) // cells)
-    bounds = np.arange(0, nd + chunk_nd, chunk_nd).clip(max=nd) * cells
-    cuts = np.asarray(jnp.searchsorted(fp, jnp.asarray(bounds)))
-    parts = []
-    for ci in range(len(bounds) - 1):
-        lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
-        lo_cell = int(bounds[ci])
-        size = int(bounds[ci + 1]) - lo_cell
-        if size == 0:
-            continue
-        m = hi_s - lo_s
-        mp = 1 << max(0, (m - 1)).bit_length()  # pow2 pad: few jit variants
-        pos = jnp.full((mp,), size, i32)  # pad -> out of range, dropped
-        val = jnp.zeros((mp,), jnp.float32)
-        pos = pos.at[:m].set((fp[lo_s:hi_s] - lo_cell).astype(i32))
-        val = val.at[:m].set(rv[lo_s:hi_s])
-        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(val, mode="drop")
-        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(
-            jnp.where(jnp.arange(mp) < m, 1.0, 0.0), mode="drop"
-        )
-        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
-        parts.append(
-            _quantize_chunk(ravg, rfmt).reshape(-1, pack * pack * sup, sip)
-        )
-    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    if rfmt == "int4":
-        R = _pack_nibbles(R, nd, pack, sup, sip)
+    # chunked dedup-average R build (shared helper)
+    R = _build_r_tensor(flat_pos, rd, nd, cells, pack, sup, sip, rfmt)
 
     def dec(deg, blocks, size):
         return deg.reshape(blocks, size // pack, pack)
@@ -453,44 +464,10 @@ def prepare_dense_ring(
     cell_w = (cell[dpos] * nwh + c_of[dpos])
     di_tot = seg(cell_w * si + li, S * S * nwh * si).reshape(S * S * nwh, si)
 
-    # chunked int8 R build over the device-sorted slab position stream
-    # (identical scheme to prepare_dense_device; chunks never split a
-    # stratum, so dedup-averaging is exact per cell)
-    from mfx.kernels.dense_pallas import R_SCALE
-
-    fp_order = jnp.argsort(flat_pos)
-    fp = flat_pos[fp_order]
-    rv = rd[fp_order]
-    chunk_nd = max(1, (128 << 20) // cells_sz)
-    bounds = (
-        np.arange(0, nd_slab + chunk_nd, chunk_nd).clip(max=nd_slab)
-        * cells_sz
-    )
-    cuts = np.asarray(jnp.searchsorted(fp, jnp.asarray(bounds)))
-    parts = []
-    for ci in range(len(bounds) - 1):
-        lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
-        lo_cell = int(bounds[ci])
-        size = int(bounds[ci + 1]) - lo_cell
-        if size == 0:
-            continue
-        m = hi_s - lo_s
-        mp = 1 << max(0, (m - 1)).bit_length()
-        pos = jnp.full((mp,), size, i32)
-        val = jnp.zeros((mp,), jnp.float32)
-        pos = pos.at[:m].set((fp[lo_s:hi_s] - lo_cell).astype(i32))
-        val = val.at[:m].set(rv[lo_s:hi_s])
-        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(val, mode="drop")
-        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(
-            jnp.where(jnp.arange(mp) < m, 1.0, 0.0), mode="drop"
-        )
-        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
-        parts.append(
-            _quantize_chunk(ravg, rfmt).reshape(-1, pack * pack * sup, sip)
-        )
-    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    if rfmt == "int4":
-        R = _pack_nibbles(R, nd_slab, pack, sup, sip)
+    # chunked dedup-average R build over the padded slab positions
+    # (shared helper; padded strata have no positions and stay zero)
+    R = _build_r_tensor(flat_pos, rd, nd_slab, cells_sz, pack, sup, sip,
+                        rfmt)
 
     def dec(x, lead, size):
         return x.reshape(lead + (size // pack, pack))

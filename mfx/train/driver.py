@@ -185,8 +185,19 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
         # cannot be rebuilt when the device count changed (its own warning)
         # — so a sharded-mode checkpoint saved on a different mesh would
         # fail before the padded-row slice logic below ever runs.
-        shard_fn = None
-        if mesh is not None:
+        if mesh is None:
+            # meshless resume (parallel.mode='single') of a possibly
+            # sharded-mode checkpoint: restore onto this process's device
+            # explicitly — replaying a recorded multi-device NamedSharding
+            # fails outright when the device count changed
+            from jax.sharding import SingleDeviceSharding
+
+            dev0 = jax.devices()[0]
+
+            def shard_fn(k, shape, dtype):
+                return SingleDeviceSharding(dev0)
+
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             from mfx.runtime.mesh import DATA_AXIS, MODEL_AXIS

@@ -51,3 +51,22 @@ def test_resume_on_smaller_mesh(tmp_path):
     r3 = train(_cfg(tmp_path, 8, 5, tmp_path), resume=True)
     assert r3.epochs_run == 5
     assert np.isfinite(np.asarray(r3.model.P)).all()
+
+
+@requires_8
+def test_resume_sharded_checkpoint_on_single_device(tmp_path):
+    """A sharded-mode checkpoint must also resume with
+    parallel.mode='single' (no mesh): the driver restores onto this
+    process's device explicitly instead of replaying the recorded
+    8-device sharding (code-review round 3, finding 1)."""
+    r1 = train(_cfg(tmp_path, 8, 2, tmp_path), resume=False)
+    assert r1.epochs_run == 2
+
+    single = dataclasses.replace(
+        _cfg(tmp_path, 1, 4, tmp_path),
+        parallel=ParallelConfig(mode="single"),
+    )
+    r2 = train(single, resume=True)
+    assert r2.epochs_run == 4
+    assert np.isfinite(np.asarray(r2.model.P)).all()
+    assert r2.test_rmse is not None and np.isfinite(r2.test_rmse)

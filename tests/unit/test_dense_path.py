@@ -273,6 +273,14 @@ def test_blocked_trainer_int4_auto_on_half_stars():
     assert dense_rfmt(cfg, 2, coo_h.rating) == "int4"
     assert dense_rfmt(cfg, 2, coo_c.rating) == "int8"
     assert dense_rfmt(cfg, 1, coo_h.rating) == "int8"  # rank 128 regime
+    # forcing 'on' outside the nibble-pair regime must raise, not
+    # silently downgrade (code-review round 3, finding 2)
+    import pytest
+
+    cfg_on = dataclasses.replace(cfg, dense_int4="on")
+    assert dense_rfmt(cfg_on, 2, coo_c.rating) == "int4"  # forced
+    with pytest.raises(ValueError, match="dense_int4"):
+        dense_rfmt(cfg_on, 1, coo_h.rating)
 
     model = init_model(0, 500, 500, 64, global_mean=coo_h.global_mean)
     hist = []
