@@ -163,6 +163,14 @@ class BPRConfig:
     epochs: int = 10
     batch_size: int = 16384
     neg_seed: int = 0
+    # 'jnp'    — snapshot-minibatch XLA gather/scatter path
+    # 'pallas' — fused one-hot MXU kernel inside the DSGD ring
+    #            (sharded/hybrid modes; mfx/kernels/bpr_pallas.py) with
+    #            window-local exact negatives
+    kernel: str = "jnp"
+    ublock: int = 512  # fused path: user rows per block
+    iblock: int = 512  # fused path: item rows per window
+    tile: int = 256  # fused path: triples per tile
     # where per-epoch triple prep (permutation, negative sampling with
     # exact rejection, ring stratification) runs:
     # 'device' — jax.random + sorted-pair binary search on the
@@ -177,6 +185,10 @@ class BPRConfig:
             raise ValueError(
                 "bpr.sample_device must be 'auto', 'host' or 'device', "
                 f"got {self.sample_device!r}"
+            )
+        if self.kernel not in ("jnp", "pallas"):
+            raise ValueError(
+                f"bpr.kernel must be 'jnp' or 'pallas', got {self.kernel!r}"
             )
 
 
@@ -299,7 +311,10 @@ PRESETS: dict[str, TrainConfig] = {
         solver="bpr",
         data=DataConfig(dataset="billion-implicit", test_frac=0.001),
         model=ModelConfig(rank=64, use_bias=False),
-        bpr=BPRConfig(lr=0.05, reg=0.002, epochs=5, batch_size=1 << 17),
+        # the fused one-hot MXU kernel inside the DSGD ring (round 3);
+        # kernel='jnp' keeps the snapshot-minibatch scatter path
+        bpr=BPRConfig(lr=0.05, reg=0.002, epochs=5, batch_size=1 << 17,
+                      kernel="pallas"),
         parallel=ParallelConfig(mode="sharded", model_axis=32),
     ),
 }

@@ -24,6 +24,7 @@ from mfx.data.coo import RatingsCOO
 __all__ = [
     "build_positive_index",
     "build_positive_index_device",
+    "lowerbound_2key",
     "members_2key",
     "sample_negatives",
     "sample_negatives_device",
@@ -84,7 +85,14 @@ def build_positive_index_device(u_dev, i_dev):
     """Device analog of :func:`build_positive_index`: the positive set as
     a (users, items) pair lexicographically sorted on device. Pairs (not
     ``u * num_items + i`` scalars) because configs[4]-scale key ranges
-    (10M users x 1M items) overflow int32 and jax runs 32-bit."""
+    (10M users x 1M items) overflow int32 and jax runs 32-bit.
+
+    Duplicate (u, i) pairs are replaced by ``INT32_MAX`` sentinels and
+    re-sorted to the tail: the kept region is strictly increasing, which
+    the complement-draw sampler (:func:`mfx.parallel.bpr_sharded.
+    window_negatives`) relies on — its order-statistic search is wrong on
+    runs of equal pairs. Membership queries are unaffected (sentinels
+    compare greater than any real pair)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -92,7 +100,40 @@ def build_positive_index_device(u_dev, i_dev):
         (jnp.asarray(u_dev, jnp.int32), jnp.asarray(i_dev, jnp.int32)),
         num_keys=2,
     )
+    dup = jnp.zeros(pu.shape, bool).at[1:].set(
+        (pu[1:] == pu[:-1]) & (pi[1:] == pi[:-1])
+    )
+    sent = jnp.iinfo(jnp.int32).max
+    pu, pi = lax.sort(
+        (jnp.where(dup, sent, pu), jnp.where(dup, sent, pi)), num_keys=2
+    )
     return pu, pi
+
+
+def lowerbound_2key(pu, pi, qu, qi):
+    """First index whose (pu, pi) pair is >= each query pair (qu, qi) —
+    the same fixed-depth binary search as :func:`members_2key`, returning
+    the insertion point instead of a membership bit."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = pu.shape[0]
+    lo = jnp.zeros(qu.shape, jnp.int32)
+    hi = jnp.full(qu.shape, n, jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        active = lo < hi
+        mid = jnp.minimum((lo + hi) // 2, n - 1)
+        mu = pu[mid]
+        mi = pi[mid]
+        less = (mu < qu) | ((mu == qu) & (mi < qi))
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+        return lo, hi
+
+    lo, _ = lax.fori_loop(0, 32, body, (lo, hi))
+    return lo
 
 
 def members_2key(pu, pi, qu, qi):

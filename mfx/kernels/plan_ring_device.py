@@ -228,29 +228,31 @@ def build_ring_skeleton(
     jax.jit,
     static_argnames=("S", "ublock", "iblock", "su", "si", "nwin", "A"),
 )
-def _sort_stream(u, ir, r, key, seg_off, nw_arr,
+def _sort_stream(u, ir, p2, key, seg_off, nw_arr,
                  *, S, ublock, iblock, su, si, nwin, A):
     # same seeded two-key sort as the single-chip pass
-    # (mfx/kernels/plan_device.py) with the ring stratum id
+    # (mfx/kernels/plan_device.py) with the ring stratum id. ``p2`` is
+    # the third tile row as int32: bitcast ratings for SGD, window-local
+    # negative ids for fused BPR.
     n = u.shape[0]
     sid = _sid_ring(u, ir, seg_off, nw_arr, S=S, ublock=ublock,
                     iblock=iblock, su=su, si=si, nwin=nwin, A=A)
     rand = jax.random.bits(key, (n,), dtype=jnp.uint32).astype(jnp.int32)
     ul = (u % su).astype(jnp.int32)
     il = (ir % si).astype(jnp.int32)
-    rb = lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
-    sid_s, _, ul, il, rb = lax.sort(
-        (sid, rand, ul, il, rb), num_keys=2, is_stable=True
+    sid_s, _, ul, il, p2 = lax.sort(
+        (sid, rand, ul, il, p2.astype(jnp.int32)), num_keys=2,
+        is_stable=True,
     )
-    return sid_s, ul, il, rb
+    return sid_s, ul, il, p2
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mp", "S", "nt", "tile", "su", "si")
+    jax.jit, static_argnames=("mp", "S", "nt", "tile", "su", "si", "sent2")
 )
 def _scatter_slab(
-    sid_s, ul, il, rb, b0, m, strat_start, pos_base,
-    *, mp, S, nt, tile, su, si,
+    sid_s, ul, il, p2, b0, m, strat_start, pos_base,
+    *, mp, S, nt, tile, su, si, sent2=0,
 ):
     """Scatter one (segment, sub-step)'s contiguous sorted-stream slice
     into its [S, nt, 3, T] slab. ``mp`` is the slice length padded to a
@@ -267,27 +269,39 @@ def _scatter_slab(
     size = S * nt * 3 * tile
     o = (d // tile) * (3 * tile) + d % tile
     o = jnp.where(valid, o, size)
+    # pad sentinel for row 2: 0 for SGD rating bits (harmless — zero
+    # one-hots kill pads), si for BPR negatives (a 0 sentinel would be a
+    # VALID item id and decay row 0 on every pad slot)
     flat = jnp.broadcast_to(
-        jnp.array([su, si, 0], i32)[None, :, None], (S * nt, 3, tile)
+        jnp.array([su, si, sent2], i32)[None, :, None], (S * nt, 3, tile)
     ).reshape(-1)
     st = dict(mode="drop", unique_indices=True)
     flat = flat.at[o].set(ul[take], **st)
     flat = flat.at[o + tile].set(il[take], **st)
-    flat = flat.at[o + 2 * tile].set(rb[take], **st)
+    flat = flat.at[o + 2 * tile].set(p2[take], **st)
     return flat.reshape(S, nt, 3, tile)
 
 
 def epoch_tiles_ring(
-    skel: RingSkeleton, u_dev, ir_dev, r_dev, seed: int, epoch: int
+    skel: RingSkeleton, u_dev, ir_dev, r_dev, seed: int, epoch: int,
+    payload2=None, sent2: int = 0,
 ) -> list[jax.Array]:
     """Per-epoch device pass: one seeded global sort, then per-(segment,
     sub-step) slab scatters, returning one ``(S, S, nt_k, 3, T)`` slab
-    per segment (sub-step-major, matching the ring scan)."""
+    per segment (sub-step-major, matching the ring scan).
+
+    Row 2 of the tile stream carries ``payload2`` (int32; with the pad
+    sentinel ``sent2``) when given — fused BPR passes window-local
+    negative ids — and bitcast ratings (``r_dev``) otherwise."""
     key = jax.random.fold_in(jax.random.key(seed), epoch)
     A = skel.ublock // skel.su
     S = skel.S
-    sid_s, ul, il, rb = _sort_stream(
-        u_dev, ir_dev, r_dev, key, skel.seg_off, skel.nw_arr,
+    if payload2 is None:
+        payload2 = lax.bitcast_convert_type(
+            jnp.asarray(r_dev, jnp.float32), jnp.int32
+        )
+    sid_s, ul, il, p2 = _sort_stream(
+        u_dev, ir_dev, payload2, key, skel.seg_off, skel.nw_arr,
         S=S, ublock=skel.ublock, iblock=skel.iblock,
         su=skel.su, si=skel.si, nwin=skel.nwin, A=A,
     )
@@ -300,11 +314,11 @@ def epoch_tiles_ring(
             mp = 1 << max(0, (m - 1)).bit_length() if m else 1
             slabs.append(
                 _scatter_slab(
-                    sid_s, ul, il, rb,
+                    sid_s, ul, il, p2,
                     jnp.asarray(b0, jnp.int32), jnp.asarray(m, jnp.int32),
                     skel.strat_start, skel.pos_base,
                     mp=mp, S=S, nt=seg.nt, tile=skel.tile,
-                    su=skel.su, si=skel.si,
+                    su=skel.su, si=skel.si, sent2=sent2,
                 )
             )
         out.append(jnp.stack(slabs, axis=0))

@@ -301,6 +301,204 @@ def bpr_ring_epoch_device(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("si", "num_items"))
+def window_negative_bounds(u, irel, pu, pi, *, si, num_items):
+    """Run-constant per-rating bounds for the window complement draw:
+    (wstart, start, cnt, navail) where [start, start+cnt) slices the
+    lex-sorted positive index to the (user, window) cell and navail is
+    the number of NON-positive real items in the window. Built once per
+    run — the positive set and the window layout are epoch-invariant."""
+    from mfx.data.bpr import lowerbound_2key
+
+    wstart = (irel // si) * si
+    start = lowerbound_2key(pu, pi, u, wstart)
+    end = lowerbound_2key(pu, pi, u, wstart + si)
+    cnt = end - start
+    span = jnp.minimum(si, num_items - wstart)
+    return wstart, start, cnt, span - cnt
+
+
+@functools.partial(jax.jit, static_argnames=("si",))
+def window_negatives(key, irel, pi, wstart, start, cnt, navail, *, si):
+    """Device-side EXACT negatives from the positive's item window (the
+    fused-kernel path: the window restriction keeps qj's one-hot the same
+    (T, sip) shape as qi's; with the per-run item shuffle a window is a
+    random ~si-item catalog subset).
+
+    One draw, zero rejection: x ~ U[0, navail) indexes the window's
+    complement directly; the order statistic x -> x + m* (m* = smallest m
+    with offset(m) - m > x over the cell's sorted positive offsets) maps
+    it to the x-th non-positive item. ~log2(si) gathers per epoch vs the
+    rejection loop's rounds x 64 — the fused BPR path was 99% negative
+    sampling before this (16.7s of a 17s epoch at 800k triples).
+
+    Degenerate cells (every real window item is a positive, navail == 0)
+    fall back to j == the positive itself: diff == 0 in the kernel, so
+    only the (lr * reg)-scaled decay fires for that triple."""
+    x = jax.random.randint(
+        key, wstart.shape, 0, jnp.maximum(navail, 1), dtype=jnp.int32
+    )
+    lo = jnp.zeros_like(cnt)
+    hi = cnt
+    nmax = pi.shape[0] - 1
+
+    def body(_, lh):
+        lo, hi = lh
+        active = lo < hi
+        mid = (lo + hi) // 2  # < hi <= cnt, so start+mid stays in-cell
+        off = pi[jnp.minimum(start + mid, nmax)] - wstart
+        gt = off - mid > x
+        hi = jnp.where(active & gt, mid, hi)
+        lo = jnp.where(active & ~gt, mid + 1, lo)
+        return lo, hi
+
+    steps = max(1, si.bit_length())
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return jnp.where(navail > 0, wstart + x + lo, irel)
+
+
+def make_bpr_ring_fused_fn(
+    mesh: Mesh, S: int, su: int, si: int, rank: int, seg_meta: tuple,
+    tpg: int, interpret: bool,
+):
+    """Jitted fused-Pallas BPR DSGD-ring epoch (mirrors
+    mfx/parallel/ring_blocked.py's epoch fn, without dense/bias)."""
+    from mfx.kernels import packing as pk
+    from mfx.kernels.bpr_pallas import bpr_sweep_pallas
+
+    ring = [(r, (r - 1) % S) for r in range(S)]
+    nseg = len(seg_meta)
+
+    def _epoch(Pm_, Qm_, sas, tcs, tls, lr, reg):
+        def substep(carry, xs):
+            Pm, Qm = carry
+            xsa, xtc, xtl = xs
+            loss = jnp.zeros((), jnp.float32)
+            for k, (win0, nwin) in enumerate(seg_meta):
+                sweep = {
+                    "sa": xsa[k][0], "tc": xtc[k][0], "tl": xtl[k][0]
+                }
+                Qs = pk.q_segment(Qm, win0, nwin, rank, si)
+                Pm, Qs, l = bpr_sweep_pallas(
+                    Pm, Qs, sweep, lr, reg,
+                    su=su, si=si, rank=rank, tpg=tpg, interpret=interpret,
+                )
+                Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
+                loss = loss + l[0, 0]
+            Qm = lax.ppermute(Qm, MODEL_AXIS, ring)
+            return (Pm, Qm), loss
+
+        (Pm_, Qm_), losses = lax.scan(substep, (Pm_, Qm_), (sas, tcs, tls))
+        return Pm_, Qm_, lax.psum(jnp.sum(losses), MODEL_AXIS)
+
+    shard_spec = P(MODEL_AXIS)
+    plan_spec = P(None, MODEL_AXIS)
+    sharded = jax.shard_map(
+        _epoch,
+        mesh=mesh,
+        in_specs=(
+            shard_spec, shard_spec,
+            (plan_spec,) * nseg, (plan_spec,) * nseg, (plan_spec,) * nseg,
+            P(), P(),
+        ),
+        out_specs=(shard_spec, shard_spec, P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def epoch(Pm, Qm, sas, tcs, tls, lr, reg):
+        return sharded(Pm, Qm, sas, tcs, tls, lr, reg)
+
+    return epoch
+
+
+def train_epochs_bpr_ring_fused(
+    model: MFModel,
+    train: RatingsCOO,
+    cfg: BPRConfig,
+    mesh: Mesh,
+    seed: int = 0,
+    start_epoch: int = 0,
+    interpret: bool = False,
+) -> Iterator[tuple[int, MFModel, float]]:
+    """Fused-Pallas sharded BPR (BASELINE configs[4] on the K1 scheme):
+    triples stratified into the DSGD ring by (user block, positive-item
+    window) with the device ring planner, window-local exact negatives
+    drawn per epoch on device, and the one-hot MXU kernel inside each
+    sub-step. Deterministic; yields the model in the original item
+    labeling."""
+    from mfx.data.bpr import build_positive_index_device
+    from mfx.kernels import packing as pk
+    from mfx.kernels import plan_ring_device as prd
+    from mfx.solvers.blocked import sweep_geometry
+
+    S = mesh.shape[MODEL_AXIS]
+    U, I = train.num_users, train.num_items
+    rank = model.rank
+    su, si, tile, tpg = cfg.ublock, cfg.iblock, cfg.tile, 4
+    ublock = -(-(-(-U // S)) // su) * su
+    iblock = -(-(-(-I // S)) // si) * si
+    nwin = sweep_geometry(iblock, rank, si)
+
+    # per-run random item relabel: ring blocks (and their windows) become
+    # uniform random catalog subsets
+    fwd, inv = item_shuffle(I, seed)
+    U_pad, I_pad = S * ublock, S * iblock
+    shuffled = MFModel(
+        P=model.P, Q=jnp.asarray(np.asarray(model.Q)[inv]),
+        bu=model.bu, bi=jnp.asarray(np.asarray(model.bi)[inv]), mu=model.mu,
+    )
+    padded = MFModel(
+        P=pk._pad_rows(shuffled.P, U_pad),
+        Q=pk._pad_rows(shuffled.Q, I_pad),
+        bu=pk._pad_rows(shuffled.bu[:, None], U_pad)[:, 0],
+        bi=pk._pad_rows(shuffled.bi[:, None], I_pad)[:, 0],
+        mu=model.mu,
+    )
+    Pm, Qm = pk.pack_state(padded, su, si)
+
+    u_dev = jnp.asarray(train.user, jnp.int32)
+    irel = jnp.asarray(fwd)[jnp.asarray(train.item, jnp.int32)]
+    pu, pi = build_positive_index_device(u_dev, irel)
+    wstart, cstart, ccnt, cavail = window_negative_bounds(
+        u_dev, irel, pu, pi, si=si, num_items=I
+    )
+    skel = prd.build_ring_skeleton(
+        u_dev, irel, S, ublock, iblock, su, si, tile, tpg, nwin
+    )
+    seg_meta = tuple((seg.win0, seg.nwin) for seg in skel.segments)
+    sas = tuple(seg.sa for seg in skel.segments)
+    tcs = tuple(seg.tc for seg in skel.segments)
+    epoch_fn = make_bpr_ring_fused_fn(
+        mesh, S, su, si, rank, seg_meta, tpg, interpret
+    )
+    base = jax.random.key(seed + cfg.neg_seed)
+    for epoch in range(start_epoch, cfg.epochs):
+        kn = jax.random.fold_in(jax.random.fold_in(base, 0xB9), epoch)
+        j = window_negatives(
+            kn, irel, pi, wstart, cstart, ccnt, cavail, si=si
+        )
+        tls = tuple(
+            prd.epoch_tiles_ring(
+                skel, u_dev, irel, None, seed, epoch, payload2=j % si,
+                sent2=si,
+            )
+        )
+        Pm, Qm, loss = epoch_fn(
+            Pm, Qm, sas, tcs, tls,
+            jnp.asarray(cfg.lr, jnp.float32),
+            jnp.asarray(cfg.reg, jnp.float32),
+        )
+        out = pk.unpack_state(Pm, Qm, float(model.mu), U_pad, I_pad, rank,
+                              su, si)
+        out = MFModel(
+            P=out.P[:U], Q=out.Q[:I_pad][jnp.asarray(fwd)],
+            bu=out.bu[:U], bi=out.bi[:I_pad][jnp.asarray(fwd)],
+            mu=out.mu,
+        )
+        yield epoch, out, float(loss) / max(1, train.n_ratings)
+
+
 def make_bpr_ring_epoch_fn(mesh: Mesh):
     S = mesh.shape[MODEL_AXIS]
     ring = [(j, (j - 1) % S) for j in range(S)]
@@ -367,6 +565,12 @@ def train_epochs_bpr_ring(
     """Sharded-table BPR epochs; yields (epoch, model, mean_loss). The model
     is yielded in the ORIGINAL item labeling (the internal shuffle is
     undone on output)."""
+    if cfg.kernel == "pallas":
+        yield from train_epochs_bpr_ring_fused(
+            model, train, cfg, mesh, seed=seed, start_epoch=start_epoch,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return
     S = mesh.shape[MODEL_AXIS]
     U, I = train.num_users, train.num_items
     fwd, inv = item_shuffle(I, seed)

@@ -96,8 +96,13 @@ def ring_geometry(
     tpg = 4
     budget = VMEM_Q_BUDGET
     if cfg.step_user_batch:
-        budget -= tpg * cfg.tile * (su // (128 // rank) + 4 * 128) * 4
-    nwin = sweep_geometry(iblock, rank, si, budget=max(1 << 21, budget))
+        # floor only guards the step_u scratch subtraction — it must not
+        # override a small configured/test budget on the plain path
+        budget = max(
+            1 << 21,
+            budget - tpg * cfg.tile * (su // (128 // rank) + 4 * 128) * 4,
+        )
+    nwin = sweep_geometry(iblock, rank, si, budget=budget)
     return RingGeometry(
         S=S, su=su, si=si, ublock=ublock, iblock=iblock,
         tile=cfg.tile, tpg=tpg, nwin=nwin,

@@ -122,11 +122,24 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
             )
         raise ValueError(f"unknown parallel mode {mode!r}")
     if cfg.solver == "als":
-        if cfg.parallel.mode in ("dp", "sharded", "hybrid"):
+        if cfg.parallel.mode == "sharded":
+            from mfx.parallel.als_ring import train_sweeps_als_ring
+
+            # sharded = no-gather row-sharded tables: ring-rotate the
+            # fixed side, Grams never leave their shard (als_ring.py)
+            def gen_ring():
+                for sweep, m in train_sweeps_als_ring(
+                    model, train_coo, cfg.als, mesh, use_bias=use_bias,
+                    seed=seed,
+                ):
+                    yield sweep, m, float("nan")
+
+            return gen_ring()
+        if cfg.parallel.mode in ("dp", "hybrid"):
             from mfx.parallel.als_dp import train_sweeps_als_dp
 
-            # every parallel mode maps to the same composition for ALS:
-            # sharded Gram accumulation + psum over the whole mesh
+            # replicated tables: sharded Gram accumulation + psum over
+            # the whole mesh (right at configs[3]'s 17k-item catalog)
             def gen_dp():
                 for sweep, m in train_sweeps_als_dp(
                     model, train_coo, cfg.als, mesh, use_bias=use_bias

@@ -145,3 +145,76 @@ def test_bpr_ring_device_learns_and_deterministic():
     np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
     auc = sampled_auc(outs[0], test, seed=9)
     assert auc > 0.58, auc
+
+
+@requires_8
+def test_bpr_ring_fused_kernel_learns_and_deterministic():
+    """configs[4] on the fused one-hot MXU kernel (bpr.kernel='pallas'):
+    trains through the DSGD ring with window-local exact negatives,
+    deterministically, to a useful ranking."""
+    coo = synthetic.make_implicit_synthetic(400, 512, 60_000, rank=2,
+                                            seed=3)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=4)
+    # 4 epochs: both BPR ring paths peak near epoch 3 on this tiny
+    # synthetic and overfit past it (jnp peaks 0.607 -> 0.582 by ep 11)
+    cfg = BPRConfig(lr=0.1, reg=0.002, epochs=4, batch_size=2048,
+                    kernel="pallas", ublock=128, iblock=128, tile=64)
+    outs = []
+    for _ in range(2):
+        model = init_model(1, 400, 512, 64, global_mean=0.0)
+        for _, model, loss in train_epochs_bpr_ring(
+            model, train, cfg, mesh, seed=0
+        ):
+            pass
+        outs.append(model)
+    np.testing.assert_array_equal(np.asarray(outs[0].P), np.asarray(outs[1].P))
+    np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
+    assert np.isfinite(loss)
+    auc = sampled_auc(outs[0], test, seed=9)
+    assert auc > 0.58, auc
+
+
+def test_bpr_window_negatives_exact_and_local():
+    """Device window negatives (one-shot complement draw): same window as
+    the positive, never a positive pair, never a pad item — by
+    construction, not by rejection residual."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfx.data.bpr import build_positive_index_device
+    from mfx.parallel.bpr_sharded import (
+        window_negative_bounds,
+        window_negatives,
+    )
+
+    # 6k ratings over 100x200 = dense cells (~30% positives per window):
+    # exactly the regime where rejection residue would show
+    coo = synthetic.make_implicit_synthetic(100, 200, 6_000, rank=4, seed=5)
+    si = 64
+    u = jnp.asarray(coo.user)
+    ir = jnp.asarray(coo.item)  # identity relabel for the property check
+    pu, pi = build_positive_index_device(u, ir)
+    bounds = window_negative_bounds(u, ir, pu, pi, si=si, num_items=200)
+    j = np.asarray(window_negatives(
+        jax.random.key(3), ir, pi, *bounds, si=si
+    ))
+    i_np = np.asarray(coo.item)
+    assert (j // si == i_np // si).all()  # window-local
+    assert (j < 200).all()  # no pad items
+    pos = set(zip(coo.user.tolist(), coo.item.tolist()))
+    hits = sum((uu, jj) in pos for uu, jj in zip(coo.user.tolist(),
+                                                j.tolist()))
+    assert hits == 0
+    # order-statistic map vs a NumPy oracle: j must be the x-th
+    # non-positive item of the cell for the drawn x
+    wstart, start, cnt, navail = (np.asarray(b) for b in bounds)
+    x = np.asarray(jax.random.randint(
+        jax.random.key(3), ir.shape, 0, np.maximum(navail, 1),
+        dtype=jnp.int32,
+    ))
+    pi_np = np.asarray(pi)
+    for r in range(0, len(j), 97):
+        cell = pi_np[start[r]: start[r] + cnt[r]] - wstart[r]
+        comp = np.setdiff1d(np.arange(min(si, 200 - wstart[r])), cell)
+        assert j[r] == wstart[r] + comp[x[r]], r

@@ -95,3 +95,23 @@ def test_driver_als_dp(tmp_path):
     result = train(cfg, resume=False)
     assert result.epochs_run == 2
     assert 0 < result.test_rmse < 1.0
+
+
+@requires_8
+def test_driver_als_ring(tmp_path):
+    """solver=als + parallel.mode=sharded routes to the no-gather ring
+    sweeps (mfx/parallel/als_ring.py)."""
+    cfg = _small(
+        [
+            "solver=als",
+            "parallel.mode=sharded",
+            "parallel.model_axis=4",
+            "als.sweeps=2",
+            "als.user_chunk=64",
+            "als.reg=0.01",
+        ],
+        tmp_path,
+    )
+    result = train(cfg, resume=False)
+    assert result.epochs_run == 2
+    assert 0 < result.test_rmse < 1.0
