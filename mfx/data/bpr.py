@@ -24,6 +24,7 @@ from mfx.data.coo import RatingsCOO
 __all__ = [
     "build_positive_index",
     "build_positive_index_device",
+    "complement_draw",
     "lowerbound_2key",
     "members_2key",
     "sample_negatives",
@@ -163,33 +164,72 @@ def members_2key(pu, pi, qu, qi):
     return (lo < n) & (pu[safe] == qu) & (pi[safe] == qi)
 
 
-def sample_negatives_device(
-    key, users, pu, pi, num_items: int, rounds: int = MAX_REJECTION_ROUNDS
-):
-    """Device-side exact negative sampling (VERDICT round 2, directive
-    #8): seeded uniform draws with membership rejection against the
-    sorted positive pairs — per-epoch host work is O(1). Same contract
-    as :func:`sample_negatives` (after ``rounds`` redraws a residual
-    collision survives with probability density**rounds); the RNG stream
-    is jax.random, so triples differ from the NumPy path but are
-    bitwise-reproducible for a given (key, shape)."""
+def complement_draw(key, pi, start, cnt, navail, base, fallback, steps=32):
+    """EXACT uniform draw from the complement of a sorted positive slice,
+    one draw per query slot, zero rejection.
+
+    Per slot: ``pi[start : start + cnt)`` holds the slot's positives as
+    strictly increasing ids inside [base, base + span) (strictness is why
+    :func:`build_positive_index_device` dedups), and
+    ``navail = span - cnt`` is the complement size. Draw x ~ U[0, navail)
+    and map it to the x-th NON-positive id by the order statistic: the
+    smallest m with pi[start + m] - base - m > x gives j = base + x + m.
+
+    Cost: one randint + ``steps`` binary-search gathers. The rejection
+    loop this replaces cost rounds x 64 membership gathers and was 95% of
+    the fused-BPR ring's epoch wall time. Slots with navail <= 0 (every
+    real id in range is a positive) return ``fallback`` — callers pass
+    the positive itself, making the triple a pure-regularization no-op
+    (q_i - q_j == 0).
+
+    ``steps`` must be >= ceil(log2(max cnt + 1)); 32 covers any int32
+    slice."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    n = users.shape[0]
+    x = jax.random.randint(
+        key, navail.shape, 0, jnp.maximum(navail, 1), dtype=jnp.int32
+    )
+    lo = jnp.zeros_like(cnt)
+    hi = cnt
+    nmax = pi.shape[0] - 1
 
-    def draw(k):
-        return jax.random.randint(k, (n,), 0, num_items, dtype=jnp.int32)
+    def body(_, lh):
+        lo, hi = lh
+        active = lo < hi
+        mid = (lo + hi) // 2  # < hi <= cnt keeps start + mid in-slice
+        off = pi[jnp.minimum(start + mid, nmax)] - base
+        gt = off - mid > x
+        hi = jnp.where(active & gt, mid, hi)
+        lo = jnp.where(active & ~gt, mid + 1, lo)
+        return lo, hi
 
-    neg = draw(jax.random.fold_in(key, 0))
+    lo, _ = lax.fori_loop(0, steps, body, (lo, hi))
+    return jnp.where(navail > 0, base + x + lo, fallback)
 
-    def body(r, neg):
-        pending = members_2key(pu, pi, users, neg)
-        fresh = draw(jax.random.fold_in(key, r + 1))
-        return jnp.where(pending, fresh, neg)
 
-    return lax.fori_loop(0, rounds, body, neg)
+def sample_negatives_device(key, users, pu, pi, num_items: int):
+    """Device-side exact negative sampling over the whole catalog
+    (VERDICT round 2, directive #8) — per-epoch host work is O(1).
+    One complement draw per slot (see :func:`complement_draw`): exact by
+    construction, where the earlier rejection loop left a density**rounds
+    residual and cost ~20x the gather traffic. The RNG stream is
+    jax.random, so triples differ from the NumPy path but are
+    bitwise-reproducible for a given (key, shape)."""
+    import jax.numpy as jnp
+
+    zeros = jnp.zeros_like(users)
+    start = lowerbound_2key(pu, pi, users, zeros)
+    end = lowerbound_2key(pu, pi, users, zeros + num_items)
+    cnt = end - start
+    nmax = pi.shape[0] - 1
+    # navail == 0 means the user rated the ENTIRE catalog; no negative
+    # exists — fall back to one of their positives (loss-neutral pair)
+    fallback = pi[jnp.minimum(start, nmax)]
+    return complement_draw(
+        key, pi, start, cnt, num_items - cnt, zeros, fallback
+    )
 
 
 def bpr_epoch_triples(

@@ -233,7 +233,7 @@ def _bpr_ring_epoch_device(
 ):
     from jax import lax
 
-    from mfx.data.bpr import MAX_REJECTION_ROUNDS, members_2key
+    from mfx.data.bpr import complement_draw, lowerbound_2key
 
     n = u_dev.shape[0]
     cell = (
@@ -257,25 +257,24 @@ def _bpr_ring_epoch_device(
     positems = positems.reshape(S * S, width)
     weights = weights.reshape(S * S, width)
 
-    # block-local negatives with exact rejection against the (relabeled)
-    # positive pairs, entirely on device
-    def draw(k):
-        r = jax.random.randint(
-            k, (S * S, width), 0, iblock, dtype=jnp.int32
-        )
-        return r % block_rows[:, None]
-
-    neg = draw(jax.random.fold_in(key_neg, 0))
+    # block-local EXACT negatives, entirely on device: one complement
+    # draw per slot against the (user, held-block) slice of the sorted
+    # positive pairs (see mfx.data.bpr.complement_draw — replaces the
+    # rejection loop's rounds x 64 membership gathers with 2 lowerbound
+    # passes + 32 search gathers, with no collision residual)
     gu = users + s_of_cell[:, None] * ublock
-    gbase = (cell_block * iblock)[:, None]
-
-    def body(r, neg):
-        pending = members_2key(pu, pi, gu, gbase + neg) & (weights > 0)
-        fresh = draw(jax.random.fold_in(key_neg, r + 1))
-        return jnp.where(pending, fresh, neg)
-
-    neg = lax.fori_loop(0, MAX_REJECTION_ROUNDS, body, neg)
-    return users, positems, neg, weights
+    gbase = jnp.broadcast_to((cell_block * iblock)[:, None], gu.shape)
+    start = lowerbound_2key(pu, pi, gu, gbase)
+    end = lowerbound_2key(pu, pi, gu, gbase + block_rows[:, None])
+    cnt = end - start
+    navail = block_rows[:, None] - cnt
+    # navail == 0: the user rated the whole held block; fall back to the
+    # positive (loss-neutral). Pad slots (weights == 0) draw a valid
+    # in-block id for user 0 of the shard — inert under zero weight.
+    jg = complement_draw(
+        key_neg, pi, start, cnt, navail, gbase, gbase + positems
+    )
+    return users, positems, jg - gbase, weights
 
 
 def bpr_ring_epoch_device(
@@ -335,26 +334,12 @@ def window_negatives(key, irel, pi, wstart, start, cnt, navail, *, si):
     Degenerate cells (every real window item is a positive, navail == 0)
     fall back to j == the positive itself: diff == 0 in the kernel, so
     only the (lr * reg)-scaled decay fires for that triple."""
-    x = jax.random.randint(
-        key, wstart.shape, 0, jnp.maximum(navail, 1), dtype=jnp.int32
+    from mfx.data.bpr import complement_draw
+
+    return complement_draw(
+        key, pi, start, cnt, navail, wstart, irel,
+        steps=max(1, si.bit_length()),
     )
-    lo = jnp.zeros_like(cnt)
-    hi = cnt
-    nmax = pi.shape[0] - 1
-
-    def body(_, lh):
-        lo, hi = lh
-        active = lo < hi
-        mid = (lo + hi) // 2  # < hi <= cnt, so start+mid stays in-cell
-        off = pi[jnp.minimum(start + mid, nmax)] - wstart
-        gt = off - mid > x
-        hi = jnp.where(active & gt, mid, hi)
-        lo = jnp.where(active & ~gt, mid + 1, lo)
-        return lo, hi
-
-    steps = max(1, si.bit_length())
-    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return jnp.where(navail > 0, wstart + x + lo, irel)
 
 
 def make_bpr_ring_fused_fn(

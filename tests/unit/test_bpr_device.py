@@ -66,3 +66,38 @@ def test_bpr_device_pipeline_learns_and_deterministic():
     np.testing.assert_array_equal(np.asarray(outs[0].Q), np.asarray(outs[1].Q))
     auc = sampled_auc(outs[0], test, seed=9)
     assert auc > 0.6, auc
+
+
+def test_catalog_complement_draw_oracle():
+    """sample_negatives_device is an EXACT order-statistic draw: for the
+    drawn x, j must be the x-th non-positive item of the user's catalog
+    complement — including duplicate training pairs (deduped index) and
+    a degenerate user who rated everything (positive fallback)."""
+    rng = np.random.default_rng(4)
+    I = 37
+    u = rng.integers(0, 20, 900).astype(np.int32)
+    i = rng.integers(0, I, 900).astype(np.int32)  # plenty of duplicates
+    u = np.concatenate([u, np.full(I, 20, np.int32)])  # user 20: all items
+    i = np.concatenate([i, np.arange(I, dtype=np.int32)])
+    pu, pi = build_positive_index_device(jnp.asarray(u), jnp.asarray(i))
+    key = jax.random.key(11)
+    j = np.asarray(sample_negatives_device(key, jnp.asarray(u), pu, pi, I))
+    # reproduce the internal draw to check the order statistic exactly
+    from mfx.data.bpr import lowerbound_2key
+
+    zeros = jnp.zeros_like(jnp.asarray(u))
+    start = np.asarray(lowerbound_2key(pu, pi, jnp.asarray(u), zeros))
+    end = np.asarray(lowerbound_2key(pu, pi, jnp.asarray(u), zeros + I))
+    cnt = end - start
+    navail = I - cnt
+    x = np.asarray(jax.random.randint(
+        key, u.shape, 0, np.maximum(navail, 1), dtype=jnp.int32))
+    pos_by_user = {}
+    for uu, ii in zip(u.tolist(), i.tolist()):
+        pos_by_user.setdefault(uu, set()).add(ii)
+    for r in range(0, len(u), 41):
+        comp = sorted(set(range(I)) - pos_by_user[u[r]])
+        if comp:
+            assert j[r] == comp[x[r]], r
+        else:
+            assert j[r] in pos_by_user[u[r]], r  # fallback: a positive
