@@ -88,6 +88,7 @@ def run_bench(
     )
     t0 = time.time()
     _, final_model, _ = next(gen)  # warmup: prep + plan + compile + epoch 0
+    final_model.block_until_ready()  # the yield itself is lazy
     warmup_s = time.time() - t0
     # disaggregate: prep_s = one-time dense split + plan skeleton;
     # plan_s = the epoch plan pass (incl. its own jit compile, once);
@@ -102,6 +103,11 @@ def run_bench(
         timed += 1
         if timed >= epochs:
             break
+    # the generator yields a LAZY train-rmse scalar, so the loop above
+    # only enqueues the epochs (they pipeline on device with no per-epoch
+    # host round trip — the production steady state); block once at the
+    # end so the window measures real device completion
+    final_model.block_until_ready()
     bench_s = time.time() - t0
 
     n_upd = train.n_ratings * epochs
@@ -162,10 +168,12 @@ def run_bench(
                 seed=cfg.data.seed, tpg=tpg, replan_every=1,
                 interpret=interpret, timings=t2,
             )
-            next(gen2)  # epoch 0: re-pays prep; excluded from timing
+            _, m2, _ = next(gen2)  # epoch 0: re-pays prep; excluded
+            m2.block_until_ready()
             t0 = time.time()
-            for _ in gen2:
+            for _, m2, _ in gen2:
                 pass
+            m2.block_until_ready()
             epoch_s_replan = time.time() - t0
             replan_s = t2.get("plan_s", 0.0) / 2  # per-replan (2 ran)
         except Exception as exc:  # auxiliary metric only — keep headline

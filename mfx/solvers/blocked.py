@@ -217,6 +217,12 @@ def train_epochs_blocked(
     running the fused Pallas kernel (cfg.kernel == 'pallas') or the pure-XLA
     blocked mirror ('blocked_jnp').
 
+    ``train_rmse`` is a LAZY 0-d device array (not a float): reading it —
+    ``float(tr)``, formatting, comparison — blocks on the epoch. Loops
+    that ignore it pipeline epochs without a per-epoch host round trip;
+    call ``model.block_until_ready()`` (or read the value) when a real
+    synchronization point is needed.
+
     ``timings``, if given, is filled with {'planner': 'device'|'host',
     'plan_s': cumulative seconds spent building epoch plans (blocking on
     the device pass), 'prep_s': one-time dense-split/skeleton prep} so the
@@ -371,9 +377,14 @@ def train_epochs_blocked(
             # valid until the generator is resumed (the next epoch donates
             # the buffers and invalidates the view — stale access raises).
             view = pk.PackedModel(Pm, Qm, mu, U, I, rank, su, si)
-            yield epoch, view, float(
-                jnp.sqrt(sse / max(1, train.n_ratings))
-            )
+            # the train RMSE is yielded as a LAZY device scalar: float()ing
+            # it here would force a device->host sync per epoch, which on
+            # a high-latency link costs more than a third of the epoch
+            # (measured 60 ms of a 157 ms epoch on the tunneled chip) and
+            # blocks the dispatch pipeline. Consumers that want the number
+            # call float(tr) and pay the sync; throughput loops that
+            # ignore it let epochs queue back-to-back on device.
+            yield epoch, view, jnp.sqrt(sse / max(1, train.n_ratings))
     elif cfg.kernel == "blocked_jnp":
         padded = pad_tables(model, su, si)
         plan = None
@@ -395,6 +406,7 @@ def train_epochs_blocked(
                 su=su, si=si, use_bias=use_bias, exact=exact,
             )
             model = unpad_tables(padded, U, I)
-            yield epoch, model, float(jnp.sqrt(sse / max(1, train.n_ratings)))
+            # lazy device scalar — same contract as the fused path above
+            yield epoch, model, jnp.sqrt(sse / max(1, train.n_ratings))
     else:
         raise ValueError(f"unknown blocked kernel {cfg.kernel!r}")

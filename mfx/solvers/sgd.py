@@ -153,6 +153,8 @@ def train_epochs(
     start_epoch: int = 0,
 ) -> Iterator[tuple[int, object, float]]:
     """Generator driving SGD epochs; yields (epoch, model, train_rmse).
+    On the blocked path train_rmse is a lazy 0-d device array (reading it
+    blocks on the epoch — see train_epochs_blocked); elsewhere a float.
 
     The training driver (mfx.train.driver) wraps this with eval cadence,
     logging, checkpointing, and throughput metering. The 'blocked'

@@ -36,9 +36,13 @@ def _plan_one_block(coo, j_neg):
     return seg, slabs[0][0, 0]  # (nt, 3, T)
 
 
-@pytest.mark.parametrize("rank", [64, 32])
+@pytest.mark.parametrize("rank", [64, 32, 128])
 def test_bpr_kernel_matches_tilewise_jnp_oracle(rank):
-    coo = synthetic.make_implicit_synthetic(U, I, 3_000, rank=4, seed=2)
+    # pack-1 interpret mode is ~5x slower per triple; a smaller stream
+    # still covers every tile-path branch (rank 128 has no sub-slot
+    # select/merge to exercise)
+    n_triples = 1_000 if rank == 128 else 3_000
+    coo = synthetic.make_implicit_synthetic(U, I, n_triples, rank=4, seed=2)
     rng = np.random.default_rng(0)
     j_neg = rng.integers(0, I, coo.n_ratings).astype(np.int32)
 
