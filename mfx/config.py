@@ -93,6 +93,15 @@ class SGDConfig:
     # rating is exactly on the half-star grid and rank is 64/32
     # (pack 2/4); 'on' forces it; 'off' keeps int8.
     dense_int4: str = "auto"
+    # pack>1 lane handling on the fused kernel's tile path:
+    # 'roll'   — prediction/deltas stay in the packed 128-lane space via
+    #            masked arithmetic + static lane rotations (no select-
+    #            merge or lane-concat relayouts; bitwise-identical to
+    #            'select' compiled on TPU, ~1 ULP/step in interpret
+    #            mode; measured ~2% faster sparse sweeps)
+    # 'select' — per-slot select-merge to (tile, rank) and concat back
+    #            (the original form; step_user_batch always uses it)
+    pack_path: str = "roll"
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4
@@ -131,6 +140,11 @@ class SGDConfig:
             raise ValueError(
                 "sgd.dense_int4 must be 'auto', 'on' or 'off', "
                 f"got {self.dense_int4!r}"
+            )
+        if self.pack_path not in ("roll", "select"):
+            raise ValueError(
+                f"sgd.pack_path must be 'roll' or 'select', got "
+                f"{self.pack_path!r}"
             )
         if self.bias_mode not in ("tile", "epoch"):
             raise ValueError(

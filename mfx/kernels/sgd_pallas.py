@@ -72,6 +72,7 @@ def _kernel_body(
     exact: bool,
     mxu_bf16: bool,
     bias_mode: str = "tile",
+    pack_path: str = "roll",
 ):
     # bias_mode='epoch': biases are FROZEN for the epoch — the planner
     # bakes bu[u]+bi[i] into a per-tile bias stream (bt) and the kernel
@@ -94,6 +95,23 @@ def _kernel_body(
     # entire sparse-path cost. `exact` wins when both are set.
     cdt = jnp.bfloat16 if (mxu_bf16 and not exact) else f32
     T = tile
+    # pack_path='roll' (pack>1): keep prediction/deltas in the packed
+    # 128-lane space — no (T, rank) select-merge, no lane-concat relayouts
+    # on the tile path (~2% faster sparse sweeps, measured compiled).
+    # Cross-slot alignment uses static lane rotations keyed by the per-row
+    # slot difference; off-slot lanes are exactly 0.0, so updates match the
+    # 'select' path exactly except for the prediction's 128-lane sum, whose
+    # reduction tree may associate the slot's `rank` nonzero lanes
+    # differently than select's rank-lane sum: measured BITWISE-equal on
+    # the compiled TPU path, and within 1 ULP in interpret/CPU mode.
+    # 'select' keeps the original per-slot merge.
+    roll = pack > 1 and pack_path == "roll"
+
+    def rot(x, k):
+        # static rotation by k*rank lanes; pltpu.roll shifts toward higher
+        # lane indices, so reading lane l+k*rank == roll by 128 - k*rank
+        s = (k % pack) * rank
+        return x if s == 0 else pltpu.roll(x, 128 - s, 1)
 
     def dot(x, y):
         return jnp.dot(
@@ -160,7 +178,26 @@ def _kernel_body(
 
             gu = dot(ou, P_out[:sup, :])  # (T, 128): all `pack` slots
             gi = dot(oi, Qseg[pl.ds(qs, sip), :])
-            if pack > 1:
+            if roll:
+                lane_slot = (
+                    lax.broadcasted_iota(jnp.int32, (T, 128), 1) // rank
+                )
+                su_s = u % pack
+                si_s = i % pack
+                pu128 = gu * (su_s[:, None] == lane_slot).astype(f32)
+                qi128 = gi * (si_s[:, None] == lane_slot).astype(f32)
+                # (T, 1) int32: the minor-dim insert must happen on the
+                # 32-bit value (Mosaic rejects i1 vector reshape)
+                rel = ((si_s - su_s) % pack)[:, None]
+                m0 = (rel == 0).astype(f32)
+                qi_al = m0 * qi128  # item factors in the user's slot lanes
+                pu_al = m0 * pu128  # user factors in the item's slot lanes
+                for d in range(1, pack):
+                    m = (rel == d).astype(f32)
+                    qi_al = qi_al + m * rot(qi128, d)
+                    pu_al = pu_al + m * rot(pu128, pack - d)
+                pred = jnp.sum(pu128 * qi_al, axis=-1) + mu
+            elif pack > 1:
                 sou = (
                     (u % pack)[:, None]
                     == lax.broadcasted_iota(jnp.int32, (T, pack), 1)
@@ -174,10 +211,10 @@ def _kernel_body(
                 for s in range(1, pack):
                     pu = pu + sou[:, s : s + 1] * gu[:, s * rank : (s + 1) * rank]
                     qi = qi + soi[:, s : s + 1] * gi[:, s * rank : (s + 1) * rank]
+                pred = jnp.sum(pu * qi, axis=-1) + mu
             else:
                 pu, qi = gu, gi
-
-            pred = jnp.sum(pu * qi, axis=-1) + mu
+                pred = jnp.sum(pu * qi, axis=-1) + mu
             mask = (u < su).astype(f32)
             if epoch_bias:
                 pred = pred + bt_ref[j, 0, :]
@@ -208,9 +245,12 @@ def _kernel_body(
 
             e = r - pred  # garbage in pad slots; killed by zero one-hots
 
-            d_pu = lr * (e[:, None] * qi - reg * pu)  # (T, rank)
-            d_qi = lr * (e[:, None] * pu - reg * qi)
-            if pack > 1:
+            if roll:
+                d_pu128 = lr * (e[:, None] * qi_al - reg * pu128)
+                d_qi128 = lr * (e[:, None] * pu_al - reg * qi128)
+            elif pack > 1:
+                d_pu = lr * (e[:, None] * qi - reg * pu)  # (T, rank)
+                d_qi = lr * (e[:, None] * pu - reg * qi)
                 d_pu128 = jnp.concatenate(
                     [d_pu * sou[:, s : s + 1] for s in range(pack)], axis=1
                 )
@@ -218,7 +258,8 @@ def _kernel_body(
                     [d_qi * soi[:, s : s + 1] for s in range(pack)], axis=1
                 )
             else:
-                d_pu128, d_qi128 = d_pu, d_qi
+                d_pu128 = lr * (e[:, None] * qi - reg * pu)
+                d_qi128 = lr * (e[:, None] * pu - reg * qi)
             P_out[:sup, :] = P_out[:sup, :] + dot_t(ou, d_pu128)
             Qseg[pl.ds(qs, sip), :] = Qseg[pl.ds(qs, sip), :] + dot_t(oi, d_qi128)
             if epoch_bias:
@@ -457,7 +498,7 @@ def _kernel_body_step_u(
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "mxu_bf16", "step_u", "bias_mode",
+        "mxu_bf16", "step_u", "bias_mode", "pack_path",
     ),
 )
 def blocked_sgd_sweep_pallas(
@@ -478,6 +519,7 @@ def blocked_sgd_sweep_pallas(
     mxu_bf16: bool = False,
     step_u: bool = False,
     bias_mode: str = "tile",
+    pack_path: str = "roll",
 ):
     """One item-sweep of fused SGD. The sweep's Q segment must fit the VMEM
     budget (epochs over larger item tables run as several sweeps — see
@@ -516,6 +558,7 @@ def blocked_sgd_sweep_pallas(
             su=su, si=si, rank=rank, tpg=tpg, nwin=nwin,
             use_bias=use_bias, exact=exact, interpret=interpret,
             mxu_bf16=mxu_bf16, step_u=step_u, bias_mode=bias_mode,
+            pack_path=pack_path,
         )
         if epoch_bias:
             Pm, Qs, e, s = out
@@ -534,7 +577,7 @@ def blocked_sgd_sweep_pallas(
 def _sweep_chunk_call(
     Pm, Qs, sweep, lr, reg, mu,
     *, su, si, rank, tpg, nwin, use_bias, exact, interpret, mxu_bf16=False,
-    step_u=False, bias_mode="tile",
+    step_u=False, bias_mode="tile", pack_path="roll",
 ):
     pack = 128 // rank
     pstride = su // pack + BIAS_ROWS
@@ -554,7 +597,7 @@ def _sweep_chunk_call(
     else:
         kernel = body(
             su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16,
-            bias_mode=bias_mode,
+            bias_mode=bias_mode, pack_path=pack_path,
         )
     blk_spec = pl.BlockSpec(
         (pstride, 128),

@@ -131,6 +131,7 @@ def make_ring_blocked_epoch_fn(
     exact: bool = False, interpret: bool = False,
     mxu_bf16: bool = False, step_u: bool = False,
     with_dense: bool = False, rfmt: str = "int8",
+    pack_path: str = "roll",
 ):
     """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh.
 
@@ -168,7 +169,7 @@ def make_ring_blocked_epoch_fn(
                     Pm, Qs, sweep, lr, reg, mu,
                     su=geo.su, si=geo.si, rank=rank, tpg=geo.tpg,
                     use_bias=use_bias, exact=exact, interpret=interpret,
-                    mxu_bf16=mxu_bf16, step_u=step_u,
+                    mxu_bf16=mxu_bf16, step_u=step_u, pack_path=pack_path,
                 )
                 Qm = pk.q_segment_restore(Qm, Qs, win0, rank, geo.si)
                 sse = sse + s[0, 0]
@@ -281,7 +282,7 @@ def train_epochs_ring_blocked(
         mesh, geo, rank, use_bias, seg_meta,
         exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
-        with_dense=with_dense, rfmt=rfmt,
+        with_dense=with_dense, rfmt=rfmt, pack_path=cfg.pack_path,
     )
     replan_every = cfg.replan_every
     tls = None

@@ -86,6 +86,7 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
         "sweep_meta", "mxu_bf16", "step_u", "rfmt", "bias_mode",
+        "pack_path",
     ),
     donate_argnums=(0, 1),
 )
@@ -93,7 +94,7 @@ def _fused_epoch(
     Pm, Qm, sweeps, dense_tensors, lr, reg, mu,
     *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
     mxu_bf16=False, step_u=False, rfmt="int8", bias_mode="tile",
-    bias_aux=None,
+    bias_aux=None, pack_path="roll",
 ):
     """One whole epoch — dense phase + every item-sweep — as a single
     donated XLA program. One dispatch per epoch, no host sync inside, and
@@ -157,7 +158,7 @@ def _fused_epoch(
                 Pm, Qs, arrs, lr, reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg,
                 use_bias=use_bias, exact=exact, interpret=interpret,
-                mxu_bf16=mxu_bf16, bias_mode="epoch",
+                mxu_bf16=mxu_bf16, bias_mode="epoch", pack_path=pack_path,
             )
             e_parts.append(e)
         else:
@@ -165,7 +166,7 @@ def _fused_epoch(
                 Pm, Qs, arrs, lr, reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg,
                 use_bias=use_bias, exact=exact, interpret=interpret,
-                mxu_bf16=mxu_bf16, step_u=step_u,
+                mxu_bf16=mxu_bf16, step_u=step_u, pack_path=pack_path,
             )
         Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
         sse = sse + s[0, 0]
@@ -372,6 +373,7 @@ def train_epochs_blocked(
                 exact=exact, interpret=interpret, sweep_meta=sweep_meta,
                 mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
                 rfmt=rfmt, bias_mode=cfg.bias_mode, bias_aux=bias_aux,
+                pack_path=cfg.pack_path,
             )
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates

@@ -185,3 +185,40 @@ def test_pallas_step_user_batch_close_to_per_tile_interpret():
     np.testing.assert_allclose(np.asarray(got.bi), np.asarray(ref.bi), atol=0.05)
     d = np.abs(np.asarray(got.P) - np.asarray(ref.P)).max()
     assert d > 0  # the batched path must actually differ
+
+
+def test_pallas_pack_path_roll_matches_select():
+    """pack_path='roll' keeps deltas in packed lane space (masked
+    arithmetic + static lane rotations); off-slot lanes are exactly 0.0,
+    so the only divergence from the select-merge path is the reduction
+    order of the prediction's 128-lane sum (vs select's rank-lane sum):
+    bitwise-equal on the compiled TPU path (measured dP=dQ=0 on chip),
+    within 1 ULP per step in interpret/CPU mode — at both pack 2
+    (rank 64) and pack 4 (rank 32)."""
+    su, si, T, tpg, nwin = 128, 128, 32, 4, 2
+    coo = synthetic.make_synthetic(300, 260, 3000, seed=11)
+    perm = epoch_permutation(3000, 0, 0)
+    for rank in (64, 32):
+        plans = bh.build_sweep_plans(
+            coo.user, coo.item, coo.rating, 300, 260, su, si, T, tpg,
+            nwin, perm,
+        )
+        model = init_model(3, 300, 260, rank, global_mean=coo.global_mean)
+        outs = []
+        for pack_path in ("select", "roll"):
+            Pm, Qm = pk.pack_state(model, su, si)
+            for p in plans:
+                Qs = pk.q_segment(Qm, p.win0, p.nwin, rank, si)
+                Pm, Qs, _ = blocked_sgd_sweep_pallas(
+                    Pm, Qs, pk.sweep_arrays(p), 0.05, 0.02,
+                    float(model.mu),
+                    su=su, si=si, rank=rank, tpg=tpg,
+                    use_bias=True, interpret=True, pack_path=pack_path,
+                )
+                Qm = pk.q_segment_restore(Qm, Qs, p.win0, rank, si)
+            outs.append((np.asarray(Pm), np.asarray(Qm)))
+        (P_sel, Q_sel), (P_roll, Q_roll) = outs
+        # interpret mode: 1-ULP pred differences compound over the epoch;
+        # the compiled TPU path is bitwise (asserted on chip, see ledger)
+        np.testing.assert_allclose(P_roll, P_sel, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(Q_roll, Q_sel, rtol=0, atol=1e-6)
