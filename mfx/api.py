@@ -15,7 +15,9 @@ from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
 from mfx.data.split import train_test_split
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
+from mfx.eval.ranking import hr_ndcg_at_k
 from mfx.models.mf import MFModel, init_model
+from mfx.serve import TopKRecommender
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
 
@@ -23,9 +25,9 @@ __all__ = [
     "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "ALSConfig",
     "BPRConfig", "ParallelConfig", "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
-    "rmse", "rmse_mae", "sampled_auc", "evaluate",
+    "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "evaluate",
     "MFModel", "init_model", "load_checkpoint", "save_checkpoint",
-    "TrainResult", "train",
+    "TrainResult", "train", "TopKRecommender",
 ]
 
 
@@ -34,10 +36,20 @@ def evaluate(
     coo: RatingsCOO,
     implicit: bool = False,
     clip: tuple[float, float] | None = (0.5, 5.0),
+    ranking_k: int | None = None,
 ) -> dict:
     """Held-out metrics: RMSE/MAE (explicit; predictions clipped to the
-    rating scale, matching the training driver) or sampled AUC (implicit)."""
+    rating scale, matching the training driver) or sampled AUC (implicit).
+    ``ranking_k``: additionally report sampled HR@K / NDCG@K at this K
+    (pass ``pos_keys`` built over train ∪ test to ``hr_ndcg_at_k``
+    directly for the unbiased protocol)."""
+    out = {}
     if implicit:
-        return {"auc": sampled_auc(model, coo)}
-    r, m = rmse_mae(model, coo, clip=clip)
-    return {"rmse": r, "mae": m}
+        out["auc"] = sampled_auc(model, coo)
+    else:
+        out["rmse"], out["mae"] = rmse_mae(model, coo, clip=clip)
+    if ranking_k is not None:
+        r = hr_ndcg_at_k(model, coo, k=ranking_k)
+        out[f"hr@{ranking_k}"] = r["hr"]
+        out[f"ndcg@{ranking_k}"] = r["ndcg"]
+    return out

@@ -1,0 +1,117 @@
+"""Batched top-K recommendation serving — the deployment surface of the
+factorizer (BASELINE.json north star trains the model; this serves it).
+
+TPU-native design: a recommendation batch is ONE dense MXU matmul
+``P[users] @ Qᵀ`` over the full catalog (rank-k × num_items — exactly the
+shape the MXU wants), plus bias broadcast, followed by ``jax.lax.top_k``.
+Seen-item exclusion is a single scatter of -inf at the batch's observed
+(row, item) pairs: the per-user positives come from a host CSR built once
+at construction, padded to power-of-2 buckets so the jitted program is
+reused across batches (bounded retraces, static shapes throughout).
+
+The reference snapshot ships no serving code (or any code —
+/root/reference/README.md:1-2); this is the canonical MF deployment path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TopKRecommender"]
+
+_NEG_INF = float("-inf")
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_batch(model, users, excl_rows, excl_items, k):
+    pu = jnp.take(model.P, users, axis=0, mode="clip")  # (B, r)
+    scores = (
+        pu @ model.Q.T
+        + model.bi[None, :]
+        + jnp.take(model.bu, users, mode="clip")[:, None]
+        + model.mu
+    )
+    # pad slots carry excl_rows == B (out of range): dropped by the
+    # default out-of-bounds scatter semantics under jit
+    scores = scores.at[excl_rows, excl_items].set(
+        _NEG_INF, mode="drop", unique_indices=True
+    )
+    return jax.lax.top_k(scores, k)
+
+
+class TopKRecommender:
+    """Serve top-K recommendations from a trained :class:`MFModel`.
+
+    >>> rec = TopKRecommender(result.model, train=train_coo)
+    >>> items, scores = rec.recommend([3, 17, 940], k=10)
+
+    ``train`` (optional RatingsCOO): interactions to EXCLUDE from results
+    (the standard "don't recommend what the user already rated"). Users
+    absent from ``train`` simply get unfiltered top-K.
+
+    ``batch``: users per device dispatch. Each dispatch scores the full
+    catalog — (batch, num_items) f32 in HBM; 256 × 1M items ≈ 1 GB, size
+    accordingly for very large catalogs.
+    """
+
+    def __init__(self, model, train=None, batch: int = 256):
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
+        self.model = model
+        self.batch = batch
+        if train is not None:
+            order = np.argsort(train.user, kind="stable")
+            self._items = train.item[order].astype(np.int32)
+            self._offsets = np.searchsorted(
+                train.user[order], np.arange(model.num_users + 1)
+            ).astype(np.int64)
+        else:
+            self._items = np.zeros(0, np.int32)
+            self._offsets = np.zeros(model.num_users + 1, np.int64)
+
+    def _exclusions(self, users: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(rows, items) of the batch's seen pairs, padded to a pow-2
+        bucket; pad slots use the out-of-range row sentinel ``batch``."""
+        starts = self._offsets[users]
+        stops = self._offsets[users + 1]
+        counts = (stops - starts).astype(np.int64)
+        total = int(counts.sum())
+        cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
+        rows = np.full(cap, self.batch, np.int32)
+        items = np.zeros(cap, np.int32)
+        pos = 0
+        for b in np.flatnonzero(counts):
+            c = int(counts[b])
+            rows[pos:pos + c] = b
+            items[pos:pos + c] = self._items[starts[b]:starts[b] + c]
+            pos += c
+        return rows, items
+
+    def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` unseen items per user: (items (n, k) int32,
+        scores (n, k) f32), both sorted by descending score."""
+        users = np.asarray(users, np.int32).reshape(-1)
+        if k < 1 or k > self.model.num_items:
+            raise ValueError(
+                f"k must be in [1, num_items={self.model.num_items}], got {k}"
+            )
+        if np.any((users < 0) | (users >= self.model.num_users)):
+            raise ValueError("user id out of range")
+        n = users.shape[0]
+        out_i = np.empty((n, k), np.int32)
+        out_s = np.empty((n, k), np.float32)
+        for start in range(0, n, self.batch):
+            stop = min(start + self.batch, n)
+            ub = np.zeros(self.batch, np.int32)
+            ub[: stop - start] = users[start:stop]
+            rows, items = self._exclusions(ub[: stop - start])
+            s, i = _topk_batch(
+                self.model, ub, jnp.asarray(rows), jnp.asarray(items), k
+            )
+            out_i[start:stop] = np.asarray(i)[: stop - start]
+            out_s[start:stop] = np.asarray(s)[: stop - start]
+        return out_i, out_s

@@ -1,0 +1,95 @@
+"""Ranking metrics (HR@K/NDCG@K) and top-K serving vs NumPy oracles."""
+
+import numpy as np
+
+from mfx.data import synthetic
+from mfx.data.bpr import build_positive_index, sample_negatives
+from mfx.data.split import train_test_split
+from mfx.eval.ranking import hr_ndcg_at_k
+from mfx.models.mf import init_model
+from mfx.serve import TopKRecommender
+
+
+def _model(U, I, rank=8, seed=3):
+    m = init_model(seed, U, I, rank, global_mean=3.5)
+    return m
+
+
+def test_hr_ndcg_matches_numpy_oracle():
+    U, I, k, n_neg = 60, 40, 5, 20
+    coo = synthetic.make_synthetic(U, I, 800, seed=7)
+    train, test = train_test_split(coo, 0.25, seed=0)
+    model = _model(U, I)
+    pos_keys = build_positive_index(coo)
+    got = hr_ndcg_at_k(
+        model, test, k=k, n_neg=n_neg, seed=11, pos_keys=pos_keys, chunk=128
+    )
+
+    # NumPy oracle with the identical deterministic negative draws
+    P, Q, bi = map(np.asarray, (model.P, model.Q, model.bi))
+    n = test.n_ratings
+    negs = np.stack(
+        [
+            sample_negatives(n, I, 11, epoch=0xC0DE00 + j,
+                             users=test.user, pos_keys=pos_keys)
+            for j in range(n_neg)
+        ],
+        axis=1,
+    )
+    hits = ndcg = 0.0
+    for t in range(n):
+        u, p = test.user[t], test.item[t]
+        sp = P[u] @ Q[p] + bi[p]
+        sn = P[u] @ Q[negs[t]].T + bi[negs[t]]
+        rank = 1.0 + np.sum(sn > sp) + 0.5 * np.sum(sn == sp)
+        if rank <= k:
+            hits += 1.0
+            ndcg += 1.0 / np.log2(rank + 1.0)
+    np.testing.assert_allclose(got["hr"], hits / n, atol=1e-6)
+    np.testing.assert_allclose(got["ndcg"], ndcg / n, atol=1e-6)
+    # negatives never collide with ANY observed positive
+    keys = test.user.astype(np.int64)[:, None] * I + negs
+    assert not np.isin(keys.reshape(-1), pos_keys).any()
+
+
+def test_topk_recommender_matches_bruteforce_and_excludes_seen():
+    U, I, k = 50, 37, 6
+    coo = synthetic.make_synthetic(U, I, 700, seed=5)
+    model = _model(U, I, rank=4, seed=9)
+    rec = TopKRecommender(model, train=coo, batch=16)  # forces 4 batches
+    users = np.arange(U, dtype=np.int32)
+    items, scores = rec.recommend(users, k=k)
+
+    P, Q = np.asarray(model.P), np.asarray(model.Q)
+    bu, bi, mu = np.asarray(model.bu), np.asarray(model.bi), float(model.mu)
+    full = P @ Q.T + bi[None, :] + bu[:, None] + mu
+    for u in range(U):
+        seen = coo.item[coo.user == u]
+        s = full[u].copy()
+        s[seen] = -np.inf
+        want = np.argsort(-s, kind="stable")[:k]
+        # scores must match exactly; items up to equal-score permutation
+        np.testing.assert_allclose(scores[u], np.sort(s[want])[::-1], rtol=1e-5)
+        assert not np.isin(items[u], seen).any()
+        assert set(items[u]) == set(want) or np.allclose(
+            s[items[u]], s[want], rtol=1e-5
+        )
+    # descending order per row
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+
+
+def test_topk_recommender_no_train_and_validation():
+    U, I = 10, 12
+    model = _model(U, I, rank=4)
+    rec = TopKRecommender(model)
+    items, scores = rec.recommend([0, 3], k=I)  # full catalog allowed
+    assert items.shape == (2, I)
+    assert sorted(items[0]) == list(range(I))
+    import pytest
+
+    with pytest.raises(ValueError):
+        rec.recommend([0], k=0)
+    with pytest.raises(ValueError):
+        rec.recommend([0], k=I + 1)
+    with pytest.raises(ValueError):
+        rec.recommend([U], k=1)
