@@ -17,7 +17,7 @@ from mfx.data.split import train_test_split
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
 from mfx.eval.ranking import hr_ndcg_at_k
 from mfx.models.mf import MFModel, init_model
-from mfx.serve import TopKRecommender
+from mfx.serve import ShardedTopKRecommender, TopKRecommender
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
 
@@ -27,7 +27,7 @@ __all__ = [
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
     "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "evaluate",
     "MFModel", "init_model", "load_checkpoint", "save_checkpoint",
-    "TrainResult", "train", "TopKRecommender",
+    "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Sharded-catalog top-K serving — the deployment path for factor tables
+too large for one chip (BASELINE.json configs[4] scale).
+
+Q (and its item biases) shard by contiguous row blocks over the mesh's
+flattened device axis; P stays replicated for the request batch (only the
+batch's ``(B, rank)`` user rows travel). Each shard scores its local
+catalog slice with one MXU matmul, excludes its slice of the batch's seen
+pairs, takes a LOCAL top-K, and the ``S·K`` candidates meet in one
+``all_gather`` of ``(K items + K scores)`` per shard — K·S values per
+user instead of the catalog row, so the collective is tiny and rides ICI.
+A final replicated top-K over candidates is exact: the global top-K is a
+subset of the per-shard top-Ks.
+
+Tested against the single-device recommender on the virtual CPU mesh
+(tests/distributed/test_serve_sharded.py). The reference snapshot ships
+no code (/root/reference/README.md:1-2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfx.serve.topk import TopKRecommender
+
+__all__ = ["ShardedTopKRecommender"]
+
+_NEG_INF = float("-inf")
+
+
+class ShardedTopKRecommender(TopKRecommender):
+    """Top-K serving with the item catalog row-sharded over a mesh.
+
+    >>> rec = ShardedTopKRecommender(model, mesh, train=train_coo)
+    >>> items, scores = rec.recommend(users, k=10)
+
+    ``model`` is a host/replicated MFModel; Q and bi are device_put
+    row-sharded (catalog padded to a multiple of the shard count with
+    -inf-bias rows so pads can never be recommended).
+    """
+
+    def __init__(self, model, mesh: Mesh, train=None, batch: int = 256):
+        super().__init__(model, train=train, batch=batch)
+        self.mesh = mesh
+        devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._S = devs
+        I = model.num_items
+        self._ipad = -(-I // devs) * devs
+        # flat 1-D view of the mesh: serving shards over ALL devices
+        flat = Mesh(
+            np.asarray(mesh.devices).reshape(-1), ("shard",)
+        )
+        self._flat = flat
+        rows = NamedSharding(flat, P("shard"))
+        repl = NamedSharding(flat, P())
+        Qp = jnp.zeros((self._ipad, model.rank), model.Q.dtype)
+        Qp = Qp.at[:I].set(model.Q)
+        bip = jnp.full((self._ipad,), _NEG_INF, jnp.float32)
+        bip = bip.at[:I].set(model.bi)
+        self._Q = jax.device_put(Qp, rows)
+        self._bi = jax.device_put(bip, rows)
+        self._P = jax.device_put(model.P, repl)
+        self._bu = jax.device_put(model.bu, repl)
+        self._mu = jax.device_put(jnp.asarray(model.mu, jnp.float32), repl)
+        self._kern = {}
+
+    def _kernel(self, k: int):
+        if k in self._kern:
+            return self._kern[k]
+        S, iloc = self._S, self._ipad // self._S
+        flat = self._flat
+
+        def shard_fn(pu, bu_b, mu, Q_loc, bi_loc, excl_rows, excl_items):
+            s = jax.lax.axis_index("shard")
+            scores = (
+                pu @ Q_loc.T + bi_loc[None, :] + bu_b[:, None] + mu
+            )  # (B, iloc)
+            # keep only this shard's slice of the exclusion pairs; out-of
+            # -slice (and pad-sentinel) pairs fall out via mode='drop'
+            li = excl_items - s * iloc
+            rows = jnp.where(
+                (li >= 0) & (li < iloc), excl_rows, scores.shape[0]
+            )
+            scores = scores.at[rows, li].set(_NEG_INF, mode="drop")
+            ls, lidx = jax.lax.top_k(scores, k)  # (B, k) local candidates
+            gidx = lidx + s * iloc
+            cs = jax.lax.all_gather(ls, "shard", axis=1, tiled=True)
+            ci = jax.lax.all_gather(gidx, "shard", axis=1, tiled=True)
+            gs, sel = jax.lax.top_k(cs, k)  # over S*k candidates — exact
+            gi = jnp.take_along_axis(ci, sel, axis=1)
+            return gi, gs
+
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=flat,
+            in_specs=(
+                P(), P(), P(), P("shard"), P("shard"), P(), P(),
+            ),
+            out_specs=(P(), P()),
+            # outputs ARE replicated (the all_gather + identical final
+            # top_k run on every shard) but inference can't prove it
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+        self._kern[k] = jitted
+        return jitted
+
+    def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        users = np.asarray(users, np.int32).reshape(-1)
+        if k < 1 or k > self.model.num_items:
+            raise ValueError(
+                f"k must be in [1, num_items={self.model.num_items}], got {k}"
+            )
+        if k > self._ipad // self._S:
+            raise ValueError(
+                f"k={k} exceeds the per-shard catalog slice "
+                f"{self._ipad // self._S}; use fewer shards or smaller k"
+            )
+        if np.any((users < 0) | (users >= self.model.num_users)):
+            raise ValueError("user id out of range")
+        kern = self._kernel(k)
+        n = users.shape[0]
+        out_i = np.empty((n, k), np.int32)
+        out_s = np.empty((n, k), np.float32)
+        for start in range(0, n, self.batch):
+            stop = min(start + self.batch, n)
+            ub = np.zeros(self.batch, np.int32)
+            ub[: stop - start] = users[start:stop]
+            rows, items = self._exclusions(ub[: stop - start])
+            pu = jnp.take(self._P, jnp.asarray(ub), axis=0, mode="clip")
+            bu_b = jnp.take(self._bu, jnp.asarray(ub), mode="clip")
+            i_, s_ = kern(
+                pu, bu_b, self._mu, self._Q, self._bi,
+                jnp.asarray(rows), jnp.asarray(items),
+            )
+            out_i[start:stop] = np.asarray(i_)[: stop - start]
+            out_s[start:stop] = np.asarray(s_)[: stop - start]
+        return out_i, out_s

@@ -37,9 +37,9 @@ def _topk_batch(model, users, excl_rows, excl_items, k):
     )
     # pad slots carry excl_rows == B (out of range): dropped by the
     # default out-of-bounds scatter semantics under jit
-    scores = scores.at[excl_rows, excl_items].set(
-        _NEG_INF, mode="drop", unique_indices=True
-    )
+    # duplicate (row, item) pairs are possible (raw COO may repeat a
+    # rating); scatter-set to a constant is insensitive to them
+    scores = scores.at[excl_rows, excl_items].set(_NEG_INF, mode="drop")
     return jax.lax.top_k(scores, k)
 
 

@@ -1,0 +1,44 @@
+"""Sharded top-K serving == single-device serving (virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from mfx.data import synthetic
+from mfx.models.mf import init_model
+from mfx.runtime.mesh import make_mesh
+from mfx.serve import TopKRecommender
+from mfx.serve.sharded import ShardedTopKRecommender
+
+
+def test_sharded_topk_matches_single_device():
+    U, I, k = 40, 101, 7  # I deliberately not a multiple of 8 shards
+    coo = synthetic.make_synthetic(U, I, 900, seed=2)
+    model = init_model(4, U, I, rank=8, global_mean=3.5)
+    mesh = make_mesh(2, 4)  # serving flattens to 8 shards
+
+    ref = TopKRecommender(model, train=coo, batch=16)
+    got = ShardedTopKRecommender(model, mesh, train=coo, batch=16)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = ref.recommend(users, k=k)
+    gi, gs = got.recommend(users, k=k)
+
+    np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-6)
+    # items equal up to equal-score permutation
+    for u in range(U):
+        if (gi[u] != ri[u]).any():
+            np.testing.assert_allclose(gs[u], rs[u], rtol=1e-6)
+            assert set(gi[u]) == set(ri[u])
+        seen = coo.item[coo.user == u]
+        assert not np.isin(gi[u], seen).any()
+    # catalog pad rows (101 -> 104) must never surface
+    assert (gi < I).all()
+
+
+def test_sharded_topk_k_exceeding_shard_slice_raises():
+    model = init_model(0, 10, 16, rank=4, global_mean=3.0)
+    mesh = make_mesh(1, 8)  # 2 items/shard
+    rec = ShardedTopKRecommender(model, mesh)
+    with pytest.raises(ValueError, match="per-shard"):
+        rec.recommend([0], k=3)
+    items, _ = rec.recommend([1], k=2)
+    assert items.shape == (1, 2)
