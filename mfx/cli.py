@@ -69,6 +69,38 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_recommend(args) -> int:
+    """Top-K serving from a checkpoint (mfx/serve) — one JSON line per
+    user: dense item ids, scores, and raw dataset ids when the loader
+    relabeled items (RatingsCOO.item_raw_ids)."""
+    import numpy as np
+
+    from mfx.api import load_dataset
+    from mfx.serve import TopKRecommender
+    from mfx.train.checkpoint import load_checkpoint
+
+    model, _epoch, _seed = load_checkpoint(args.checkpoint)
+    exclude = raw_ids = None
+    if args.dataset is not None:
+        coo = load_dataset(args.dataset, root=args.root)
+        if not args.no_exclude:
+            exclude = coo
+        raw_ids = coo.item_raw_ids
+    users = np.array([int(u) for u in args.users.split(",")], np.int32)
+    rec = TopKRecommender(model, train=exclude, batch=args.batch)
+    items, scores = rec.recommend(users, k=args.k)
+    for u, it, sc in zip(users, items, scores):
+        out = {
+            "user": int(u),
+            "items": it.tolist(),
+            "scores": [float(s) for s in sc],
+        }
+        if raw_ids is not None:
+            out["raw_items"] = [int(raw_ids[i]) for i in it]
+        print(json.dumps(out))
+    return 0
+
+
 def cmd_datasets(args) -> int:
     from mfx.data.loaders import dataset_names
 
@@ -112,6 +144,20 @@ def main(argv=None) -> int:
                    help="skip the epochs-to-target probe and the "
                         "replanning steady-state measurement")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("recommend", help="top-K items from a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--users", required=True,
+                   help="comma-separated dense user ids")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--dataset", default=None,
+                   help="dataset whose interactions are excluded from "
+                        "results (and whose raw item-id map is reported)")
+    p.add_argument("--root", default=None, help="dataset root directory")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--no-exclude", action="store_true",
+                   help="keep already-seen items in the results")
+    p.set_defaults(fn=cmd_recommend)
 
     p = sub.add_parser("datasets", help="list known datasets")
     p.set_defaults(fn=cmd_datasets)

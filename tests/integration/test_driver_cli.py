@@ -52,6 +52,39 @@ def test_cli_train_eval_roundtrip(tmp_path):
     assert abs(ev["rmse"] - summary["test_rmse"]) < 1e-6
 
 
+def test_cli_recommend_from_checkpoint(tmp_path):
+    """recommend: checkpoint → top-K JSON lines, seen items excluded."""
+    from mfx.api import load_dataset
+
+    ckpt = tmp_path / "ckpt"
+    rc, _ = _run_cli([
+        "train", "--preset", "ml100k_rank16",
+        "--set", "sgd.epochs=1",
+        "--set", "sgd.partitioner=fixed",
+        "--set", "sgd.batch_size=4096",
+        "--set", "data.dataset=synthetic-small",
+        "--set", f"data.root={tmp_path}",
+        "--set", f"checkpoint_dir={ckpt}",
+        "--set", "checkpoint_every=1",
+    ])
+    assert rc == 0
+    rc, out = _run_cli([
+        "recommend", "--checkpoint", str(ckpt), "--users", "0,3",
+        "--k", "5", "--dataset", "synthetic-small", "--root", str(tmp_path),
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.splitlines()]
+    assert [l["user"] for l in lines] == [0, 3]
+    coo = load_dataset("synthetic-small", root=tmp_path)
+    for line in lines:
+        assert len(line["items"]) == 5
+        assert len(set(line["items"])) == 5
+        # descending scores, seen items excluded
+        assert line["scores"] == sorted(line["scores"], reverse=True)
+        seen = set(coo.item[coo.user == line["user"]].tolist())
+        assert not seen & set(line["items"])
+
+
 def test_driver_resume_continues(tmp_path):
     cfg = apply_overrides(
         preset("ml100k_rank16"),
