@@ -63,10 +63,26 @@ class ShardedTopKRecommender(TopKRecommender):
         bip = bip.at[:I].set(model.bi)
         self._Q = jax.device_put(Qp, rows)
         self._bi = jax.device_put(bip, rows)
-        self._P = jax.device_put(model.P, repl)
-        self._bu = jax.device_put(model.bu, repl)
+        # the user table is NOT replicated (at configs[4] scale it cannot
+        # be): it stays wherever it lives — host numpy or a device-sharded
+        # jax.Array — and only the batch's (B, rank) rows travel per call
+        self._P_src = model.P
+        self._bu_src = model.bu
+        self._host_u = isinstance(model.P, np.ndarray)
         self._mu = jax.device_put(jnp.asarray(model.mu, jnp.float32), repl)
         self._kern = {}
+
+    def _user_rows(self, ub: np.ndarray):
+        """(B, rank) factor rows + (B,) biases for the padded user batch —
+        host fancy-index when the table is host-resident, device gather
+        (XLA handles cross-shard rows) when it is a jax Array."""
+        if self._host_u:
+            return self._P_src[ub], self._bu_src[ub]
+        idx = jnp.asarray(ub)
+        return (
+            jnp.take(self._P_src, idx, axis=0, mode="clip"),
+            jnp.take(self._bu_src, idx, mode="clip"),
+        )
 
     def _kernel(self, k: int):
         if k in self._kern:
@@ -131,8 +147,7 @@ class ShardedTopKRecommender(TopKRecommender):
             ub = np.zeros(self.batch, np.int32)
             ub[: stop - start] = users[start:stop]
             rows, items = self._exclusions(ub[: stop - start])
-            pu = jnp.take(self._P, jnp.asarray(ub), axis=0, mode="clip")
-            bu_b = jnp.take(self._bu, jnp.asarray(ub), mode="clip")
+            pu, bu_b = self._user_rows(ub)
             i_, s_ = kern(
                 pu, bu_b, self._mu, self._Q, self._bi,
                 jnp.asarray(rows), jnp.asarray(items),

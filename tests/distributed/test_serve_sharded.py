@@ -34,6 +34,29 @@ def test_sharded_topk_matches_single_device():
     assert (gi < I).all()
 
 
+def test_sharded_topk_host_resident_user_table():
+    """The user table may stay host-resident (numpy): only the batch's
+    rows travel — results must match the device-array path."""
+    import dataclasses
+
+    U, I, k = 24, 33, 5
+    coo = synthetic.make_synthetic(U, I, 400, seed=7)
+    model = init_model(1, U, I, rank=8, global_mean=3.4)
+    host_model = dataclasses.replace(
+        model, P=np.asarray(model.P), bu=np.asarray(model.bu)
+    )
+    mesh = make_mesh(2, 4)
+    users = np.arange(U, dtype=np.int32)
+    di, ds = ShardedTopKRecommender(model, mesh, train=coo).recommend(
+        users, k=k
+    )
+    hi, hs = ShardedTopKRecommender(host_model, mesh, train=coo).recommend(
+        users, k=k
+    )
+    np.testing.assert_allclose(hs, ds, rtol=1e-6)
+    assert (hi == di).all() or all(set(hi[u]) == set(di[u]) for u in range(U))
+
+
 def test_sharded_topk_k_exceeding_shard_slice_raises():
     model = init_model(0, 10, 16, rank=4, global_mean=3.0)
     mesh = make_mesh(1, 8)  # 2 items/shard
