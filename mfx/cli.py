@@ -101,6 +101,20 @@ def cmd_recommend(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Checkpoint -> portable .npz model artifact (orbax-free serving)."""
+    from mfx.train.checkpoint import load_checkpoint
+
+    model, epoch, _seed = load_checkpoint(args.checkpoint)
+    model.save_npz(args.out)
+    print(json.dumps({
+        "out": args.out, "checkpoint_epoch": epoch,
+        "num_users": model.num_users, "num_items": model.num_items,
+        "rank": model.rank,
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_datasets(args) -> int:
     from mfx.data.loaders import dataset_names
 
@@ -158,6 +172,11 @@ def main(argv=None) -> int:
     p.add_argument("--no-exclude", action="store_true",
                    help="keep already-seen items in the results")
     p.set_defaults(fn=cmd_recommend)
+
+    p = sub.add_parser("export", help="checkpoint -> portable .npz model")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("datasets", help="list known datasets")
     p.set_defaults(fn=cmd_datasets)

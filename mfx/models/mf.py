@@ -70,6 +70,34 @@ class MFModel:
             mu=self.mu.astype(dtype),
         )
 
+    def save_npz(self, path) -> None:
+        """Portable single-file export (plain ``numpy.savez_compressed``)
+        for orbax-free deployments — the serving layer (mfx/serve) and
+        ``predict`` need nothing but these five arrays. Sharded arrays
+        are gathered to host; use mfx.train.checkpoint for no-gather
+        sharded checkpoints."""
+        import numpy as np
+
+        np.savez_compressed(
+            path,
+            P=np.asarray(self.P), Q=np.asarray(self.Q),
+            bu=np.asarray(self.bu), bi=np.asarray(self.bi),
+            mu=np.asarray(self.mu),
+        )
+
+    @staticmethod
+    def load_npz(path, device: bool = True) -> "MFModel":
+        """Inverse of :meth:`save_npz`. ``device=False`` keeps the arrays
+        host-resident (numpy) — e.g. for ShardedTopKRecommender's
+        host-resident user table at very large user counts."""
+        import numpy as np
+
+        with np.load(path) as z:
+            arrs = {k: z[k] for k in ("P", "Q", "bu", "bi", "mu")}
+        if device:
+            arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
+        return MFModel(**arrs)
+
 
 def init_model(
     rng: jax.Array | int,

@@ -52,6 +52,49 @@ def test_cli_train_eval_roundtrip(tmp_path):
     assert abs(ev["rmse"] - summary["test_rmse"]) < 1e-6
 
 
+def test_model_npz_roundtrip(tmp_path):
+    model = init_model(3, 17, 23, rank=4, global_mean=3.2)
+    p = tmp_path / "m.npz"
+    model.save_npz(p)
+    back = type(model).load_npz(p)
+    for f in ("P", "Q", "bu", "bi", "mu"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(back, f)), np.asarray(getattr(model, f))
+        )
+    host = type(model).load_npz(p, device=False)
+    assert isinstance(host.P, np.ndarray)
+
+
+def test_cli_export_then_recommend(tmp_path):
+    """export: checkpoint -> npz; the artifact serves identically."""
+    from mfx.models.mf import MFModel
+    from mfx.serve import TopKRecommender
+    from mfx.train.checkpoint import load_checkpoint
+
+    ckpt = tmp_path / "ckpt"
+    rc, _ = _run_cli([
+        "train", "--preset", "ml100k_rank16",
+        "--set", "sgd.epochs=1", "--set", "sgd.partitioner=fixed",
+        "--set", "sgd.batch_size=4096",
+        "--set", "data.dataset=synthetic-small",
+        "--set", f"data.root={tmp_path}",
+        "--set", f"checkpoint_dir={ckpt}",
+        "--set", "checkpoint_every=1",
+    ])
+    assert rc == 0
+    out_npz = str(tmp_path / "model.npz")
+    rc, out = _run_cli(["export", "--checkpoint", str(ckpt),
+                        "--out", out_npz])
+    assert rc == 0
+    meta = json.loads(out)
+    assert meta["rank"] == 16
+    exported = MFModel.load_npz(out_npz)
+    ckpt_model, _, _ = load_checkpoint(ckpt)
+    ei, _ = TopKRecommender(exported).recommend([0, 5], k=4)
+    ci, _ = TopKRecommender(ckpt_model).recommend([0, 5], k=4)
+    assert (ei == ci).all()
+
+
 def test_cli_recommend_from_checkpoint(tmp_path):
     """recommend: checkpoint → top-K JSON lines, seen items excluded."""
     from mfx.api import load_dataset
