@@ -1,6 +1,13 @@
-"""Serving layer — batched top-K recommendation from trained models."""
+"""Serving layer — batched top-K recommendation from trained models,
+plus cold-start fold-in of new user/item histories."""
 
 from mfx.serve.topk import TopKRecommender
 from mfx.serve.sharded import ShardedTopKRecommender
+from mfx.serve.foldin import fold_in, fold_in_batch
 
-__all__ = ["TopKRecommender", "ShardedTopKRecommender"]
+__all__ = [
+    "TopKRecommender",
+    "ShardedTopKRecommender",
+    "fold_in",
+    "fold_in_batch",
+]

@@ -1,0 +1,137 @@
+"""Fold-in: factors for NEW users (or items) from their ratings, without
+retraining — the standard cold-start serving path for an MF deployment.
+
+A new user's factor row is the regularized least-squares solve against
+the FROZEN item table — exactly one ALS half-step for that row
+(mfx/solvers/als.py):
+
+    p_u = (Q_Ω^T Q_Ω + λ·|Ω|·I)^{-1} Q_Ω^T (r - mu - bi_Ω)
+
+with the bias folded in as an augmented coordinate (q̃ = [q, 1]) when the
+model is biased, and the same per-occurrence weighted regularizer the
+training objective uses (λ·degree — see _solve_gram's note). Because the
+item table is frozen, the solve is embarrassingly batched: the whole
+fold-in batch is two einsums (MXU) plus one batched Cholesky.
+
+The reference snapshot ships no code (/root/reference/README.md:1-2);
+fold-in is the canonical deployment companion to mfx/serve/topk.py: fold
+a session's ratings into a factor row, then recommend with the shared
+TopKRecommender machinery.
+
+TPU shapes: ragged per-user histories are padded to a static (B, D)
+window (D = next pow2 of the longest history, bounded by ``max_deg``);
+pad slots carry item id == num_items and weight 0, so the jitted solve
+retraces only on the (B, D) bucket, not per request.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfx.models.mf import MFModel
+
+__all__ = ["fold_in", "fold_in_batch"]
+
+
+def _pow2_at_least(n: int, lo: int = 8) -> int:
+    n = int(max(n, lo))
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("use_bias", "transpose"))
+def _fold_in_solve(model, items, ratings, lengths, reg, *, use_bias,
+                   transpose):
+    """items/ratings: (B, D) padded; lengths: (B,). Returns (F, b) new
+    rows. ``transpose=True`` folds in new ITEMS against the user table."""
+    F = model.P if transpose else model.Q
+    bias = model.bu if transpose else model.bi
+    k = F.shape[1]
+    f = F.dtype
+    D = items.shape[1]
+    lane = jnp.arange(D, dtype=jnp.int32)
+    mask = (lane[None, :] < lengths[:, None]).astype(f)  # (B, D)
+    q = jnp.take(F, items, axis=0, mode="clip")  # (B, D, k)
+    resid = ratings - model.mu - jnp.take(bias, items, mode="clip")
+    if use_bias:
+        q = jnp.concatenate([q, jnp.ones(q.shape[:2] + (1,), f)], axis=2)
+    qm = q * mask[:, :, None]
+    A = jnp.einsum("bmd,bme->bde", qm, qm, preferred_element_type=f)
+    b = jnp.einsum("bm,bmd->bd", resid * mask, qm,
+                   preferred_element_type=f)
+    # weighted regularization λ·degree: the stationary point of the
+    # trained per-occurrence objective (mfx/solvers/als.py _solve_gram)
+    deg = jnp.sum(mask, axis=1)
+    d = A.shape[-1]
+    lam = reg * jnp.maximum(deg, 1.0)
+    A = A + lam[:, None, None] * jnp.eye(d, dtype=f)
+    sol = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(A, lower=True), True), b[..., None]
+    )[..., 0]
+    sol = jnp.where(deg[:, None] > 0, sol, 0.0)
+    if use_bias:
+        return sol[:, :k], sol[:, k]
+    return sol, jnp.zeros(sol.shape[0], f)
+
+
+def fold_in_batch(
+    model: MFModel,
+    items: np.ndarray,  # (B, D) int padded with any out-of-range id
+    ratings: np.ndarray,  # (B, D) float
+    lengths: np.ndarray,  # (B,) valid prefix per row
+    reg: float,
+    *,
+    use_bias: bool = True,
+    transpose: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Pre-padded variant (static shapes supplied by the caller)."""
+    return _fold_in_solve(
+        model,
+        jnp.asarray(items, jnp.int32),
+        jnp.asarray(ratings, jnp.float32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.asarray(reg, jnp.float32),
+        use_bias=use_bias,
+        transpose=transpose,
+    )
+
+
+def fold_in(
+    model: MFModel,
+    histories: list[tuple[np.ndarray, np.ndarray]],  # [(item_ids, ratings)]
+    reg: float,
+    *,
+    use_bias: bool = True,
+    transpose: bool = False,
+    max_deg: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """Fold a batch of new-user histories into factor rows.
+
+    Returns ``(P_new, bu_new)`` with ``P_new[b]`` the solved factor row
+    for ``histories[b]`` (or ``(Q_new, bi_new)`` with ``transpose=True``).
+    Histories longer than ``max_deg`` keep their ``max_deg`` most recent
+    (last) entries. Empty histories get zero factors (score = mu + bi,
+    the popularity baseline).
+    """
+    B = len(histories)
+    if B == 0:
+        raise ValueError("fold_in needs at least one history")
+    n = model.num_users if transpose else model.num_items
+    lens = np.array(
+        [min(len(ids), max_deg) for ids, _ in histories], np.int32
+    )
+    D = _pow2_at_least(int(lens.max()) if B else 1)
+    items = np.full((B, D), n, np.int32)  # pad: out-of-range id
+    vals = np.zeros((B, D), np.float32)
+    for b, (ids, r) in enumerate(histories):
+        ids = np.asarray(ids)[-max_deg:]
+        r = np.asarray(r)[-max_deg:]
+        items[b, : lens[b]] = ids
+        vals[b, : lens[b]] = r
+    return fold_in_batch(
+        model, items, vals, lens, reg,
+        use_bias=use_bias, transpose=transpose,
+    )

@@ -1,0 +1,80 @@
+"""Fold-in (mfx/serve/foldin.py) vs a NumPy normal-equation oracle."""
+
+import numpy as np
+
+from mfx.models.mf import init_model
+from mfx.serve.foldin import fold_in
+
+
+def _oracle_row(Q, bi, mu, ids, r, reg, use_bias):
+    q = Q[ids]
+    if use_bias:
+        q = np.concatenate([q, np.ones((len(ids), 1))], axis=1)
+    resid = r - mu - bi[ids]
+    A = q.T @ q + reg * max(len(ids), 1) * np.eye(q.shape[1])
+    return np.linalg.solve(A, q.T @ resid)
+
+
+def test_fold_in_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    U, I, k, reg = 30, 50, 8, 0.05
+    model = init_model(1, U, I, k, global_mean=3.4)
+    Q, bi = np.asarray(model.Q, np.float64), np.asarray(model.bi, np.float64)
+    mu = float(model.mu)
+
+    hists = []
+    for deg in (1, 3, 17, 40):
+        ids = rng.choice(I, size=deg, replace=False).astype(np.int32)
+        r = rng.uniform(0.5, 5.0, size=deg).astype(np.float32)
+        hists.append((ids, r))
+
+    P_new, bu_new = fold_in(model, hists, reg, use_bias=True)
+    assert P_new.shape == (4, k) and bu_new.shape == (4,)
+    for b, (ids, r) in enumerate(hists):
+        sol = _oracle_row(Q, bi, mu, ids, r.astype(np.float64), reg, True)
+        np.testing.assert_allclose(np.asarray(P_new[b]), sol[:k], atol=2e-5)
+        np.testing.assert_allclose(float(bu_new[b]), sol[k], atol=2e-5)
+
+
+def test_fold_in_unbiased_and_empty():
+    rng = np.random.default_rng(2)
+    U, I, k, reg = 10, 24, 4, 0.1
+    model = init_model(5, U, I, k, global_mean=3.0)
+    Q = np.asarray(model.Q, np.float64)
+    ids = rng.choice(I, size=6, replace=False).astype(np.int32)
+    r = rng.uniform(1, 5, size=6).astype(np.float32)
+    hists = [(ids, r), (np.zeros(0, np.int32), np.zeros(0, np.float32))]
+    P_new, bu_new = fold_in(model, hists, reg, use_bias=False)
+    sol = _oracle_row(Q, np.zeros(I), float(model.mu), ids,
+                      r.astype(np.float64), reg, False)
+    np.testing.assert_allclose(np.asarray(P_new[0]), sol, atol=2e-5)
+    # empty history -> zero factors (popularity baseline) and no NaNs
+    np.testing.assert_array_equal(np.asarray(P_new[1]), 0.0)
+    np.testing.assert_array_equal(np.asarray(bu_new), 0.0)
+
+
+def test_fold_in_items_transpose():
+    rng = np.random.default_rng(3)
+    U, I, k, reg = 40, 12, 8, 0.02
+    model = init_model(7, U, I, k, global_mean=3.6)
+    P, bu = np.asarray(model.P, np.float64), np.asarray(model.bu, np.float64)
+    ids = rng.choice(U, size=9, replace=False).astype(np.int32)
+    r = rng.uniform(0.5, 5.0, size=9).astype(np.float32)
+    Q_new, bi_new = fold_in(model, [(ids, r)], reg, transpose=True)
+    sol = _oracle_row(P, bu, float(model.mu), ids, r.astype(np.float64),
+                      reg, True)
+    np.testing.assert_allclose(np.asarray(Q_new[0]), sol[:k], atol=2e-5)
+    np.testing.assert_allclose(float(bi_new[0]), sol[k], atol=2e-5)
+
+
+def test_fold_in_max_deg_keeps_most_recent():
+    rng = np.random.default_rng(4)
+    U, I, k, reg = 10, 64, 4, 0.05
+    model = init_model(9, U, I, k, global_mean=3.2)
+    ids = rng.permutation(I)[:20].astype(np.int32)
+    r = rng.uniform(1, 5, size=20).astype(np.float32)
+    full, _ = fold_in(model, [(ids[-8:], r[-8:])], reg)
+    capped, _ = fold_in(model, [(ids, r)], reg, max_deg=8)
+    np.testing.assert_allclose(
+        np.asarray(capped), np.asarray(full), atol=1e-6
+    )
