@@ -14,6 +14,7 @@ __all__ = [
     "ModelConfig",
     "SGDConfig",
     "ALSConfig",
+    "IALSConfig",
     "BPRConfig",
     "ParallelConfig",
     "TrainConfig",
@@ -80,12 +81,19 @@ class SGDConfig:
     # bias update granularity on the fused-kernel path:
     # 'tile'  — per-tile bias gather/scatter inside the kernel (exact
     #           per-occurrence updates; the parity-tested default)
+    # 'lane'  — biases ride IN the factor lanes (augmented-vector MF:
+    #           P row = [p(rank-2), 1, bu], Q row = [q(rank-2), bi, 1]).
+    #           The factor dot carries the biases and the bias lane's SGD
+    #           step IS the per-occurrence bias update, so the entire
+    #           per-tile bias machinery (measured 32% of the sparse path
+    #           at su=1024) disappears for the cost of 2 latent dims and
+    #           one static delta mask. Requires kernel='pallas';
+    #           single-chip only (the ring keeps 'tile').
     # 'epoch' — biases frozen per epoch: the planner bakes bu[u]+bi[i]
     #           into the tile stream, the kernel emits residuals, and one
     #           batched trust-scaled bias update applies per epoch —
-    #           removes the per-tile bias machinery (~26% of the sparse
-    #           path). Requires kernel='pallas' + the device planner;
-    #           single-chip only (the ring keeps 'tile').
+    #           removes the per-tile bias machinery. Requires
+    #           kernel='pallas' + the device planner; single-chip only.
     bias_mode: str = "tile"
     # dense-phase rating stream width: 'int8' grid (round(r*25), ~0.012
     # std error), or 'int4' nibbles (round(r*2) — EXACT for real star-
@@ -146,20 +154,20 @@ class SGDConfig:
                 f"sgd.pack_path must be 'roll' or 'select', got "
                 f"{self.pack_path!r}"
             )
-        if self.bias_mode not in ("tile", "epoch"):
+        if self.bias_mode not in ("tile", "lane", "epoch"):
             raise ValueError(
-                f"sgd.bias_mode must be 'tile' or 'epoch', got "
+                f"sgd.bias_mode must be 'tile', 'lane' or 'epoch', got "
                 f"{self.bias_mode!r}"
             )
-        if self.bias_mode == "epoch" and self.kernel != "pallas":
+        if self.bias_mode != "tile" and self.kernel != "pallas":
             raise ValueError(
-                "sgd.bias_mode='epoch' is implemented by the fused Pallas "
-                "kernel; set sgd.kernel='pallas'"
+                f"sgd.bias_mode={self.bias_mode!r} is implemented by the "
+                "fused Pallas kernel; set sgd.kernel='pallas'"
             )
-        if self.bias_mode == "epoch" and self.step_user_batch:
+        if self.bias_mode != "tile" and self.step_user_batch:
             raise ValueError(
-                "sgd.bias_mode='epoch' and sgd.step_user_batch are "
-                "mutually exclusive kernel variants"
+                f"sgd.bias_mode={self.bias_mode!r} and sgd.step_user_batch "
+                "are mutually exclusive kernel variants"
             )
 
 
@@ -167,6 +175,19 @@ class SGDConfig:
 class ALSConfig:
     reg: float = 0.05
     sweeps: int = 10
+    user_chunk: int = 8192  # rows solved per batched-Cholesky call
+
+
+@dataclasses.dataclass(frozen=True)
+class IALSConfig:
+    """Implicit-feedback weighted ALS (mfx/solvers/ials.py): confidence
+    c = 1 + alpha·r toward a binary preference target, solved in closed
+    form per row — the non-sampling counterpart of BPR for configs[4]-
+    style implicit data."""
+
+    alpha: float = 40.0  # confidence slope (Hu/Koren/Volinsky's default)
+    reg: float = 0.1
+    sweeps: int = 8
     user_chunk: int = 8192  # rows solved per batched-Cholesky call
 
 
@@ -219,11 +240,12 @@ class ParallelConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     name: str = "default"
-    solver: str = "sgd"  # 'sgd' | 'als' | 'bpr'
+    solver: str = "sgd"  # 'sgd' | 'als' | 'ials' | 'bpr'
     data: DataConfig = DataConfig()
     model: ModelConfig = ModelConfig()
     sgd: SGDConfig = SGDConfig()
     als: ALSConfig = ALSConfig()
+    ials: IALSConfig = IALSConfig()
     bpr: BPRConfig = BPRConfig()
     parallel: ParallelConfig = ParallelConfig()
     eval_every: int = 1

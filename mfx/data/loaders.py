@@ -167,6 +167,11 @@ _REGISTRY: dict[str, tuple[str, Callable, Callable[[], RatingsCOO]]] = {
         None,
         lambda: syn.make_synthetic(256, 512, 20_000, rank=8, seed=7),
     ),
+    "synthetic-small-implicit": (
+        "synthetic-small-implicit",
+        None,
+        lambda: syn.make_implicit_synthetic(256, 128, 8_000, rank=8, seed=9),
+    ),
 }
 
 

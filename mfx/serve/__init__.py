@@ -1,13 +1,15 @@
 """Serving layer — batched top-K recommendation from trained models,
-plus cold-start fold-in of new user/item histories."""
+plus cold-start fold-in of new user/item histories (explicit LS and
+implicit iALS-style solves)."""
 
 from mfx.serve.topk import TopKRecommender
 from mfx.serve.sharded import ShardedTopKRecommender
-from mfx.serve.foldin import fold_in, fold_in_batch
+from mfx.serve.foldin import fold_in, fold_in_batch, fold_in_implicit
 
 __all__ = [
     "TopKRecommender",
     "ShardedTopKRecommender",
     "fold_in",
     "fold_in_batch",
+    "fold_in_implicit",
 ]

@@ -34,7 +34,7 @@ import numpy as np
 
 from mfx.models.mf import MFModel
 
-__all__ = ["fold_in", "fold_in_batch"]
+__all__ = ["fold_in", "fold_in_batch", "fold_in_implicit"]
 
 
 def _pow2_at_least(n: int, lo: int = 8) -> int:
@@ -96,6 +96,65 @@ def fold_in_batch(
         jnp.asarray(reg, jnp.float32),
         use_bias=use_bias,
         transpose=transpose,
+    )
+
+
+@jax.jit
+def _fold_in_implicit_solve(Q, G, items, vals, lengths, alpha, reg):
+    k = Q.shape[1]
+    f = Q.dtype
+    D = items.shape[1]
+    lane = jnp.arange(D, dtype=jnp.int32)
+    mask = (lane[None, :] < lengths[:, None]).astype(f)  # (B, D)
+    y = jnp.take(Q, items, axis=0, mode="clip")  # (B, D, k)
+    w = alpha * vals * mask  # confidence − 1
+    yw = y * jnp.sqrt(w)[:, :, None]
+    A = G[None] + jnp.einsum("bmd,bme->bde", yw, yw,
+                             preferred_element_type=f)
+    b = jnp.einsum("bm,bmd->bd", (1.0 + w) * mask, y * mask[:, :, None],
+                   preferred_element_type=f)
+    A = A + reg * jnp.eye(k, dtype=f)
+    sol = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(A, lower=True), True), b[..., None]
+    )[..., 0]
+    deg = jnp.sum(mask, axis=1)
+    return jnp.where(deg[:, None] > 0, sol, 0.0)
+
+
+def fold_in_implicit(
+    model: MFModel,
+    histories: list[tuple[np.ndarray, np.ndarray]],  # [(item_ids, strengths)]
+    alpha: float,
+    reg: float,
+    *,
+    transpose: bool = False,
+    max_deg: int = 4096,
+    gram: jax.Array | None = None,
+) -> jax.Array:
+    """Implicit-feedback fold-in: one iALS half-step for new rows against
+    the frozen table (mfx/solvers/ials.py objective —
+    x = (QᵀQ + Σ α·r·y yᵀ + λI)⁻¹ Σ (1+α·r) y). Returns the (B, k) factor
+    rows. ``gram`` lets a serving process pass a precomputed QᵀQ instead
+    of paying a catalog pass per call."""
+    B = len(histories)
+    if B == 0:
+        raise ValueError("fold_in_implicit needs at least one history")
+    F = model.P if transpose else model.Q
+    n = F.shape[0]
+    lens = np.array(
+        [min(len(ids), max_deg) for ids, _ in histories], np.int32
+    )
+    D = _pow2_at_least(int(lens.max()) if B else 1)
+    items = np.full((B, D), n, np.int32)  # pad: out-of-range id
+    vals = np.zeros((B, D), np.float32)
+    for b, (ids, r) in enumerate(histories):
+        items[b, : lens[b]] = np.asarray(ids)[-max_deg:]
+        vals[b, : lens[b]] = np.asarray(r)[-max_deg:]
+    if gram is None:
+        gram = jnp.dot(F.T, F, preferred_element_type=F.dtype)
+    return _fold_in_implicit_solve(
+        F, gram, jnp.asarray(items), jnp.asarray(vals), jnp.asarray(lens),
+        jnp.asarray(alpha, F.dtype), jnp.asarray(reg, F.dtype),
     )
 
 

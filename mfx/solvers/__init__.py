@@ -1,3 +1,3 @@
-from mfx.solvers import sgd, als, bpr, blocked
+from mfx.solvers import sgd, als, ials, bpr, blocked
 
-__all__ = ["sgd", "als", "bpr", "blocked"]
+__all__ = ["sgd", "als", "ials", "bpr", "blocked"]

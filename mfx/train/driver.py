@@ -57,11 +57,11 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
             f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
-    if mode in ("sharded", "hybrid") and sgd.bias_mode == "epoch":
+    if mode in ("sharded", "hybrid") and sgd.bias_mode != "tile":
         raise ValueError(
-            "sgd.bias_mode='epoch' is single-chip only (the DSGD ring "
-            "runs per-tile bias updates); set sgd.bias_mode='tile' for "
-            f"parallel.mode={mode!r}"
+            f"sgd.bias_mode={sgd.bias_mode!r} is single-chip only (the "
+            "DSGD ring runs per-tile bias updates); set "
+            f"sgd.bias_mode='tile' for parallel.mode={mode!r}"
         )
     if mode in ("sharded", "hybrid") and sgd.kernel == "jnp" and (
         sgd.dense_chi > 0
@@ -156,6 +156,22 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
                 yield sweep, m, float("nan")
 
         return gen()
+    if cfg.solver == "ials":
+        if cfg.parallel.mode != "single":
+            raise ValueError(
+                "solver='ials' currently runs single-device; use "
+                "parallel.mode='single' (DP/sharded iALS: see STATUS.md "
+                "next-round queue)"
+            )
+        from mfx.solvers.ials import train_sweeps_ials
+
+        def gen_ials():
+            for sweep, m in train_sweeps_ials(
+                model, train_coo, cfg.ials, use_bias=use_bias
+            ):
+                yield sweep, m, float("nan")
+
+        return gen_ials()
     if cfg.solver == "bpr":
         mode = cfg.parallel.mode
         if mode == "dp":
@@ -267,7 +283,7 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
 
     log = MetricsLogger(cfg.log_path)
     clip = (0.5, 5.0) if cfg.clip_predictions else None
-    implicit = cfg.solver == "bpr"
+    implicit = cfg.solver in ("bpr", "ials")
     n_chips = jax.device_count() if mesh is None else mesh.devices.size
 
     # sampled-AUC negatives reject against ALL observed positives (train

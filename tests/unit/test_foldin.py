@@ -78,3 +78,39 @@ def test_fold_in_max_deg_keeps_most_recent():
     np.testing.assert_allclose(
         np.asarray(capped), np.asarray(full), atol=1e-6
     )
+
+
+def test_fold_in_implicit_matches_ials_half_sweep():
+    """Folding an EXISTING user's implicit history into the frozen item
+    table must reproduce that user's iALS half-sweep row exactly (same
+    normal equations: G + Σ αr y yᵀ + λI)."""
+    import numpy as np
+
+    from mfx.data.coo import RatingsCOO
+    from mfx.serve.foldin import fold_in_implicit
+    from mfx.solvers.ials import ials_half_sweep
+
+    rng = np.random.default_rng(7)
+    U, I, k, alpha, reg = 12, 40, 6, 15.0, 0.4
+    u = np.repeat(np.arange(U, dtype=np.int32), 5)
+    i = rng.integers(0, I, size=u.shape[0]).astype(np.int32)
+    key = u.astype(np.int64) * I + i
+    _, first = np.unique(key, return_index=True)
+    u, i = u[first], i[first]
+    r = rng.integers(1, 4, size=u.shape[0]).astype(np.float32)
+    coo = RatingsCOO(u, i, r, U, I, synthetic=True)
+    model = init_model(3, U, I, k)
+
+    by_u = np.argsort(coo.user, kind="stable")
+    P_sweep = np.asarray(
+        ials_half_sweep(
+            model.P, model.Q, coo.user[by_u], coo.item[by_u],
+            coo.rating[by_u], alpha, reg,
+        )
+    )
+    hists = [
+        (coo.item[coo.user == uu], coo.rating[coo.user == uu])
+        for uu in range(U)
+    ]
+    P_fold = np.asarray(fold_in_implicit(model, hists, alpha, reg))
+    np.testing.assert_allclose(P_fold, P_sweep, rtol=2e-4, atol=2e-5)
