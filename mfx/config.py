@@ -308,6 +308,12 @@ PRESETS: dict[str, TrainConfig] = {
             # dense fast path for the Zipf head; 0.0025 is the measured
             # optimum with int8 R streaming (67% of ratings dense)
             dense_chi=0.0025,
+            # lane-carried biases: deletes the per-tile bias machinery
+            # (sparse path 94 -> 65 ms measured; epoch 104.5 -> 73.4 ms,
+            # +42% upd/s) for 2 of the 64 latent dims — held-out RMSE
+            # matches 'tile' from epoch 1 on (0.4038 vs 0.4040 at ep 3;
+            # ep-0 is ~4e-4 behind, so epochs-to-gate is 2 instead of 1)
+            bias_mode="lane",
         ),
         target_rmse=0.92,
     ),
@@ -317,7 +323,8 @@ PRESETS: dict[str, TrainConfig] = {
     # the per-shard dense Zipf-head phase) — round 2 pinned the slow
     # kernel='jnp' scatter here (VERDICT round 2, Missing #5). The
     # plain-DP composition (fixed partitioner + segment-sum scatter with
-    # dup_trust=16 guarding the Zipf head) remains available via
+    # dup_trust=16 guarding the Zipf head; add sgd.bias_mode=tile — lane
+    # biases are a fused-kernel feature) remains available via
     # parallel.mode=dp overrides and is cross-checked against DP ALS in
     # tests/integration/test_als_sgd_crosscheck.py and
     # tests/integration/test_preset_convergence.py.
@@ -336,6 +343,9 @@ PRESETS: dict[str, TrainConfig] = {
             kernel="pallas",
             dense_chi=0.0025,
             dup_trust=16.0,  # applies when overridden back to mode=dp
+            # lane-carried biases work inside the DSGD ring too (2 of 128
+            # latent dims; mesh-of-1 bitwise vs the single-chip lane path)
+            bias_mode="lane",
         ),
         als=ALSConfig(reg=0.05, sweeps=8),
         parallel=ParallelConfig(mode="sharded", model_axis=8),

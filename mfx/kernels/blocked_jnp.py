@@ -50,15 +50,22 @@ def unpad_tables(model, num_users: int, num_items: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("su", "si", "use_bias", "exact")
+    jax.jit, static_argnames=("su", "si", "use_bias", "exact", "lane")
 )
-def blocked_epoch_jnp(model, tiles, lr, reg, *, su, si, use_bias, exact=True):
+def blocked_epoch_jnp(model, tiles, lr, reg, *, su, si, use_bias, exact=True,
+                      lane=False):
     """One epoch over a TilePlan's device arrays. Returns (model, sse).
 
     tiles: dict with ta[NT], tc[NT] int32; tu/ti[NT,T] int32; tr[NT,T] f32.
     Padded slots have tu == su (one-hot row all zero → exact no-op).
     ``exact=True`` uses HIGHEST matmul precision (true f32 one-hot
     gather/scatter); False allows fast bf16-input MXU passes.
+
+    ``lane=True`` mirrors sgd_pallas.py's bias_mode='lane': the model's
+    tables must already be in lane-bias form (packing.to_lane_model) and
+    ``use_bias`` False — the factor dot carries the biases and the
+    constant-1 lanes (P col rank-2, Q col rank-1) are frozen by a static
+    delta mask.
     """
     from mfx.models.mf import MFModel
 
@@ -67,6 +74,11 @@ def blocked_epoch_jnp(model, tiles, lr, reg, *, su, si, use_bias, exact=True):
     lr = jnp.asarray(lr, dt)
     reg = jnp.asarray(reg, dt)
     T = tiles["tu"].shape[1]
+    if lane:
+        k = model.P.shape[1]
+        col = lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        mP = (col != k - 2).astype(dt)
+        mQ = (col != k - 1).astype(dt)
 
     def body(state, tile):
         P, Q, bu, bi = state
@@ -86,14 +98,13 @@ def blocked_epoch_jnp(model, tiles, lr, reg, *, su, si, use_bias, exact=True):
             pred = pred + gbu + gbi
         e = r - pred  # garbage in padded slots; killed by zero one-hot columns
         mask = (u < su).astype(dt)
-        dP = jnp.dot(
-            ou.T, lr * (e[:, None] * qi - reg * pu),
-            precision=prec, preferred_element_type=dt,
-        )
-        dQ = jnp.dot(
-            oi.T, lr * (e[:, None] * pu - reg * qi),
-            precision=prec, preferred_element_type=dt,
-        )
+        d_pu = lr * (e[:, None] * qi - reg * pu)
+        d_qi = lr * (e[:, None] * pu - reg * qi)
+        if lane:
+            d_pu = d_pu * mP
+            d_qi = d_qi * mQ
+        dP = jnp.dot(ou.T, d_pu, precision=prec, preferred_element_type=dt)
+        dQ = jnp.dot(oi.T, d_qi, precision=prec, preferred_element_type=dt)
         P = lax.dynamic_update_slice(P, Pblk + dP, (a * su, 0))
         Q = lax.dynamic_update_slice(Q, Qblk + dQ, (c * si, 0))
         if use_bias:

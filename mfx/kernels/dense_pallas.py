@@ -83,7 +83,15 @@ def aux_width(pack: int) -> int:
     return 8 if pack <= 2 else 16
 
 
-def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8"):
+def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
+                 lane=False):
+    # lane=True (sgd.bias_mode='lane'): biases ride in the factor lanes
+    # (see sgd_pallas.py) — S already contains bu+bi, the per-stratum
+    # E row/col sums and the post-phase bias update disappear, and the
+    # factor updates themselves perform the batched trust-scaled bias
+    # step on the bias lanes (with PER-STRATUM degrees — finer batching
+    # than the post-phase variant). Only the constant-1 lanes are frozen
+    # by a static delta mask. Callers pass use_bias=False alongside.
     if pack not in (1, 2, 4):
         raise NotImplementedError(
             "dense path supports ranks 128/64/32 (pack 1/2/4); rank "
@@ -206,12 +214,23 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8"):
                 dP[a] = ta if dP[a] is None else dP[a] + ta
                 tb = dotg(Eab, Pa[a], dims_tn)
                 dQ[b] = tb if dQ[b] is None else dQ[b] + tb
-                ru = jnp.sum(Eab, axis=1)
-                ebu[a] = ru if ebu[a] is None else ebu[a] + ru
-                ci = jnp.sum(Eab, axis=0)
-                ebi[b] = ci if ebi[b] is None else ebi[b] + ci
+                if not lane:
+                    ru = jnp.sum(Eab, axis=1)
+                    ebu[a] = ru if ebu[a] is None else ebu[a] + ru
+                    ci = jnp.sum(Eab, axis=0)
+                    ebi[b] = ci if ebi[b] is None else ebi[b] + ci
                 sq = jnp.sum(Eab**2)
                 sse_acc = sq if sse_acc is None else sse_acc + sq
+        if lane:
+            # freeze the constant-1 lanes (P: index K-2, Q: index K-1);
+            # masks cover the FULL delta incl. the L2 term
+            lidx = lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            mP = (lidx != K - 2).astype(f32)
+            mQ = (lidx != K - 1).astype(f32)
+            ebu = [jnp.zeros((sup,), f32)] * pack
+            ebi = [jnp.zeros((sip,), f32)] * pack
+        else:
+            mP = mQ = None
 
         # trust scaling for heavy rows (see DSTAR)
         s_u = [jnp.minimum(1.0, DSTAR / jnp.maximum(Du[a], 1.0))
@@ -219,21 +238,25 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8"):
         s_i = [jnp.minimum(1.0, DSTAR / jnp.maximum(Di[a], 1.0))
                for a in range(pack)]
 
+        def upd_p(a):
+            d = dP[a] - reg * Du[a] * Pa[a]
+            if lane:
+                d = d * mP
+            return Pa[a] + lr * s_u[a] * d
+
+        def upd_q(b):
+            d = dQ[b] - reg * Di[b] * Qb[b]
+            if lane:
+                d = d * mQ
+            return Qb[b] + lr * s_i[b] * d
+
         # full-width writes (lane sub-range stores need masking in Mosaic)
         P_out[0:sup, :] = jnp.concatenate(
-            [
-                Pa[a] + lr * s_u[a] * (dP[a] - reg * Du[a] * Pa[a])
-                for a in range(pack)
-            ],
-            axis=1,
-        ) if pack > 1 else Pa[0] + lr * s_u[0] * (dP[0] - reg * Du[0] * Pa[0])
+            [upd_p(a) for a in range(pack)], axis=1
+        ) if pack > 1 else upd_p(0)
         Qseg[pl.ds(qs, sip), :] = jnp.concatenate(
-            [
-                Qb[b] + lr * s_i[b] * (dQ[b] - reg * Di[b] * Qb[b])
-                for b in range(pack)
-            ],
-            axis=1,
-        ) if pack > 1 else Qb[0] + lr * s_i[0] * (dQ[0] - reg * Di[0] * Qb[0])
+            [upd_q(b) for b in range(pack)], axis=1
+        ) if pack > 1 else upd_q(0)
 
         # per-stratum E sums for the post-phase bias update (single writes)
         dbu_ref[0, :, :] = jnp.concatenate(
@@ -264,7 +287,8 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8"):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "su", "si", "rank", "nwin", "use_bias", "exact", "interpret", "rfmt"
+        "su", "si", "rank", "nwin", "use_bias", "exact", "interpret",
+        "rfmt", "lane",
     ),
 )
 def dense_sgd_phase_pallas(
@@ -287,9 +311,11 @@ def dense_sgd_phase_pallas(
     exact: bool = False,
     interpret: bool = False,
     rfmt: str = "int8",
+    lane: bool = False,
 ):
     """Run the dense phase. Returns (Pm, Qh, dbu, dbi, sse) where dbu/dbi
-    are per-stratum E sums for the post-phase bias update.
+    are per-stratum E sums for the post-phase bias update (zeros with
+    ``lane=True`` — lane-bias updates happen inside the factor writes).
 
     ``rfmt``: 'int8' (round(r*R_SCALE) bytes) or 'int4' (round(r*2)
     nibbles, parity-pair-packed — exact for real star-scale ratings and
@@ -303,7 +329,7 @@ def dense_sgd_phase_pallas(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
     kernel = _kernel_body(su, si, rank, pack, nwin, use_bias, exact,
-                          rfmt=rfmt)
+                          rfmt=rfmt, lane=lane)
     pstride = sup + BIAS_ROWS
     r_rows = (pack * pack // (2 if rfmt == "int4" else 1)) * sup
     grid_spec = pltpu.PrefetchScalarGridSpec(

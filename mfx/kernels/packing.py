@@ -24,6 +24,8 @@ __all__ = [
     "merged_shape",
     "PackedModel",
     "BIAS_ROWS",
+    "to_lane_model",
+    "from_lane_model",
 ]
 
 
@@ -81,6 +83,45 @@ def unpack_state(Pm, Qm, mu, num_users: int, num_items: int, rank: int, su: int,
     return MFModel(P=P, Q=Q, bu=bu, bi=bi, mu=jnp.asarray(mu, P.dtype))
 
 
+def to_lane_model(model):
+    """Canonical MFModel -> lane-bias table form (sgd.bias_mode='lane').
+
+    Augmented-vector MF: P rows become [p(rank-2), 1, bu], Q rows
+    [q(rank-2), bi, 1], bu/bi zeroed — the factor dot then carries the
+    biases, and the kernels run bias-machinery-free with the constant
+    lanes frozen by a static delta mask. The two reserved factor columns'
+    init values are discarded (lane mode trains rank-2 latent dims);
+    ``from_lane_model`` inverts exactly, so checkpoints, eval and serving
+    all stay in the canonical representation."""
+    import jax.numpy as _jnp
+
+    from mfx.models.mf import MFModel
+
+    r = model.rank
+    one = _jnp.ones((), model.P.dtype)
+    P = model.P.at[:, r - 2].set(one).at[:, r - 1].set(model.bu)
+    Q = model.Q.at[:, r - 2].set(model.bi).at[:, r - 1].set(one)
+    z = _jnp.zeros_like(model.bu)
+    return MFModel(P=P, Q=Q, bu=z, bi=_jnp.zeros_like(model.bi),
+                   mu=model.mu)
+
+
+def from_lane_model(model):
+    """Inverse of ``to_lane_model``: extract bu/bi from the reserved
+    lanes and zero them in the factor tables."""
+    import jax.numpy as _jnp
+
+    from mfx.models.mf import MFModel
+
+    r = model.rank
+    bu = model.P[:, r - 1]
+    bi = model.Q[:, r - 2]
+    z = _jnp.zeros((), model.P.dtype)
+    P = model.P.at[:, r - 2].set(z).at[:, r - 1].set(z)
+    Q = model.Q.at[:, r - 2].set(z).at[:, r - 1].set(z)
+    return MFModel(P=P, Q=Q, bu=bu, bi=bi, mu=model.mu)
+
+
 class PackedModel:
     """Lazy MFModel view over the packed kernel state.
 
@@ -92,12 +133,14 @@ class PackedModel:
     materializes once and caches.
     """
 
-    def __init__(self, Pm, Qm, mu, num_users, num_items, rank, su, si):
+    def __init__(self, Pm, Qm, mu, num_users, num_items, rank, su, si,
+                 lane=False):
         self.Pm = Pm
         self.Qm = Qm
         self._meta = (mu, num_users, num_items, rank, su, si)
         self._model = None
         self._stale = False
+        self._lane = lane  # tables in lane-bias form: un-augment on unpack
 
     def invalidate(self):
         """Called by the yielding trainer when it resumes: the backing
@@ -120,6 +163,8 @@ class PackedModel:
                 self._model = unpack_state(
                     self.Pm, self.Qm, mu, U, I, rank, su, si
                 )
+                if self._lane:
+                    self._model = from_lane_model(self._model)
             except RuntimeError as e:  # deleted donated buffers
                 raise RuntimeError(
                     "this PackedModel view is stale: the blocked trainer "

@@ -82,11 +82,23 @@ def _kernel_body(
     # trust-scaled bias update per epoch from segment-summed residuals
     # (mfx/solvers/blocked.py). The bias rows of the merged blocks stay
     # untouched (they remain the canonical bias storage).
+    #
+    # bias_mode='lane': biases ride IN the factor lanes (augmented-vector
+    # MF) — P rows are [p(rank-2), 1, bu], Q rows [q(rank-2), bi, 1], so
+    # the factor dot already yields p·q + bu + bi and the per-occurrence
+    # bias update IS the bias lane's SGD update (e·1 − reg·bu — identical
+    # rule). The ENTIRE per-tile bias machinery (measured 32% of the
+    # sparse path at su=1024) disappears; the only extra work is one
+    # static lane mask on each delta so the constant-1 lanes never move.
+    # Costs 2 of the rank's latent dims; layout conversion:
+    # mfx/kernels/packing.py to_lane_model/from_lane_model.
     sup, sip = su // pack, si // pack
     qstride = sip + BIAS_ROWS
     prec = lax.Precision.HIGHEST if exact else None
     f32 = jnp.float32
     epoch_bias = use_bias and bias_mode == "epoch"
+    lane_bias = use_bias and bias_mode == "lane"
+    tile_bias = use_bias and bias_mode == "tile"
     # mxu_bf16: feed the one-hot gather/scatter matmuls to the MXU in
     # bfloat16 (f32 accumulate). One-hot matrices are exact in bf16; the
     # gathered factors / scattered deltas round to 8-bit mantissa (~0.4%
@@ -218,7 +230,7 @@ def _kernel_body(
             mask = (u < su).astype(f32)
             if epoch_bias:
                 pred = pred + bt_ref[j, 0, :]
-            elif use_bias:
+            elif tile_bias:
                 # bias of local row x lives at block row x//128, lane x%128
                 orow_u = (
                     (u // 128)[:, None]
@@ -260,12 +272,19 @@ def _kernel_body(
             else:
                 d_pu128 = lr * (e[:, None] * qi - reg * pu)
                 d_qi128 = lr * (e[:, None] * pu - reg * qi)
+            if lane_bias:
+                # freeze the constant-1 lanes: P's is slot index rank-2,
+                # Q's is rank-1 (static (1, 128) masks; the bias lanes
+                # update like any factor lane — that IS the bias update)
+                lidx = lax.broadcasted_iota(jnp.int32, (1, 128), 1) % rank
+                d_pu128 = d_pu128 * (lidx != rank - 2).astype(f32)
+                d_qi128 = d_qi128 * (lidx != rank - 1).astype(f32)
             P_out[:sup, :] = P_out[:sup, :] + dot_t(ou, d_pu128)
             Qseg[pl.ds(qs, sip), :] = Qseg[pl.ds(qs, sip), :] + dot_t(oi, d_qi128)
             if epoch_bias:
                 e_ref[j, 0, :] = e * mask  # per-slot residuals for the
                 # post-epoch batched bias update
-            elif use_bias:
+            elif tile_bias:
                 d_bu = lr * (e - reg * bub) * mask  # (T,)
                 d_bi = lr * (e - reg * bib) * mask
                 P_out[sup:, :] = P_out[sup:, :] + dot_t(
@@ -537,8 +556,10 @@ def blocked_sgd_sweep_pallas(
     if nt != ng * tpg:
         raise ValueError(f"tc length {nt} != sa length {ng} * tpg {tpg}")
     epoch_bias = use_bias and bias_mode == "epoch"
-    if epoch_bias and step_u:
-        raise NotImplementedError("bias_mode='epoch' with step_user_batch")
+    if use_bias and bias_mode != "tile" and step_u:
+        raise NotImplementedError(
+            f"bias_mode={bias_mode!r} with step_user_batch"
+        )
     pack = 128 // rank
     nwin = Qs.shape[0] // (si // pack + BIAS_ROWS)
     f32 = jnp.float32

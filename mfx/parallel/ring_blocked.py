@@ -131,7 +131,7 @@ def make_ring_blocked_epoch_fn(
     exact: bool = False, interpret: bool = False,
     mxu_bf16: bool = False, step_u: bool = False,
     with_dense: bool = False, rfmt: str = "int8",
-    pack_path: str = "roll",
+    pack_path: str = "roll", bias_mode: str = "tile",
 ):
     """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh.
 
@@ -143,6 +143,9 @@ def make_ring_blocked_epoch_fn(
     S = geo.S
     ring = [(j, (j - 1) % S) for j in range(S)]
     nseg = len(seg_meta)
+    # bias_mode='lane': tables arrive lane-augmented (biases in the factor
+    # lanes; packing.to_lane_model) — same kernels, no bias machinery
+    lane = use_bias and bias_mode == "lane"
 
     def _epoch(Pm_, Qm_, sas, tcs, tls, dense, lr, reg, mu):
         # locals: Pm_ merged P partition; Qm_ the merged block held at t=0
@@ -157,7 +160,7 @@ def make_ring_blocked_epoch_fn(
                 Pm, Qm, s = dense_phase_core(
                     Pm, Qm, local, lr, reg, mu,
                     su=geo.su, si=geo.si, rank=rank, use_bias=use_bias,
-                    exact=exact, interpret=interpret, rfmt=rfmt,
+                    exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
                 )
                 sse = sse + s
             for k, (win0, nwin) in enumerate(seg_meta):
@@ -169,7 +172,8 @@ def make_ring_blocked_epoch_fn(
                     Pm, Qs, sweep, lr, reg, mu,
                     su=geo.su, si=geo.si, rank=rank, tpg=geo.tpg,
                     use_bias=use_bias, exact=exact, interpret=interpret,
-                    mxu_bf16=mxu_bf16, step_u=step_u, pack_path=pack_path,
+                    mxu_bf16=mxu_bf16, step_u=step_u, bias_mode=bias_mode,
+                    pack_path=pack_path,
                 )
                 Qm = pk.q_segment_restore(Qm, Qs, win0, rank, geo.si)
                 sse = sse + s[0, 0]
@@ -229,6 +233,13 @@ def train_epochs_ring_blocked(
     I_pad = S * geo.iblock
     U_pad = S * geo.ublock
 
+    # lane-bias mode: augment the tables (biases into the reserved factor
+    # lanes) before padding/remapping — both are row-wise, so sharding
+    # composes; yielded models un-augment below
+    lane = use_bias and cfg.bias_mode == "lane"
+    if lane:
+        model = pk.to_lane_model(model)
+
     # pad tables to S equal blocks; item rows take their block-cyclic ring
     # positions (Qring[j] = Q[cyclic_unmap(j)]), then merge-pack
     unmap = cyclic_unmap(np.arange(I_pad, dtype=np.int64), S, geo.iblock)
@@ -283,6 +294,7 @@ def train_epochs_ring_blocked(
         exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
         with_dense=with_dense, rfmt=rfmt, pack_path=cfg.pack_path,
+        bias_mode=cfg.bias_mode,
     )
     replan_every = cfg.replan_every
     tls = None
@@ -303,4 +315,6 @@ def train_epochs_ring_blocked(
             P=out.P[:U], Q=out.Q[remap][:I], bu=out.bu[:U],
             bi=out.bi[remap][:I], mu=out.mu,
         )
+        if lane:
+            out = pk.from_lane_model(out)  # back to the canonical form
         yield epoch, out, float(jnp.sqrt(sse / max(1, train.n_ratings)))

@@ -114,13 +114,14 @@ def _fused_epoch(
     deg_i}; mfx/kernels/plan_device.py with_slots).
     """
     sse = jnp.zeros((), jnp.float32)
+    lane = use_bias and bias_mode == "lane"
     if dense_tensors is not None:
         from mfx.solvers.dense_prep import run_dense_phase
 
         Pm, Qm, s = run_dense_phase(
             Pm, Qm, dense_tensors, lr, reg, mu,
             su=su, si=si, rank=rank, use_bias=use_bias,
-            exact=exact, interpret=interpret, rfmt=rfmt,
+            exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
         )
         sse = sse + s
     epoch_bias = use_bias and bias_mode == "epoch"
@@ -166,7 +167,8 @@ def _fused_epoch(
                 Pm, Qs, arrs, lr, reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg,
                 use_bias=use_bias, exact=exact, interpret=interpret,
-                mxu_bf16=mxu_bf16, step_u=step_u, pack_path=pack_path,
+                mxu_bf16=mxu_bf16, step_u=step_u, bias_mode=bias_mode,
+                pack_path=pack_path,
             )
         Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
         sse = sse + s[0, 0]
@@ -243,7 +245,12 @@ def train_epochs_blocked(
             # alongside the Q segment; shrink the segment budget to fit
             budget -= tpg * cfg.tile * (su // (128 // rank) + 4 * 128) * 4
         nwin = sweep_geometry(I, rank, si, budget=max(1 << 21, budget))
-        Pm, Qm = pk.pack_state(model, su, si)
+        lane = use_bias and cfg.bias_mode == "lane"
+        # lane-bias mode: augment the tables (biases into the reserved
+        # factor lanes) before packing; yielded views un-augment on unpack
+        Pm, Qm = pk.pack_state(
+            pk.to_lane_model(model) if lane else model, su, si
+        )
         use_dev_plan = cfg.plan_device == "device" or (
             cfg.plan_device == "auto" and jax.default_backend() == "tpu"
         )
@@ -378,7 +385,7 @@ def train_epochs_blocked(
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates
             # the buffers and invalidates the view — stale access raises).
-            view = pk.PackedModel(Pm, Qm, mu, U, I, rank, su, si)
+            view = pk.PackedModel(Pm, Qm, mu, U, I, rank, su, si, lane=lane)
             # the train RMSE is yielded as a LAZY device scalar: float()ing
             # it here would force a device->host sync per epoch, which on
             # a high-latency link costs more than a third of the epoch

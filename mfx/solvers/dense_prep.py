@@ -516,12 +516,12 @@ import functools
 @functools.partial(
     jax.jit,
     static_argnames=("su", "si", "rank", "use_bias", "exact", "interpret",
-                     "rfmt"),
+                     "rfmt", "lane"),
     donate_argnums=(0, 1),
 )
 def run_dense_phase(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False, rfmt="int8",
+    exact=False, interpret=False, rfmt="int8", lane=False,
 ):
     """One dense phase over all dense strata. Qm is the FULL merged item
     table, donated; the kernel addresses only its head rows. Returns
@@ -536,13 +536,18 @@ def run_dense_phase(
     return dense_phase_core(
         Pm, Qm, tensors, lr, reg, mu, su=su, si=si, rank=rank,
         use_bias=use_bias, exact=exact, interpret=interpret, rfmt=rfmt,
+        lane=lane,
     )
 
 
 def dense_phase_core(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False, rfmt="int8",
+    exact=False, interpret=False, rfmt="int8", lane=False,
 ):
+    # lane (sgd.bias_mode='lane'): biases ride in the factor lanes —
+    # the aux bias columns stay zero, the kernel's S carries bu+bi, the
+    # bias lanes update inside the factor writes, and the post-phase
+    # batched bias update below is skipped.
     pack = 128 // rank
     auxw = aux_width(pack)
     sup, sip = su // pack, si // pack
@@ -559,7 +564,7 @@ def dense_phase_core(
     )  # (nwin, si)
     bu_dec = bu_full.reshape(-1, sup, pack)
     bi_dec = bi_full.reshape(-1, sip, pack)
-    if not use_bias:
+    if not use_bias or lane:
         bu_dec = jnp.zeros_like(bu_dec)
         bi_dec = jnp.zeros_like(bi_dec)
     aux_u = jnp.concatenate(
@@ -580,11 +585,12 @@ def dense_phase_core(
              "aux_i": aux_i}
     Pm, Qh, dbu, dbi, sse = dense_sgd_phase_pallas(
         Pm, Qh, dense, lr, reg, mu,
-        su=su, si=si, rank=rank, nwin=nwin, use_bias=use_bias,
-        exact=exact, interpret=interpret, rfmt=rfmt,
+        su=su, si=si, rank=rank, nwin=nwin,
+        use_bias=use_bias and not lane,
+        exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
     )
 
-    if use_bias:
+    if use_bias and not lane:
         # post-phase batched bias update: Δb = lr (ΣE − reg · deg · b)
         lrf = jnp.asarray(lr, jnp.float32)
         regf = jnp.asarray(reg, jnp.float32)

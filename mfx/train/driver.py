@@ -57,11 +57,11 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
             f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
-    if mode in ("sharded", "hybrid") and sgd.bias_mode != "tile":
+    if mode in ("sharded", "hybrid") and sgd.bias_mode == "epoch":
         raise ValueError(
-            f"sgd.bias_mode={sgd.bias_mode!r} is single-chip only (the "
-            "DSGD ring runs per-tile bias updates); set "
-            f"sgd.bias_mode='tile' for parallel.mode={mode!r}"
+            "sgd.bias_mode='epoch' is single-chip only (its bias stream "
+            "comes from the single-chip device planner); use 'tile' or "
+            f"'lane' for parallel.mode={mode!r}"
         )
     if mode in ("sharded", "hybrid") and sgd.kernel == "jnp" and (
         sgd.dense_chi > 0
@@ -157,11 +157,21 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
 
         return gen()
     if cfg.solver == "ials":
+        if cfg.parallel.mode in ("dp", "hybrid"):
+            from mfx.parallel.ials_dp import train_sweeps_ials_dp
+
+            def gen_ials_dp():
+                for sweep, m in train_sweeps_ials_dp(
+                    model, train_coo, cfg.ials, mesh, use_bias=use_bias
+                ):
+                    yield sweep, m, float("nan")
+
+            return gen_ials_dp()
         if cfg.parallel.mode != "single":
             raise ValueError(
-                "solver='ials' currently runs single-device; use "
-                "parallel.mode='single' (DP/sharded iALS: see STATUS.md "
-                "next-round queue)"
+                "solver='ials' runs single-device or data-parallel; use "
+                "parallel.mode in ('single', 'dp', 'hybrid') "
+                "(row-sharded iALS: see STATUS.md next-round queue)"
             )
         from mfx.solvers.ials import train_sweeps_ials
 

@@ -294,3 +294,44 @@ def test_mesh_of_1_bitwise_rank32_pack4():
         (m_ring.bu, m_single.bu), (m_ring.bi, m_single.bi),
     ]:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ring_lane_bias_trains_and_matches_lane_semantics():
+    """bias_mode='lane' in the ring: trains on an 8-shard mesh, yields
+    canonical models (biases extracted from the lanes), and a mesh-of-1
+    ring run is bitwise-equal to the single-chip lane path."""
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    coo = synthetic.make_synthetic(U, I, N, rank=4, noise=0.3, seed=2)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    cfg = dataclasses.replace(CFG, epochs=2, bias_mode="lane")
+
+    # 8-shard mesh: converges, biases live
+    mesh = make_mesh(data=2, model=4)
+    model = init_model(0, U, I, 64, global_mean=train.global_mean)
+    hist = []
+    for ep, m8, tr in train_epochs_ring_blocked(
+        model, train, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True,
+    ):
+        hist.append(tr)
+    assert hist[-1] < hist[0]
+    assert rmse(m8, test) < 1.0
+    assert float(np.abs(np.asarray(m8.bu)).max()) > 0
+
+    # mesh-of-1 ring == single-chip lane path, bitwise
+    model = init_model(0, U, I, 64, global_mean=train.global_mean)
+    for _, m1, _ in train_epochs_ring_blocked(
+        model, train, cfg, use_bias=True, mesh=make_mesh(model=1), seed=0,
+        interpret=True,
+    ):
+        pass
+    model = init_model(0, U, I, 64, global_mean=train.global_mean)
+    for _, ms, _ in train_epochs_blocked(
+        model, train, cfg, use_bias=True, seed=0, interpret=True,
+    ):
+        pass
+    ms = ms.materialize()
+    np.testing.assert_array_equal(np.asarray(m1.P), np.asarray(ms.P))
+    np.testing.assert_array_equal(np.asarray(m1.Q), np.asarray(ms.Q))
+    np.testing.assert_array_equal(np.asarray(m1.bu), np.asarray(ms.bu))
+    np.testing.assert_array_equal(np.asarray(m1.bi), np.asarray(ms.bi))

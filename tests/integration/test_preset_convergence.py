@@ -48,6 +48,7 @@ def _setup():
     sgd = dataclasses.replace(
         cfg.sgd, epochs=8, batch_size=1 << 15,
         partitioner="fixed", kernel="jnp", dense_chi=0.0,
+        bias_mode="tile",  # lane biases are a fused-kernel feature
     )
     coo = synthetic.make_synthetic(U, I, N, rank=8, noise=NOISE, seed=5)
     train, test = train_test_split(coo, test_frac=0.05, seed=0)

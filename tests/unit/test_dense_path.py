@@ -289,3 +289,91 @@ def test_blocked_trainer_int4_auto_on_half_stars():
     ):
         hist.append(tr)
     assert np.isfinite(hist).all() and hist[-1] < hist[0]
+
+
+def _mirror_lane(modelL, split, coo, lr, reg, mu, U0, I0, su, si,
+                 rscale=R_SCALE, rmax=127.0):
+    """Lane-bias dense mirror: tables already augmented
+    (packing.to_lane_model); S carries bu+bi through the factor product,
+    const lanes frozen, no post-phase bias update."""
+    P = np.array(modelL.P, np.float64)
+    Q = np.array(modelL.Q, np.float64)
+    k = P.shape[1]
+    mP = np.ones(k)
+    mP[k - 2] = 0.0
+    mQ = np.ones(k)
+    mQ[k - 1] = 0.0
+    C = -(-I0 // si)
+    strat_all = (coo.user // su).astype(np.int64) * C + (coo.item // si)
+    for j in range(split.num_strata):
+        a, c = int(split.sa[j]), int(split.sc[j])
+        sel = split.dense_idx[strat_all[split.dense_idx] == a * C + c]
+        u, i = coo.user[sel], coo.item[sel]
+        r = coo.rating[sel].astype(np.float64)
+        lu, li = u - a * su, i - c * si
+        rsum = np.zeros((su, si))
+        cnt = np.zeros((su, si))
+        np.add.at(rsum, (lu, li), r)
+        np.add.at(cnt, (lu, li), 1.0)
+        Ravg = np.where(cnt > 0, rsum / np.maximum(cnt, 1.0), 0.0)
+        q = np.clip(np.round(Ravg * rscale), 0.0, rmax).astype(np.float32)
+        W = q > 0
+        Ravg = (q * np.float32(1.0 / rscale)).astype(np.float64)
+        rows = slice(a * su, min((a + 1) * su, U0))
+        cols = slice(c * si, min((c + 1) * si, I0))
+        Pb, Qb = P[rows].copy(), Q[cols].copy()
+        nu, ni = Pb.shape[0], Qb.shape[0]
+        W = W[:nu, :ni]
+        Ravg = Ravg[:nu, :ni]
+        S = Pb @ Qb.T + mu  # biases ride in the factor product
+        E = np.where(W, Ravg - S, 0.0)
+        deg_u = np.zeros(su)
+        np.add.at(deg_u, lu, 1.0)
+        deg_i = np.zeros(si)
+        np.add.at(deg_i, li, 1.0)
+        deg_u, deg_i = deg_u[:nu], deg_i[:ni]
+        s_u = np.minimum(1.0, DSTAR / np.maximum(deg_u, 1.0))[:, None]
+        s_i = np.minimum(1.0, DSTAR / np.maximum(deg_i, 1.0))[:, None]
+        P[rows] = Pb + lr * s_u * (
+            (E @ Qb - reg * deg_u[:, None] * Pb) * mP[None, :]
+        )
+        Q[cols] = Qb + lr * s_i * (
+            (E.T @ Pb - reg * deg_i[:, None] * Qb) * mQ[None, :]
+        )
+    return P, Q
+
+
+def test_dense_phase_lane_matches_mirror_interpret():
+    """bias_mode='lane' dense phase (biases in the factor lanes, const
+    lanes masked, per-stratum bias batching) vs its NumPy mirror."""
+    U0, I0, su, si, rank = 600, 600, 256, 256, 64
+    pack = 128 // rank
+    coo = synthetic.make_synthetic(U0, I0, 25_000, rank=8, seed=3)
+    split = dp.split_dense_strata(
+        coo.user, coo.item, U0, I0, su, si,
+        chi_min=0.01, nwin_head=3, pack=pack,
+    )
+    assert split.num_strata > 0
+    model = init_model(2, U0, I0, rank, global_mean=coo.global_mean)
+    model = model.__class__(
+        P=model.P, Q=model.Q,
+        bu=model.bu + 0.05, bi=model.bi - 0.03, mu=model.mu,
+    )
+    laneM = pk.to_lane_model(model)
+    tensors = dp.build_dense_tensors(split, coo.rating, su, si, pack)
+    Pm, Qm = pk.pack_state(laneM, su, si)
+    lr, reg, mu = 0.008, 0.02, float(model.mu)
+    Pm2, Qm2, sse = dp.run_dense_phase(
+        Pm, Qm, tensors, lr, reg, mu,
+        su=su, si=si, rank=rank, use_bias=True, exact=True, interpret=True,
+        lane=True,
+    )
+    got = pk.unpack_state(Pm2, Qm2, model.mu, U0, I0, rank, su, si)
+    P, Q = _mirror_lane(laneM, split, coo, lr, reg, mu, U0, I0, su, si)
+    np.testing.assert_allclose(np.asarray(got.P), P, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(got.Q), Q, atol=5e-6)
+    # const lanes frozen; bias lanes moved
+    np.testing.assert_array_equal(np.asarray(got.P[:, rank - 2]), 1.0)
+    np.testing.assert_array_equal(np.asarray(got.Q[:, rank - 1]), 1.0)
+    assert not np.allclose(np.asarray(got.P[:, rank - 1]),
+                           np.asarray(laneM.P[:, rank - 1]))
