@@ -62,6 +62,20 @@ class SGDConfig:
     # strata denser than this run the dense DSGD fast path (Zipf head);
     # 0 disables. Requires kernel='pallas', rank 64, ublock == iblock.
     dense_chi: float = 0.0
+    # item span the dense phase may carve strata from:
+    # 'head' — only the first DENSE_HEAD_ITEMS items (one phase on the
+    #          VMEM-resident head; works with host or device prep)
+    # 'full' — any stratum in the whole item span: strata are grouped by
+    #          item-window segments and each group runs its own dense
+    #          phase on a VMEM-resident Q segment before the sparse
+    #          sweeps (measured +20% at ML-25M shape: half the sparse
+    #          tail sits in dense-eligible strata outside the head).
+    #          Requires the device planner (single-chip pallas path).
+    dense_span: str = "head"
+    # windows per dense-phase group for dense_span='full' (0 = auto from
+    # the dense VMEM budget: the group's Q segment must fit next to the
+    # dense kernel's R pipeline buffers)
+    dense_nwd: int = 0
     # per-row trust scaling for duplicate-heavy batches on the jnp paths
     # ('fixed' partitioner): a row appearing d times in a batch gets its
     # summed delta scaled by min(1, dup_trust/d). 0 disables. Guards
@@ -153,6 +167,11 @@ class SGDConfig:
             raise ValueError(
                 f"sgd.pack_path must be 'roll' or 'select', got "
                 f"{self.pack_path!r}"
+            )
+        if self.dense_span not in ("head", "full"):
+            raise ValueError(
+                f"sgd.dense_span must be 'head' or 'full', got "
+                f"{self.dense_span!r}"
             )
         if self.bias_mode not in ("tile", "lane", "epoch"):
             raise ValueError(

@@ -39,6 +39,17 @@ VMEM_Q_BUDGET = 11 * 1024 * 1024
 # is ~2-4 MB of head across block sizes 512/1024.
 DENSE_HEAD_ITEMS = 8192
 
+# Per-group Q-segment VMEM budget for dense_span='full' (next to the
+# dense kernel's ~10-11 MB of R pipeline buffers + accumulators: a
+# 43-window segment measured a 21.5 MB scoped-VMEM bust; 16 windows at
+# rank 64 / si=1024 = 4.2 MB fits with margin).
+DENSE_Q_BUDGET = 4_300_000
+
+
+def dense_group_windows(rank: int, si: int, budget: int = DENSE_Q_BUDGET):
+    """Windows per dense-phase group so the Q segment fits the budget."""
+    return max(1, budget // (pk.q_stride(rank, si) * 128 * 4))
+
 
 def dense_rfmt(cfg: SGDConfig, pack: int, rating) -> str:
     """Pick the dense-phase rating stream format (SGDConfig.dense_int4).
@@ -85,18 +96,18 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "sweep_meta", "mxu_bf16", "step_u", "rfmt", "bias_mode",
-        "pack_path",
+        "sweep_meta", "dense_meta", "mxu_bf16", "step_u", "rfmt",
+        "bias_mode", "pack_path",
     ),
     donate_argnums=(0, 1),
 )
 def _fused_epoch(
-    Pm, Qm, sweeps, dense_tensors, lr, reg, mu,
+    Pm, Qm, sweeps, dense_groups, lr, reg, mu,
     *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
-    mxu_bf16=False, step_u=False, rfmt="int8", bias_mode="tile",
-    bias_aux=None, pack_path="roll",
+    dense_meta=(), mxu_bf16=False, step_u=False, rfmt="int8",
+    bias_mode="tile", bias_aux=None, pack_path="roll",
 ):
-    """One whole epoch — dense phase + every item-sweep — as a single
+    """One whole epoch — dense phases + every item-sweep — as a single
     donated XLA program. One dispatch per epoch, no host sync inside, and
     donation lets the compiler alias the packed tables end-to-end (the
     per-sweep jit boundaries of round 1 each copied Pm/Qs to preserve
@@ -104,6 +115,11 @@ def _fused_epoch(
 
     ``sweeps`` is a tuple of {"sa", "tc", "tl"} device dicts;
     ``sweep_meta`` the matching static (win0, nwin) tuple.
+
+    ``dense_groups``/``dense_meta`` mirror that structure for the dense
+    phases: one group per dense item-window segment (a single (0, head)
+    group for dense_span='head'; prepare_dense_full's grouping for
+    'full'), each run on its VMEM-resident Q segment before the sweeps.
 
     ``bias_mode='epoch'``: the sparse sweeps run with epoch-frozen biases
     baked into a per-slot bias stream (built here from the CURRENT bias
@@ -115,15 +131,18 @@ def _fused_epoch(
     """
     sse = jnp.zeros((), jnp.float32)
     lane = use_bias and bias_mode == "lane"
-    if dense_tensors is not None:
-        from mfx.solvers.dense_prep import run_dense_phase
+    if dense_groups:
+        from mfx.solvers.dense_prep import dense_phase_core
 
-        Pm, Qm, s = run_dense_phase(
-            Pm, Qm, dense_tensors, lr, reg, mu,
-            su=su, si=si, rank=rank, use_bias=use_bias,
-            exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
-        )
-        sse = sse + s
+        for (win0, nw), dt in zip(dense_meta, dense_groups):
+            Qs = pk.q_segment(Qm, win0, nw, rank, si)
+            Pm, Qs, s = dense_phase_core(
+                Pm, Qs, dt, lr, reg, mu,
+                su=su, si=si, rank=rank, use_bias=use_bias,
+                exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
+            )
+            Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
+            sse = sse + s
     epoch_bias = use_bias and bias_mode == "epoch"
     if epoch_bias:
         from mfx.solvers.dense_prep import _bias_from_merged, _bias_to_merged
@@ -266,9 +285,18 @@ def train_epochs_blocked(
             "int8"
         )
 
-        # dense fast path: carve Zipf-head strata out of the sparse stream
-        dense_tensors = None
+        # dense fast path: carve dense strata out of the sparse stream —
+        # the Zipf head (dense_span='head') or any eligible stratum in
+        # the item span, grouped by window segments ('full')
+        dense_groups: tuple = ()
+        dense_meta: tuple = ()
         sparse_train = train
+        if cfg.dense_span == "full" and want_dense and not use_dev_plan:
+            raise ValueError(
+                "sgd.dense_span='full' needs the device prep (its grouped"
+                " split runs on the accelerator); set "
+                "sgd.plan_device='device'"
+            )
         if use_dev_plan:
             # device-resident pipeline: split, degree tables, int8 R
             # build, and per-epoch planning all run on the accelerator
@@ -278,14 +306,30 @@ def train_epochs_blocked(
             u_dev = jnp.asarray(train.user)
             i_dev = jnp.asarray(train.item)
             r_dev = jnp.asarray(train.rating)
-            if want_dense:
-                dense_tensors, (u_dev, i_dev, r_dev), _ = (
+            if want_dense and cfg.dense_span == "full":
+                nwd = cfg.dense_nwd or dense_group_windows(rank, si)
+                dense_meta, dense_groups, (u_dev, i_dev, r_dev), dinfo = (
+                    dp.prepare_dense_full(
+                        u_dev, i_dev, r_dev, U, I, su, si,
+                        chi_min=cfg.dense_chi, nwd=nwd,
+                        pack=128 // rank, rfmt=rfmt,
+                    )
+                )
+                if timings is not None:
+                    timings["dense_info"] = dinfo
+            elif want_dense:
+                dense_tensors, (u_dev, i_dev, r_dev), dinfo = (
                     dp.prepare_dense_device(
                         u_dev, i_dev, r_dev, U, I, su, si,
                         chi_min=cfg.dense_chi, nwin_head=nwin_head,
                         pack=128 // rank, rfmt=rfmt,
                     )
                 )
+                if timings is not None:
+                    timings["dense_info"] = dinfo
+                if dense_tensors is not None:
+                    dense_meta = ((0, dense_tensors["di_tot"].shape[0]),)
+                    dense_groups = (dense_tensors,)
         elif want_dense:
             from mfx.solvers import dense_prep as dp
 
@@ -298,6 +342,8 @@ def train_epochs_blocked(
                 dense_tensors = dp.build_dense_tensors(
                     split, train.rating, su, si, 128 // rank, rfmt=rfmt
                 )
+                dense_meta = ((0, dense_tensors["di_tot"].shape[0]),)
+                dense_groups = (dense_tensors,)
                 sparse_train = train.select(split.sparse_idx)
 
         epoch_bias = cfg.bias_mode == "epoch" and use_bias
@@ -315,7 +361,7 @@ def train_epochs_blocked(
             )
             sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
         if timings is not None:
-            jax.block_until_ready(dense_tensors)
+            jax.block_until_ready(dense_groups)
             timings["prep_s"] = _time.time() - _t_prep
         bias_aux = None
         sweep_args = None
@@ -375,9 +421,10 @@ def train_epochs_blocked(
                     jax.block_until_ready(sweep_args)
                     timings["plan_s"] += _time.time() - _t_plan
             Pm, Qm, sse = _fused_epoch(
-                Pm, Qm, sweep_args, dense_tensors, lr, cfg.reg, mu,
+                Pm, Qm, sweep_args, dense_groups, lr, cfg.reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
                 exact=exact, interpret=interpret, sweep_meta=sweep_meta,
+                dense_meta=dense_meta,
                 mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
                 rfmt=rfmt, bias_mode=cfg.bias_mode, bias_aux=bias_aux,
                 pack_path=cfg.pack_path,

@@ -26,7 +26,7 @@ from mfx.kernels.dense_pallas import aux_width, dense_sgd_phase_pallas
 from mfx.kernels.sgd_pallas import BIAS_ROWS
 
 __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
-           "prepare_dense_device", "run_dense_phase"]
+           "prepare_dense_device", "prepare_dense_full", "run_dense_phase"]
 
 
 @dataclasses.dataclass
@@ -151,10 +151,15 @@ def _quantize_chunk(ravg, rfmt):
 
 def _pack_nibbles(R, nd, pack, sup, sip):
     """(nd, pack²·sup, sip) int4-valued bytes -> parity-pair nibble-packed
-    (nd, (pack²/2)·sup, sip): low nibble = even parity block, high = odd."""
+    (nd, (pack²/2)·sup, sip): low nibble = even parity block, high = odd.
+    All arithmetic stays int8 (values are 0..15, and the << 4 wrap-around
+    preserves the bit pattern) — an int32 intermediate would cost 4 bytes
+    per cell, which OOMs at full-span scale."""
     p2 = pack * pack
-    R = R.reshape(nd, p2, sup, sip).astype(jnp.int32)
-    packed = (R[:, 0::2] & 15) | ((R[:, 1::2] & 15) << 4)
+    R = R.reshape(nd, p2, sup, sip)
+    packed = (R[:, 0::2] & jnp.int8(15)) | (
+        (R[:, 1::2] & jnp.int8(15)) << jnp.int8(4)
+    )
     return packed.astype(jnp.int8).reshape(nd, (p2 // 2) * sup, sip)
 
 
@@ -207,48 +212,88 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack,
     }
 
 
-def _build_r_tensor(flat_pos, rd, n_strata, cells, pack, sup, sip, rfmt):
-    """Chunked dedup-average R build over a device position stream —
-    shared by the single-chip and ring device preps (identical algorithm;
-    a fix here reaches both). Duplicate (u, i) cells merge by averaging;
-    chunk boundaries never split a stratum, so the average is exact per
-    cell. Returns the (n_strata, rows, sip) int8 tensor (nibble-packed
-    for rfmt='int4')."""
+def _build_r_tensor(st, inner, rd, n_strata, cells, pack, sup, sip, rfmt):
+    """Dedup-average R build over a device position stream — shared by
+    the single-chip and ring device preps (identical algorithm; a fix
+    here reaches both). Duplicate (u, i) cells merge by averaging.
+
+    The averaging runs as a sorted SEGMENT mean over the n occupied
+    cells, not a scatter into full-density f32 sum/count scratch: the
+    scratch form costs ~8 bytes/cell of HBM traffic per pass (hundreds
+    of seconds at full-span ML-25M scale where cells outnumber ratings
+    200:1); here only the final int8 image is cell-sized. ``st``
+    (stratum id) and ``inner`` (cell offset inside the stratum) address
+    each rating separately so scatter positions are computed
+    CHUNK-LOCAL — ``n_strata * cells`` may exceed int32 (billion-scale
+    dense sets) as long as one chunk does not. Returns the
+    (n_strata, rows, sip) int8 tensor (nibble-packed for rfmt='int4');
+    for int4 the nibble image is scattered directly (low nibble = even
+    parity block, high = odd; disjoint bits compose by add)."""
     i32 = jnp.int32
-    fp_order = jnp.argsort(flat_pos)
-    fp = flat_pos[fp_order]
-    rv = rd[fp_order]
-    chunk_nd = max(1, (128 << 20) // cells)
-    bounds = (
-        np.arange(0, n_strata + chunk_nd, chunk_nd).clip(max=n_strata)
-        * cells
-    )
-    cuts = np.asarray(jnp.searchsorted(fp, jnp.asarray(bounds)))
+    n = int(st.shape[0])
+    # sort by (st, inner) via two stable passes (a composite key would
+    # overflow int32); duplicates land adjacent in input order, so the
+    # segment sums add them in the same order as the host build
+    o1 = jnp.argsort(inner, stable=True)
+    st1, in1, rv1 = st[o1], inner[o1], rd[o1]
+    o2 = jnp.argsort(st1, stable=True)
+    st_s, in_s, rv = st1[o2], in1[o2], rv1[o2]
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (st_s[1:] != st_s[:-1]) | (in_s[1:] != in_s[:-1]),
+    ])
+    seg = jnp.cumsum(first.astype(i32)) - 1  # 0-based cell-segment ids
+    rsum = jax.ops.segment_sum(rv, seg, num_segments=n)
+    cnt = jax.ops.segment_sum(jnp.ones_like(rv), seg, num_segments=n)
+    q = _quantize_chunk(rsum / jnp.maximum(cnt, 1.0), rfmt)  # (n,) int8
+    # one representative (st, inner) per segment; pad segments (cnt=0)
+    # get st = n_strata so the array stays sorted and chunk slicing
+    # naturally excludes them
+    st_seg = jnp.where(cnt > 0,
+                       jax.ops.segment_max(st_s, seg, num_segments=n),
+                       n_strata)
+    in_seg = jnp.where(cnt > 0,
+                       jax.ops.segment_max(in_s, seg, num_segments=n), 0)
+
+    nibble = rfmt == "int4"
+    if nibble:
+        # packed layout: parity pair p -> byte row p // 2, nibble p % 2
+        sxs = sup * sip
+        parity = in_seg // sxs
+        pos_in = (parity // 2) * sxs + in_seg % sxs
+        q = jnp.where(parity % 2 == 1, q << jnp.int8(4), q)
+        cells_out = (pack * pack // 2) * sup * sip
+        rows = (pack * pack // 2) * sup
+    else:
+        pos_in = in_seg
+        cells_out = cells
+        rows = pack * pack * sup
+    chunk_nd = max(1, (256 << 20) // cells_out)
+    bounds = np.arange(0, n_strata + chunk_nd, chunk_nd).clip(max=n_strata)
+    cuts = np.asarray(jnp.searchsorted(st_seg, jnp.asarray(bounds)))
     parts = []
     for ci in range(len(bounds) - 1):
         lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
-        lo_cell = int(bounds[ci])
-        size = int(bounds[ci + 1]) - lo_cell
+        lo_nd = int(bounds[ci])
+        size = (int(bounds[ci + 1]) - lo_nd) * cells_out
         if size == 0:
             continue
         m = hi_s - lo_s
         mp = 1 << max(0, (m - 1)).bit_length()  # pow2 pad: few jit variants
         pos = jnp.full((mp,), size, i32)  # pad -> out of range, dropped
-        val = jnp.zeros((mp,), jnp.float32)
-        pos = pos.at[:m].set((fp[lo_s:hi_s] - lo_cell).astype(i32))
-        val = val.at[:m].set(rv[lo_s:hi_s])
-        rsum = jnp.zeros((size,), jnp.float32).at[pos].add(val, mode="drop")
-        cnt = jnp.zeros((size,), jnp.float32).at[pos].add(
-            jnp.where(jnp.arange(mp) < m, 1.0, 0.0), mode="drop"
+        val = jnp.zeros((mp,), jnp.int8)
+        pos = pos.at[:m].set(
+            (st_seg[lo_s:hi_s] - lo_nd) * cells_out + pos_in[lo_s:hi_s]
         )
-        ravg = jnp.where(cnt > 0, rsum / jnp.maximum(cnt, 1.0), 0.0)
+        val = val.at[:m].set(q[lo_s:hi_s])
+        # cells are unique per segment, so add == set (and for int4 the
+        # two nibbles of a byte arrive as disjoint bit patterns)
         parts.append(
-            _quantize_chunk(ravg, rfmt).reshape(-1, pack * pack * sup, sip)
+            jnp.zeros((size,), jnp.int8)
+            .at[pos].add(val, mode="drop")
+            .reshape(-1, rows, sip)
         )
-    R = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    if rfmt == "int4":
-        R = _pack_nibbles(R, n_strata, pack, sup, sip)
-    return R
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def prepare_dense_device(
@@ -299,10 +344,6 @@ def prepare_dense_device(
         return None, (u_dev, i_dev, r_dev), {"dense_frac": 0.0}
     sup, sip = su // pack, si // pack
     cells = pack * pack * sup * sip
-    if nd * cells >= 2**31:
-        raise NotImplementedError(
-            "dense tensor exceeds int32 addressing; raise chi_min"
-        )
     remap = np.full(A * C, -1, np.int32)
     remap[dense_strata] = np.arange(nd, dtype=np.int32)
     sa = (dense_strata // C).astype(np.int32)
@@ -320,12 +361,7 @@ def prepare_dense_device(
     lu = (ud % su).astype(i32)
     li = (idn % si).astype(i32)
     parity = (lu % pack) * pack + (li % pack)
-    flat_pos = (
-        st * cells
-        + parity * (sup * sip)
-        + (lu // pack) * sip
-        + (li // pack)
-    )
+    inner = parity * (sup * sip) + (lu // pack) * sip + (li // pack)
 
     def seg(ids, n):
         return jax.ops.segment_sum(
@@ -340,7 +376,7 @@ def prepare_dense_device(
     ).reshape(nwin_head, si)
 
     # chunked dedup-average R build (shared helper)
-    R = _build_r_tensor(flat_pos, rd, nd, cells, pack, sup, sip, rfmt)
+    R = _build_r_tensor(st, inner, rd, nd, cells, pack, sup, sip, rfmt)
 
     def dec(deg, blocks, size):
         return deg.reshape(blocks, size // pack, pack)
@@ -357,6 +393,131 @@ def prepare_dense_device(
     info = {"dense_frac": n_dense / max(1, int(u_dev.shape[0])),
             "num_strata": nd}
     return tensors, (u_sp, i_sp, r_sp), info
+
+
+def prepare_dense_full(
+    u_dev: jax.Array,
+    i_dev: jax.Array,
+    r_dev: jax.Array,
+    num_users: int,
+    num_items: int,
+    su: int,
+    si: int,
+    chi_min: float,
+    nwd: int,
+    pack: int,
+    rfmt: str = "int8",
+):
+    """Full-item-span dense split (sgd.dense_span='full').
+
+    The head-only split leaves dense-eligible mass on the table: at the
+    ML-25M shape with chi=0.0025 measured on chip, HALF the sparse
+    remainder (3.7M of 7.4M ratings) sits in strata with >= 768 ratings
+    whose item window lies OUTSIDE the 8k-item head — each costing
+    ~8.3 ns/rating on the sparse path vs ~6.4 us/stratum streamed
+    densely (breakeven ~770 ratings/stratum, i.e. chi ~0.00075 at
+    1024-blocks). This prep selects eligible strata ANYWHERE in the item
+    span and groups them by segments of ``nwd`` item windows; the epoch
+    then runs one dense phase per group on a VMEM-resident Q segment
+    (``nwd`` is sized so the segment fits next to the dense kernel's R
+    pipeline buffers — 43-window segments measured a 21.5 MB scoped-VMEM
+    bust, 16-window groups fit) before the sparse sweeps. Measured:
+    57.1 ms vs 68.6 ms/epoch (+20% upd/s) at ML-25M shape, rank 64.
+
+    Returns ``(dense_meta, dense_groups, (u_sp, i_sp, r_sp), info)``:
+    ``dense_meta`` a static tuple of (win0, nwin) per non-empty group,
+    ``dense_groups`` the matching tensors dicts (window-local ``sc`` and
+    ``di_tot``; per-group ``du_tot`` for the bias trust update).
+    """
+    if su != si:
+        raise ValueError("dense path requires su == si")
+    A = -(-num_users // su)
+    C = -(-num_items // si)
+    i32 = jnp.int32
+    strat = (u_dev // su).astype(i32) * C + (i_dev // si).astype(i32)
+    counts = np.asarray(
+        jax.ops.segment_sum(
+            jnp.ones_like(strat), strat, num_segments=A * C
+        )
+    )
+    thresh = max(1.0, chi_min * su * si)
+    idx = np.flatnonzero(counts >= thresh)
+    if idx.size == 0:
+        return (), (), (u_dev, i_dev, r_dev), {"dense_frac": 0.0}
+    a_s, c_s = idx // C, idx % C
+    g_s = c_s // nwd
+    order = np.lexsort((c_s, a_s, g_s))  # groups contiguous, (a, c) inside
+    idx, a_s, c_s, g_s = idx[order], a_s[order], c_s[order], g_s[order]
+    nd = len(idx)
+    ngr = -(-C // nwd)
+    gb = np.searchsorted(g_s, np.arange(ngr + 1))
+
+    sup, sip = su // pack, si // pack
+    cells = pack * pack * sup * sip
+    remap = np.full(A * C, -1, np.int32)
+    remap[idx] = np.arange(nd, dtype=np.int32)
+
+    st_full = jnp.asarray(remap)[strat]
+    dense_mask = st_full >= 0
+    n_dense = int(dense_mask.sum())  # one D2H scalar; fixes shapes below
+    order_d = jnp.argsort(~dense_mask, stable=True)  # dense first
+    dpos, spos = order_d[:n_dense], order_d[n_dense:]
+    u_sp, i_sp, r_sp = u_dev[spos], i_dev[spos], r_dev[spos]
+
+    ud, idn, rd = u_dev[dpos], i_dev[dpos], r_dev[dpos]
+    st = st_full[dpos]
+    lu = (ud % su).astype(i32)
+    li = (idn % si).astype(i32)
+    parity = (lu % pack) * pack + (li % pack)
+    inner = parity * (sup * sip) + (lu // pack) * sip + (li // pack)
+
+    def seg(ids, n):
+        return jax.ops.segment_sum(
+            jnp.ones_like(ids, jnp.float32), ids, num_segments=n
+        )
+
+    deg_us = seg(st * su + lu, nd * su).reshape(nd, su)
+    deg_is = seg(st * si + li, nd * si).reshape(nd, si)
+    # per-group totals for the batched bias trust scaling: a group's
+    # phase must see exactly the degrees of the ratings it processes
+    g_r = jnp.asarray(g_s.astype(np.int32))[st]
+    du_tot = seg(
+        g_r * (A * su) + (ud // su).astype(i32) * su + lu, ngr * A * su
+    ).reshape(ngr, A, su)
+    # item windows belong to exactly one group: slice per group below
+    di_full = seg((idn // si).astype(i32) * si + li, C * si).reshape(C, si)
+
+    R = _build_r_tensor(st, inner, rd, nd, cells, pack, sup, sip, rfmt)
+
+    def dec(deg, blocks, size):
+        return deg.reshape(blocks, size // pack, pack)
+
+    sa_all = jnp.asarray(a_s.astype(np.int32))
+    sc_loc = jnp.asarray((c_s - g_s * nwd).astype(np.int32))
+    dense_meta = []
+    dense_groups = []
+    for g in range(ngr):
+        lo, hi = int(gb[g]), int(gb[g + 1])
+        if hi == lo:
+            continue
+        win0 = g * nwd
+        nw = min(nwd, C - win0)
+        dense_meta.append((win0, nw))
+        dense_groups.append({
+            "sa": sa_all[lo:hi],
+            "sc": sc_loc[lo:hi],
+            "R": R[lo:hi],
+            "du_s": dec(deg_us[lo:hi], hi - lo, su),
+            "di_s": dec(deg_is[lo:hi], hi - lo, si),
+            "du_tot": dec(du_tot[g], A, su),
+            "di_tot": dec(di_full[win0 : win0 + nw], nw, si),
+        })
+    info = {
+        "dense_frac": n_dense / max(1, int(u_dev.shape[0])),
+        "num_strata": nd,
+        "num_groups": len(dense_groups),
+    }
+    return tuple(dense_meta), tuple(dense_groups), (u_sp, i_sp, r_sp), info
 
 
 def prepare_dense_ring(
@@ -416,10 +577,6 @@ def prepare_dense_ring(
         return None, (u_dev, ir_dev, r_dev), {"dense_frac": 0.0}
     sup, sip = su // pack, si // pack
     cells_sz = pack * pack * sup * sip
-    if S * S * ndmax * cells_sz >= 2**31:
-        raise NotImplementedError(
-            "ring dense tensor exceeds int32 addressing; raise chi_min"
-        )
     # slab slot per eligible stratum: cell * NDmax + rank within cell,
     # strata ordered (a, c) inside the cell (kernel grid is a-contiguous)
     remap = np.full(ns, -1, np.int32)
@@ -446,9 +603,8 @@ def prepare_dense_ring(
     lu = (ud % su).astype(i32)
     li = (ird % si).astype(i32)
     parity = (lu % pack) * pack + (li % pack)
-    flat_pos = (
-        st * cells_sz + parity * (sup * sip) + (lu // pack) * sip
-        + (li // pack)
+    inner = (
+        parity * (sup * sip) + (lu // pack) * sip + (li // pack)
     )
 
     def seg(ids, n):
@@ -466,7 +622,7 @@ def prepare_dense_ring(
 
     # chunked dedup-average R build over the padded slab positions
     # (shared helper; padded strata have no positions and stay zero)
-    R = _build_r_tensor(flat_pos, rd, nd_slab, cells_sz, pack, sup, sip,
+    R = _build_r_tensor(st, inner, rd, nd_slab, cells_sz, pack, sup, sip,
                         rfmt)
 
     def dec(x, lead, size):
