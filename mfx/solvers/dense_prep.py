@@ -212,7 +212,8 @@ def build_dense_tensors(split: DenseSplit, rating: np.ndarray, su, si, pack,
     }
 
 
-def _build_r_tensor(st, inner, rd, n_strata, cells, pack, sup, sip, rfmt):
+def _build_r_tensor(st, inner, rd, n_strata, cells, pack, sup, sip, rfmt,
+                    bounds_nd=None):
     """Dedup-average R build over a device position stream — shared by
     the single-chip and ring device preps (identical algorithm; a fix
     here reaches both). Duplicate (u, i) cells merge by averaging.
@@ -228,7 +229,14 @@ def _build_r_tensor(st, inner, rd, n_strata, cells, pack, sup, sip, rfmt):
     dense sets) as long as one chunk does not. Returns the
     (n_strata, rows, sip) int8 tensor (nibble-packed for rfmt='int4');
     for int4 the nibble image is scattered directly (low nibble = even
-    parity block, high = odd; disjoint bits compose by add)."""
+    parity block, high = odd; disjoint bits compose by add).
+
+    ``bounds_nd`` (optional, ascending stratum boundaries starting at 0
+    and ending at n_strata): return a LIST of per-interval tensors
+    instead of one concatenated image. prepare_dense_full passes its
+    group boundaries so each group's R is built directly — slicing
+    groups out of a monolithic R would briefly hold TWO copies of the
+    multi-GB image, which OOMs this 16 GB chip at chi<=0.0003."""
     i32 = jnp.int32
     n = int(st.shape[0])
     # sort by (st, inner) via two stable passes (a composite key would
@@ -269,31 +277,41 @@ def _build_r_tensor(st, inner, rd, n_strata, cells, pack, sup, sip, rfmt):
         cells_out = cells
         rows = pack * pack * sup
     chunk_nd = max(1, (256 << 20) // cells_out)
-    bounds = np.arange(0, n_strata + chunk_nd, chunk_nd).clip(max=n_strata)
-    cuts = np.asarray(jnp.searchsorted(st_seg, jnp.asarray(bounds)))
-    parts = []
-    for ci in range(len(bounds) - 1):
-        lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
-        lo_nd = int(bounds[ci])
-        size = (int(bounds[ci + 1]) - lo_nd) * cells_out
-        if size == 0:
-            continue
-        m = hi_s - lo_s
-        mp = 1 << max(0, (m - 1)).bit_length()  # pow2 pad: few jit variants
-        pos = jnp.full((mp,), size, i32)  # pad -> out of range, dropped
-        val = jnp.zeros((mp,), jnp.int8)
-        pos = pos.at[:m].set(
-            (st_seg[lo_s:hi_s] - lo_nd) * cells_out + pos_in[lo_s:hi_s]
-        )
-        val = val.at[:m].set(q[lo_s:hi_s])
-        # cells are unique per segment, so add == set (and for int4 the
-        # two nibbles of a byte arrive as disjoint bit patterns)
-        parts.append(
-            jnp.zeros((size,), jnp.int8)
-            .at[pos].add(val, mode="drop")
-            .reshape(-1, rows, sip)
-        )
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    outer = (np.asarray(bounds_nd, np.int64) if bounds_nd is not None
+             else np.array([0, n_strata], np.int64))
+
+    def build_interval(b0, b1):
+        bounds = np.arange(b0, b1 + chunk_nd, chunk_nd).clip(max=b1)
+        cuts = np.asarray(jnp.searchsorted(st_seg, jnp.asarray(bounds)))
+        parts = []
+        for ci in range(len(bounds) - 1):
+            lo_s, hi_s = int(cuts[ci]), int(cuts[ci + 1])
+            lo_nd = int(bounds[ci])
+            size = (int(bounds[ci + 1]) - lo_nd) * cells_out
+            if size == 0:
+                continue
+            m = hi_s - lo_s
+            mp = 1 << max(0, (m - 1)).bit_length()  # pow2: few jit variants
+            pos = jnp.full((mp,), size, i32)  # pad -> out of range, dropped
+            val = jnp.zeros((mp,), jnp.int8)
+            pos = pos.at[:m].set(
+                (st_seg[lo_s:hi_s] - lo_nd) * cells_out + pos_in[lo_s:hi_s]
+            )
+            val = val.at[:m].set(q[lo_s:hi_s])
+            # cells are unique per segment, so add == set (and for int4
+            # the two nibbles of a byte arrive as disjoint bit patterns)
+            parts.append(
+                jnp.zeros((size,), jnp.int8)
+                .at[pos].add(val, mode="drop")
+                .reshape(-1, rows, sip)
+            )
+        if not parts:
+            return jnp.zeros((b1 - b0, rows, sip), jnp.int8)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    out = [build_interval(int(outer[k]), int(outer[k + 1]))
+           for k in range(len(outer) - 1)]
+    return out if bounds_nd is not None else out[0]
 
 
 def prepare_dense_device(
@@ -487,7 +505,10 @@ def prepare_dense_full(
     # item windows belong to exactly one group: slice per group below
     di_full = seg((idn // si).astype(i32) * si + li, C * si).reshape(C, si)
 
-    R = _build_r_tensor(st, inner, rd, nd, cells, pack, sup, sip, rfmt)
+    # R built per group (bounds_nd): a monolithic image sliced per group
+    # would transiently double the multi-GB R footprint
+    R_parts = _build_r_tensor(st, inner, rd, nd, cells, pack, sup, sip,
+                              rfmt, bounds_nd=gb)
 
     def dec(deg, blocks, size):
         return deg.reshape(blocks, size // pack, pack)
@@ -506,7 +527,7 @@ def prepare_dense_full(
         dense_groups.append({
             "sa": sa_all[lo:hi],
             "sc": sc_loc[lo:hi],
-            "R": R[lo:hi],
+            "R": R_parts[g],
             "du_s": dec(deg_us[lo:hi], hi - lo, su),
             "di_s": dec(deg_is[lo:hi], hi - lo, si),
             "du_tot": dec(du_tot[g], A, su),
