@@ -82,9 +82,14 @@ def run_bench(
     sgd_cfg = _dc.replace(cfg.sgd, epochs=max_epochs)
     interpret = jax.default_backend() != "tpu"
     timings: dict = {}
+    # one-time device prep (dense split + plan skeleton) shared across
+    # the headline, convergence-probe and replan generators — at
+    # full-span ML-25M scale each rebuild costs minutes of device time
+    prep_cache: dict = {}
     gen = train_epochs_blocked(
         model, train, sgd_cfg, use_bias, seed=cfg.data.seed,
         tpg=tpg, replan_every=0, interpret=interpret, timings=timings,
+        prep_cache=prep_cache,
     )
     t0 = time.time()
     _, final_model, _ = next(gen)  # warmup: prep + plan + compile + epoch 0
@@ -139,7 +144,7 @@ def run_bench(
             _fresh(),
             train, _dc.replace(cfg.sgd, epochs=MAX_CONVERGENCE_EPOCHS),
             use_bias, seed=cfg.data.seed, tpg=tpg, replan_every=0,
-            interpret=interpret,
+            interpret=interpret, prep_cache=prep_cache,
         )
         for ep, m, _ in gen3:
             hit = rmse(m, test) <= target_rmse
@@ -166,7 +171,7 @@ def run_bench(
             gen2 = train_epochs_blocked(
                 _fresh(), train, _dc.replace(cfg.sgd, epochs=2), use_bias,
                 seed=cfg.data.seed, tpg=tpg, replan_every=1,
-                interpret=interpret, timings=t2,
+                interpret=interpret, timings=t2, prep_cache=prep_cache,
             )
             _, m2, _ = next(gen2)  # epoch 0: re-pays prep; excluded
             m2.block_until_ready()
@@ -200,6 +205,11 @@ def run_bench(
         "plan_s": round(plan_s, 2),
         "prep_s": round(prep_s, 2),
         "planner": timings.get("planner", "host"),
+        # dense-phase coverage (sgd.dense_span/dense_chi)
+        "dense_frac": round(
+            timings.get("dense_info", {}).get("dense_frac", 0.0), 4
+        ),
+        "dense_strata": timings.get("dense_info", {}).get("num_strata"),
         # steady state with replanning every epoch (preset default is
         # sgd.replan_every; this is the conservative upper bound)
         "epoch_s_replan": None if epoch_s_replan is None else round(epoch_s_replan, 3),

@@ -324,9 +324,15 @@ PRESETS: dict[str, TrainConfig] = {
             ublock=1024,
             iblock=1024,
             tile=256,
-            # dense fast path for the Zipf head; 0.0025 is the measured
-            # optimum with int8 R streaming (67% of ratings dense)
-            dense_chi=0.0025,
+            # full-span grouped dense phase: eligible strata anywhere in
+            # the item span run densely. chi=0.0003 is the measured
+            # optimum on the bench chip (99.8% of ratings dense, sparse
+            # sweeps reduced to a ~45k-rating tail; within-job 1.7x the
+            # head-only split) — on spec-bandwidth v5e the dense stream
+            # is ~14x cheaper, so chi=0 -> everything dense is the
+            # expected retune (STATUS.md roofline)
+            dense_chi=0.0003,
+            dense_span="full",
             # lane-carried biases: deletes the per-tile bias machinery
             # (sparse path 94 -> 65 ms measured; epoch 104.5 -> 73.4 ms,
             # +42% upd/s) for 2 of the 64 latent dims — held-out RMSE

@@ -234,6 +234,7 @@ def train_epochs_blocked(
     exact: bool = False,
     interpret: bool = False,
     timings: dict | None = None,
+    prep_cache: dict | None = None,
 ) -> Iterator[tuple[int, object, float]]:
     """Yields (epoch, model, train_rmse) like mfx.solvers.sgd.train_epochs,
     running the fused Pallas kernel (cfg.kernel == 'pallas') or the pure-XLA
@@ -248,7 +249,15 @@ def train_epochs_blocked(
     ``timings``, if given, is filled with {'planner': 'device'|'host',
     'plan_s': cumulative seconds spent building epoch plans (blocking on
     the device pass), 'prep_s': one-time dense-split/skeleton prep} so the
-    bench can report plan cost separately from compile cost."""
+    bench can report plan cost separately from compile cost.
+
+    ``prep_cache``, if given (a plain dict the caller keeps), reuses the
+    one-time device prep (dense split + tensors, plan skeleton) across
+    trainer instances over the SAME training data — e.g. the bench's
+    fresh-model convergence and replan probes, or epoch-0 restarts. The
+    cache is keyed on the prep-relevant config and dataset shape; a key
+    mismatch just rebuilds. None of the cached arrays are donated by the
+    epoch program, so reuse is safe."""
     import time as _time
 
     su, si = cfg.ublock, cfg.iblock
@@ -291,45 +300,85 @@ def train_epochs_blocked(
         dense_groups: tuple = ()
         dense_meta: tuple = ()
         sparse_train = train
-        if cfg.dense_span == "full" and want_dense and not use_dev_plan:
-            raise ValueError(
-                "sgd.dense_span='full' needs the device prep (its grouped"
-                " split runs on the accelerator); set "
-                "sgd.plan_device='device'"
-            )
         if use_dev_plan:
             # device-resident pipeline: split, degree tables, int8 R
             # build, and per-epoch planning all run on the accelerator
             # (the host variants cost 100-160 s of 1-core time at 25M)
+            from mfx.kernels import plan_device as pdv
             from mfx.solvers import dense_prep as dp
 
-            u_dev = jnp.asarray(train.user)
-            i_dev = jnp.asarray(train.item)
-            r_dev = jnp.asarray(train.rating)
-            if want_dense and cfg.dense_span == "full":
-                nwd = cfg.dense_nwd or dense_group_windows(rank, si)
-                dense_meta, dense_groups, (u_dev, i_dev, r_dev), dinfo = (
-                    dp.prepare_dense_full(
-                        u_dev, i_dev, r_dev, U, I, su, si,
-                        chi_min=cfg.dense_chi, nwd=nwd,
-                        pack=128 // rank, rfmt=rfmt,
+            cache_key = (
+                "devprep", U, I, train.n_ratings, su, si, rank,
+                cfg.tile, tpg, nwin, want_dense, rfmt, cfg.dense_chi,
+                cfg.dense_span, cfg.dense_nwd,
+            )
+            if prep_cache is not None and prep_cache.get("key") == cache_key:
+                (dense_meta, dense_groups, u_dev, i_dev, r_dev, dinfo,
+                 skel) = prep_cache["val"]
+            else:
+                u_dev = jnp.asarray(train.user)
+                i_dev = jnp.asarray(train.item)
+                r_dev = jnp.asarray(train.rating)
+                dinfo = None
+                if want_dense and cfg.dense_span == "full":
+                    nwd = cfg.dense_nwd or dense_group_windows(rank, si)
+                    dense_meta, dense_groups, (u_dev, i_dev, r_dev), dinfo = (
+                        dp.prepare_dense_full(
+                            u_dev, i_dev, r_dev, U, I, su, si,
+                            chi_min=cfg.dense_chi, nwd=nwd,
+                            pack=128 // rank, rfmt=rfmt,
+                        )
                     )
-                )
-                if timings is not None:
-                    timings["dense_info"] = dinfo
-            elif want_dense:
-                dense_tensors, (u_dev, i_dev, r_dev), dinfo = (
-                    dp.prepare_dense_device(
-                        u_dev, i_dev, r_dev, U, I, su, si,
-                        chi_min=cfg.dense_chi, nwin_head=nwin_head,
-                        pack=128 // rank, rfmt=rfmt,
+                elif want_dense:
+                    dense_tensors, (u_dev, i_dev, r_dev), dinfo = (
+                        dp.prepare_dense_device(
+                            u_dev, i_dev, r_dev, U, I, su, si,
+                            chi_min=cfg.dense_chi, nwin_head=nwin_head,
+                            pack=128 // rank, rfmt=rfmt,
+                        )
                     )
+                    if dense_tensors is not None:
+                        dense_meta = (
+                            (0, dense_tensors["di_tot"].shape[0]),
+                        )
+                        dense_groups = (dense_tensors,)
+                skel = pdv.build_plan_skeleton(
+                    u_dev, i_dev, U, I, su, si, cfg.tile, tpg, nwin
                 )
-                if timings is not None:
-                    timings["dense_info"] = dinfo
-                if dense_tensors is not None:
-                    dense_meta = ((0, dense_tensors["di_tot"].shape[0]),)
-                    dense_groups = (dense_tensors,)
+                if prep_cache is not None:
+                    prep_cache["key"] = cache_key
+                    prep_cache["val"] = (
+                        dense_meta, dense_groups, u_dev, i_dev, r_dev,
+                        dinfo, skel,
+                    )
+            if timings is not None and dinfo is not None:
+                timings["dense_info"] = dinfo
+            sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
+        elif want_dense and cfg.dense_span == "full":
+            # the grouped full-span split has no host mirror, but it is
+            # pure jnp and runs on any backend; hand the host planner the
+            # materialized sparse remainder
+            import numpy as _np
+
+            from mfx.data.coo import RatingsCOO
+            from mfx.solvers import dense_prep as dp
+
+            nwd = cfg.dense_nwd or dense_group_windows(rank, si)
+            dense_meta, dense_groups, (u_sp, i_sp, r_sp), dinfo = (
+                dp.prepare_dense_full(
+                    jnp.asarray(train.user), jnp.asarray(train.item),
+                    jnp.asarray(train.rating), U, I, su, si,
+                    chi_min=cfg.dense_chi, nwd=nwd,
+                    pack=128 // rank, rfmt=rfmt,
+                )
+            )
+            if timings is not None and dinfo is not None:
+                timings["dense_info"] = dinfo
+            if dense_groups:
+                sparse_train = RatingsCOO(
+                    _np.asarray(u_sp), _np.asarray(i_sp),
+                    _np.asarray(r_sp), U, I,
+                )
         elif want_dense:
             from mfx.solvers import dense_prep as dp
 
@@ -353,13 +402,6 @@ def train_epochs_blocked(
                 "per-slot bias stream and residual slots come from the "
                 "device epoch pass); set sgd.plan_device='device'"
             )
-        if use_dev_plan:
-            from mfx.kernels import plan_device as pdv
-
-            skel = pdv.build_plan_skeleton(
-                u_dev, i_dev, U, I, su, si, cfg.tile, tpg, nwin
-            )
-            sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
         if timings is not None:
             jax.block_until_ready(dense_groups)
             timings["prep_s"] = _time.time() - _t_prep

@@ -208,16 +208,61 @@ def test_trainer_full_equals_head_when_head_covers_span():
         np.testing.assert_array_equal(a, b)
 
 
-def test_full_span_requires_device_prep():
+def test_prep_cache_reuse_is_bitwise():
+    """A second trainer over the same data with a shared prep_cache must
+    reuse the device prep (same key) and produce bitwise-identical
+    tables; a config change must miss and rebuild."""
+    coo = synthetic.make_synthetic(500, 500, 30_000, rank=6, seed=5)
     cfg = SGDConfig(
-        partitioner="blocked", kernel="pallas", dense_chi=0.01,
-        dense_span="full", plan_device="host",
-        ublock=256, iblock=256, tile=64,
+        lr=0.01, reg=0.02, epochs=2, partitioner="blocked",
+        kernel="pallas", ublock=256, iblock=256, tile=64, dense_chi=0.01,
+        dense_span="full", plan_device="device",
     )
-    coo = synthetic.make_synthetic(300, 300, 5_000, rank=4, seed=1)
-    model = init_model(0, 300, 300, 64, global_mean=coo.global_mean)
-    with pytest.raises(ValueError, match="dense_span='full'"):
-        next(iter(train_epochs_blocked(model, coo, cfg, use_bias=True)))
+
+    def run(cache):
+        model = init_model(0, 500, 500, 64, global_mean=coo.global_mean)
+        for _, m, _ in train_epochs_blocked(
+            model, coo, cfg, use_bias=True, seed=0, tpg=4,
+            interpret=True, prep_cache=cache,
+        ):
+            pass
+        return np.asarray(m.P), np.asarray(m.Q)
+
+    cache: dict = {}
+    P1, Q1 = run(cache)
+    key1 = cache["key"]
+    P2, Q2 = run(cache)  # hit
+    assert cache["key"] is key1
+    np.testing.assert_array_equal(P1, P2)
+    np.testing.assert_array_equal(Q1, Q2)
+    # different chi -> miss -> rebuilt key, still trains
+    cfg = dataclasses.replace(cfg, dense_chi=0.02)
+    run(cache)
+    assert cache["key"] != key1
+
+
+def test_full_span_with_host_planner():
+    """dense_span='full' under plan_device='host': the grouped split is
+    pure jnp (runs on any backend); the host planner gets the sparse
+    remainder and the hybrid epoch still trains."""
+    cfg = SGDConfig(
+        lr=0.01, reg=0.03, epochs=3, partitioner="blocked",
+        kernel="pallas", dense_chi=0.01, dense_span="full",
+        plan_device="host", ublock=256, iblock=256, tile=64,
+    )
+    coo = synthetic.make_synthetic(600, 600, 25_000, rank=4, noise=0.3,
+                                   seed=9)
+    model = init_model(0, 600, 600, 64, global_mean=coo.global_mean)
+    timings: dict = {}
+    hist = []
+    for _, m, tr in train_epochs_blocked(
+        model, coo, cfg, use_bias=True, seed=0, tpg=4, interpret=True,
+        timings=timings,
+    ):
+        hist.append(float(tr))
+    assert timings["planner"] == "host"
+    assert timings["dense_info"]["dense_frac"] > 0.3
+    assert hist[-1] < hist[0]
 
 
 def test_dense_span_validation():
