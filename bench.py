@@ -24,7 +24,13 @@ def main() -> int:
         cache = os.path.expanduser("~/.cache/mfx/jaxcache")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: the dense-prep pipeline is ~100 small
+        # programs whose per-program compile time is <1 s (the default
+        # persistence threshold) but whose remote-compile round trips
+        # sum to ~450 s of the ~455 s cold prep (measured; warm device
+        # work is 7 s)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass  # cache is best-effort; some backends don't support it
 
