@@ -130,14 +130,16 @@ def make_ring_blocked_epoch_fn(
     seg_meta: tuple,  # ((win0, nwin), ...) static per segment
     exact: bool = False, interpret: bool = False,
     mxu_bf16: bool = False, step_u: bool = False,
-    with_dense: bool = False, rfmt: str = "int8",
+    dense_meta: tuple = (),  # ((win0, nwin), ...) static per dense group
+    rfmt: str = "int8",
     pack_path: str = "roll", bias_mode: str = "tile",
 ):
     """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh.
 
-    With ``with_dense``, each sub-step first runs the dense Zipf-head
-    phase on the held block's local head strata (mfx/solvers/dense_prep
-    ``prepare_dense_ring`` slabs), then the sparse segments — the same
+    With dense groups, each sub-step first runs one dense phase per
+    group on the held block's matching Q segment (the head split is the
+    single (0, head) group; ``prepare_dense_ring_full`` carves grouped
+    strata over the whole block), then the sparse segments — the same
     dense-then-sparse order as the single-chip fused epoch."""
     axes = _ring_axes(mesh)
     S = geo.S
@@ -146,6 +148,7 @@ def make_ring_blocked_epoch_fn(
     # bias_mode='lane': tables arrive lane-augmented (biases in the factor
     # lanes; packing.to_lane_model) — same kernels, no bias machinery
     lane = use_bias and bias_mode == "lane"
+    with_dense = bool(dense_meta)
 
     def _epoch(Pm_, Qm_, sas, tcs, tls, dense, lr, reg, mu):
         # locals: Pm_ merged P partition; Qm_ the merged block held at t=0
@@ -156,13 +159,17 @@ def make_ring_blocked_epoch_fn(
             if with_dense:
                 from mfx.solvers.dense_prep import dense_phase_core
 
-                local = {k: v[0] for k, v in xdense.items()}
-                Pm, Qm, s = dense_phase_core(
-                    Pm, Qm, local, lr, reg, mu,
-                    su=geo.su, si=geo.si, rank=rank, use_bias=use_bias,
-                    exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
-                )
-                sse = sse + s
+                for k, (win0, nwin) in enumerate(dense_meta):
+                    local = {kk: v[0] for kk, v in xdense[k].items()}
+                    Qs = pk.q_segment(Qm, win0, nwin, rank, geo.si)
+                    Pm, Qs, s = dense_phase_core(
+                        Pm, Qs, local, lr, reg, mu,
+                        su=geo.su, si=geo.si, rank=rank, use_bias=use_bias,
+                        exact=exact, interpret=interpret, rfmt=rfmt,
+                        lane=lane,
+                    )
+                    Qm = pk.q_segment_restore(Qm, Qs, win0, rank, geo.si)
+                    sse = sse + s
             for k, (win0, nwin) in enumerate(seg_meta):
                 sweep = {
                     "sa": xsa[k][0], "tc": xtc[k][0], "tl": xtl[k][0]
@@ -187,10 +194,13 @@ def make_ring_blocked_epoch_fn(
 
     shard_spec = P(axes)
     plan_spec = P(None, axes)
-    dense_spec = {
-        k: plan_spec
-        for k in ("sa", "sc", "R", "du_s", "di_s", "du_tot", "di_tot")
-    } if with_dense else {}
+    dense_spec = tuple(
+        {
+            k: plan_spec
+            for k in ("sa", "sc", "R", "du_s", "di_s", "du_tot", "di_tot")
+        }
+        for _ in dense_meta
+    )
     sharded = jax.shard_map(
         _epoch,
         mesh=mesh,
@@ -261,24 +271,41 @@ def train_epochs_ring_blocked(
     ir_dev = cyclic_map(jnp.asarray(train.item, jnp.int32), S, geo.iblock)
     r_dev = jnp.asarray(train.rating)
 
-    # dense Zipf-head strata per (sub-step, shard) cell (directive #5)
+    # dense strata per (sub-step, shard) cell (directive #5): the head
+    # split, or the grouped full-span split (dense_span='full')
     pack = 128 // rank
     want_dense = cfg.dense_chi > 0 and geo.su == geo.si and pack in (1, 2, 4)
-    dense_tensors = {}
+    dense_groups: tuple = ()
+    dense_meta: tuple = ()
     rfmt = "int8"
     if want_dense:
-        from mfx.solvers.blocked import DENSE_HEAD_ITEMS, dense_rfmt
-        from mfx.solvers.dense_prep import prepare_dense_ring
+        from mfx.solvers.blocked import (
+            DENSE_HEAD_ITEMS, dense_group_windows, dense_rfmt,
+        )
+        from mfx.solvers.dense_prep import (
+            prepare_dense_ring, prepare_dense_ring_full,
+        )
 
         rfmt = dense_rfmt(cfg, pack, r_dev)
-        dense_tensors, (u_dev, ir_dev, r_dev), _ = prepare_dense_ring(
-            u_dev, ir_dev, r_dev, S, geo.ublock, geo.iblock, geo.su,
-            geo.si, chi_min=cfg.dense_chi, head_items=DENSE_HEAD_ITEMS,
-            pack=pack, rfmt=rfmt,
-        )
-        if dense_tensors is None:
-            dense_tensors = {}
-    with_dense = bool(dense_tensors)
+        if cfg.dense_span == "full":
+            nwd = cfg.dense_nwd or dense_group_windows(rank, geo.si)
+            dense_meta, dense_groups, (u_dev, ir_dev, r_dev), _ = (
+                prepare_dense_ring_full(
+                    u_dev, ir_dev, r_dev, S, geo.ublock, geo.iblock,
+                    geo.su, geo.si, chi_min=cfg.dense_chi, nwd=nwd,
+                    pack=pack, rfmt=rfmt,
+                )
+            )
+        else:
+            dense_tensors, (u_dev, ir_dev, r_dev), _ = prepare_dense_ring(
+                u_dev, ir_dev, r_dev, S, geo.ublock, geo.iblock, geo.su,
+                geo.si, chi_min=cfg.dense_chi,
+                head_items=DENSE_HEAD_ITEMS, pack=pack, rfmt=rfmt,
+            )
+            if dense_tensors is not None:
+                nwh = dense_tensors["di_tot"].shape[2]
+                dense_meta = ((0, nwh),)
+                dense_groups = (dense_tensors,)
 
     # the sparse plan skeleton is built once from the remaining ratings
     skel = prd.build_ring_skeleton(
@@ -293,7 +320,7 @@ def train_epochs_ring_blocked(
         mesh, geo, rank, use_bias, seg_meta,
         exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
-        with_dense=with_dense, rfmt=rfmt, pack_path=cfg.pack_path,
+        dense_meta=dense_meta, rfmt=rfmt, pack_path=cfg.pack_path,
         bias_mode=cfg.bias_mode,
     )
     replan_every = cfg.replan_every
@@ -305,7 +332,7 @@ def train_epochs_ring_blocked(
                 prd.epoch_tiles_ring(skel, u_dev, ir_dev, r_dev, seed, epoch)
             )
         Pm, Qm, sse = epoch_fn(
-            Pm, Qm, sas, tcs, tls, dense_tensors,
+            Pm, Qm, sas, tcs, tls, dense_groups,
             jnp.asarray(lr, jnp.float32),
             jnp.asarray(cfg.reg, jnp.float32),
             jnp.asarray(mu, jnp.float32),

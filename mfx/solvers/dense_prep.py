@@ -26,7 +26,9 @@ from mfx.kernels.dense_pallas import aux_width, dense_sgd_phase_pallas
 from mfx.kernels.sgd_pallas import BIAS_ROWS
 
 __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
-           "prepare_dense_device", "prepare_dense_full", "run_dense_phase"]
+           "prepare_dense_device", "prepare_dense_full",
+           "prepare_dense_ring", "prepare_dense_ring_full",
+           "run_dense_phase"]
 
 
 @dataclasses.dataclass
@@ -667,6 +669,169 @@ def prepare_dense_ring(
         "ndmax": ndmax,
     }
     return tensors, (u_sp, ir_sp, r_sp), info
+
+
+def prepare_dense_ring_full(
+    u_dev: jax.Array,
+    ir_dev: jax.Array,  # block-cyclic ring item ids (parallel/ring_blocked)
+    r_dev: jax.Array,
+    S: int,
+    ublock: int,
+    iblock: int,
+    su: int,
+    si: int,
+    chi_min: float,
+    nwd: int,
+    pack: int,
+    rfmt: str = "int8",
+):
+    """Full-span grouped dense split for the DSGD ring — the multi-chip
+    counterpart of ``prepare_dense_full`` (single-chip measured 1.5-1.7x
+    over the head-only split at ML-25M shape; the ring carves the same
+    strata per (sub-step, shard) cell).
+
+    Strata are eligible ANYWHERE in the held block's item windows and
+    group by segments of ``nwd`` windows; each group becomes one uniform
+    [S, S, NDmax_g, ...] slab (cells padded with zero strata — exact
+    no-ops in the dense kernel). The sub-step then runs one dense phase
+    per group on the held block's matching Q segment before the sparse
+    segments, mirroring the single-chip fused epoch.
+
+    Returns ``(dense_meta, dense_groups, (u_sp, ir_sp, r_sp), info)``
+    with ``dense_meta`` the static ((win0, nwin), ...) tuple; empty
+    groups are dropped.
+    """
+    if su != si:
+        raise ValueError("dense path requires su == si")
+    A = ublock // su
+    C = iblock // si
+    i32 = jnp.int32
+    ns = S * S * A * C
+    s_of = (u_dev // ublock).astype(i32)
+    b_of = (ir_dev // iblock).astype(i32)
+    t_of = (b_of - s_of) % S
+    a_of = ((u_dev % ublock) // su).astype(i32)
+    c_of = ((ir_dev % iblock) // si).astype(i32)
+    cell = t_of * S + s_of
+    sid = (cell * A + a_of) * C + c_of
+    counts = np.asarray(
+        jax.ops.segment_sum(jnp.ones_like(sid), sid, num_segments=ns)
+    )
+    thresh = max(1.0, chi_min * su * si)
+    eligible = (counts >= thresh).reshape(S * S, A, C)
+    ngr = -(-C // nwd)
+    nd_qg = np.array([
+        eligible[:, :, g * nwd : (g + 1) * nwd].reshape(S * S, -1).sum(1)
+        for g in range(ngr)
+    ])  # (ngr, S*S)
+    ndmax_g = nd_qg.max(axis=1)
+    kept = [g for g in range(ngr) if ndmax_g[g] > 0]
+    if not kept:
+        return (), (), (u_dev, ir_dev, r_dev), {"dense_frac": 0.0}
+    sup, sip = su // pack, si // pack
+    cells_sz = pack * pack * sup * sip
+    offs = np.concatenate(
+        [[0], np.cumsum([S * S * int(ndmax_g[g]) for g in kept])]
+    ).astype(np.int64)
+    total_slab = int(offs[-1])
+    if total_slab >= 2**31:
+        raise NotImplementedError(
+            "ring dense slab count exceeds int32 stratum ids"
+        )
+    # group-major slab slots: offs[gi] + cell * NDmax_g + rank-in-cell,
+    # strata ordered (a, c) inside each (cell, group)
+    remap = np.full(ns, -1, np.int32)
+    sa_d, sc_d = [], []
+    for gi, g in enumerate(kept):
+        wlo = g * nwd
+        whi = min(wlo + nwd, C)
+        nm = int(ndmax_g[g])
+        sa_g = np.zeros((S * S, nm), np.int32)
+        sc_g = np.zeros((S * S, nm), np.int32)
+        for q in range(S * S):
+            eq = np.zeros((A, C), bool)
+            eq[:, wlo:whi] = eligible[q][:, wlo:whi]
+            el = np.flatnonzero(eq.reshape(-1))  # sorted by (a, c)
+            nd = el.shape[0]
+            remap[q * A * C + el] = (
+                offs[gi] + q * nm + np.arange(nd, dtype=np.int64)
+            )
+            sa_g[q, :nd] = el // C
+            sc_g[q, :nd] = el % C - wlo
+            if nd and nd < nm:
+                sa_g[q, nd:] = sa_g[q, nd - 1]  # pad keeps a-runs contiguous
+        sa_d.append(sa_g)
+        sc_d.append(sc_g)
+
+    st_full = jnp.asarray(remap)[sid]
+    dense_mask = st_full >= 0
+    n_dense = int(dense_mask.sum())  # one D2H scalar; fixes shapes below
+    order = jnp.argsort(~dense_mask, stable=True)  # dense first
+    dpos, spos = order[:n_dense], order[n_dense:]
+    u_sp, ir_sp, r_sp = u_dev[spos], ir_dev[spos], r_dev[spos]
+
+    ud, ird, rd = u_dev[dpos], ir_dev[dpos], r_dev[dpos]
+    st = st_full[dpos]
+    lu = (ud % su).astype(i32)
+    li = (ird % si).astype(i32)
+    parity = (lu % pack) * pack + (li % pack)
+    inner = parity * (sup * sip) + (lu // pack) * sip + (li // pack)
+
+    def seg(ids, n):
+        return jax.ops.segment_sum(
+            jnp.ones_like(ids, jnp.float32), ids, num_segments=n
+        )
+
+    deg_us = seg(st * su + lu, total_slab * su).reshape(total_slab, su)
+    deg_is = seg(st * si + li, total_slab * si).reshape(total_slab, si)
+    # per-(group, cell, user-block) totals: each group's phase must see
+    # exactly the degrees of the ratings it processes
+    g_of_slot = np.zeros(total_slab, np.int32)
+    for gi in range(len(kept)):
+        g_of_slot[offs[gi] : offs[gi + 1]] = gi
+    g_r = jnp.asarray(g_of_slot)[st]
+    cell_d = (cell * A + a_of)[dpos]
+    ngk = len(kept)
+    du_tot = seg(
+        (g_r * (S * S * A) + cell_d) * su + lu, ngk * S * S * A * su
+    ).reshape(ngk, S * S * A, su)
+    # item windows belong to exactly one group: slice per group below
+    di_all = seg(
+        (cell[dpos] * C + c_of[dpos]) * si + li, S * S * C * si
+    ).reshape(S * S, C, si)
+
+    R_parts = _build_r_tensor(st, inner, rd, total_slab, cells_sz, pack,
+                              sup, sip, rfmt, bounds_nd=offs)
+    rows_r = (pack * pack // (2 if rfmt == "int4" else 1)) * sup
+
+    dense_meta = []
+    dense_groups = []
+    for gi, g in enumerate(kept):
+        nm = int(ndmax_g[g])
+        wlo = g * nwd
+        nw = min(nwd, C - wlo)
+        dense_meta.append((wlo, nw))
+        dense_groups.append({
+            "sa": jnp.asarray(sa_d[gi]).reshape(S, S, nm),
+            "sc": jnp.asarray(sc_d[gi]).reshape(S, S, nm),
+            "R": R_parts[gi].reshape(S, S, nm, rows_r, sip),
+            "du_s": deg_us[offs[gi] : offs[gi + 1]].reshape(
+                S, S, nm, sup, pack
+            ),
+            "di_s": deg_is[offs[gi] : offs[gi + 1]].reshape(
+                S, S, nm, sip, pack
+            ),
+            "du_tot": du_tot[gi].reshape(S, S, A, sup, pack),
+            "di_tot": di_all[:, wlo : wlo + nw].reshape(
+                S, S, nw, sip, pack
+            ),
+        })
+    info = {
+        "dense_frac": n_dense / max(1, int(u_dev.shape[0])),
+        "num_strata": int(nd_qg.sum()),
+        "num_groups": ngk,
+    }
+    return tuple(dense_meta), tuple(dense_groups), (u_sp, ir_sp, r_sp), info
 
 
 def _bias_from_merged(T, stride, sup, size):

@@ -71,13 +71,6 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             "sgd.kernel=pallas (the DSGD ring runs per-shard dense strata "
             "on the held block) or sgd.dense_chi=0"
         )
-    if mode != "single" and sgd.dense_span == "full":
-        raise ValueError(
-            "sgd.dense_span='full' is the single-chip grouped dense split;"
-            f" parallel.mode={mode!r} carves per-cell head strata on the "
-            "held block instead — set sgd.dense_span=head (the ring "
-            "would silently ignore 'full')"
-        )
 
 
 def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh):

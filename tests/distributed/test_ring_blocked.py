@@ -335,3 +335,87 @@ def test_ring_lane_bias_trains_and_matches_lane_semantics():
     np.testing.assert_array_equal(np.asarray(m1.Q), np.asarray(ms.Q))
     np.testing.assert_array_equal(np.asarray(m1.bu), np.asarray(ms.bu))
     np.testing.assert_array_equal(np.asarray(m1.bi), np.asarray(ms.bi))
+
+
+def test_mesh_of_1_bitwise_with_dense_full_span():
+    """dense_span='full' in the ring: a mesh-of-1 ring must stay
+    bitwise-identical to the single-chip full-span pipeline (same
+    grouped split, same strata order per group, same kernels)."""
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    U1, I1, N1 = 300, 260, 12_000
+    coo = synthetic.make_synthetic(U1, I1, N1, rank=4, noise=0.3, seed=7)
+    cfg = dataclasses.replace(CFG, epochs=2, dense_chi=0.03,
+                              dense_span="full", dense_nwd=1)
+    mesh = make_mesh()  # 1x1
+
+    m_ring = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_ring, _ in train_epochs_ring_blocked(
+        m_ring, coo, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True
+    ):
+        pass
+
+    m_single = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_single, _ in train_epochs_blocked(
+        m_single, coo, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+
+    for a, b in [
+        (m_ring.P, m_single.P), (m_ring.Q, m_single.Q),
+        (m_ring.bu, m_single.bu), (m_ring.bi, m_single.bi),
+    ]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_8
+def test_ring_dense_full_span_on_mesh():
+    """8-shard ring with grouped full-span dense strata: captures mass
+    the head split cannot (items reversed so the Zipf head sits at the
+    far end of every held block), deterministic, quality in the same
+    class as the dense-disabled ring."""
+    from mfx.data.coo import RatingsCOO
+    from mfx.solvers.dense_prep import prepare_dense_ring_full
+    import jax.numpy as jnp
+    from mfx.parallel.ring_blocked import cyclic_map as _cmap
+
+    coo0 = synthetic.make_synthetic(600, 640, 40_000, rank=4, noise=0.3,
+                                    seed=8)
+    coo = RatingsCOO(user=coo0.user, item=639 - coo0.item, rating=coo0.rating,
+                     num_users=600, num_items=640)
+    train, test = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=8)
+
+    def run(chi, span):
+        model = init_model(0, 600, 640, 64, global_mean=train.global_mean)
+        for _, model, tr in train_epochs_ring_blocked(
+            model, train,
+            dataclasses.replace(CFG, epochs=4, dense_chi=chi,
+                                dense_span=span, dense_nwd=1),
+            use_bias=True, mesh=mesh, seed=0, interpret=True,
+        ):
+            pass
+        return model, tr
+
+    # full-span split really carves strata on this reversed layout
+    geo_i = 128  # CFG iblock
+    S = 8
+    u_dev = jnp.asarray(train.user)
+    ir_dev = _cmap(jnp.asarray(train.item), S, geo_i)
+    meta, groups, _, info = prepare_dense_ring_full(
+        u_dev, ir_dev, jnp.asarray(train.rating), S, 128, 128, 128, 128,
+        chi_min=0.05, nwd=1, pack=2, rfmt="int8",
+    )
+    assert info["dense_frac"] > 0.2, info
+
+    m_full, tr_full = run(0.05, "full")
+    m_full2, _ = run(0.05, "full")
+    np.testing.assert_array_equal(
+        np.asarray(m_full.P), np.asarray(m_full2.P)
+    )
+    m_off, _ = run(0.0, "full")
+    r_full = rmse(m_full, test)
+    r_off = rmse(m_off, test)
+    assert np.isfinite(tr_full)
+    assert r_full < 0.75 and r_off < 0.75, (r_full, r_off)
+    assert abs(r_full - r_off) < 0.07, (r_full, r_off)

@@ -48,11 +48,11 @@ def test_netflix_preset_runs_fused_ring_and_keeps_dup_trust():
     assert cfg.sgd.dup_trust > 0.0
 
 
-def test_sharded_rejects_full_dense_span():
-    # the ring carves per-cell head strata; dense_span='full' would be
-    # silently ignored there
-    with pytest.raises(ValueError, match="dense_span"):
-        _validate_parallel_sgd(
-            _cfg("sharded", kernel="pallas", partitioner="blocked",
-                 dense_chi=0.001, dense_span="full")
-        )
+def test_sharded_accepts_full_dense_span():
+    # the ring carves grouped full-span strata per cell
+    # (prepare_dense_ring_full), so the single-chip preset's dense_span
+    # composes with sharded/hybrid modes
+    _validate_parallel_sgd(
+        _cfg("sharded", kernel="pallas", partitioner="blocked",
+             dense_chi=0.001, dense_span="full")
+    )
