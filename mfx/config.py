@@ -366,7 +366,14 @@ PRESETS: dict[str, TrainConfig] = {
             batch_size=1 << 17,
             partitioner="blocked",
             kernel="pallas",
+            # grouped full-span dense strata inside the ring (per-cell
+            # carve on the held block; rank-128/512-block geometry
+            # compile-verified on chip). chi is conservative here — the
+            # single-chip chi sweep measured monotone gains down to
+            # 0.0003 on throttled HBM, and spec v5p bandwidth favors
+            # lower still
             dense_chi=0.0025,
+            dense_span="full",
             dup_trust=16.0,  # applies when overridden back to mode=dp
             # lane-carried biases work inside the DSGD ring too (2 of 128
             # latent dims; mesh-of-1 bitwise vs the single-chip lane path)

@@ -296,6 +296,20 @@ def epoch_tiles_ring(
     key = jax.random.fold_in(jax.random.key(seed), epoch)
     A = skel.ublock // skel.su
     S = skel.S
+    if int(u_dev.shape[0]) == 0:
+        # empty sparse stream (e.g. a full-span dense split that carved
+        # every rating): all-sentinel slabs — zero one-hots make every
+        # pad slot a no-op in the kernels
+        out = []
+        for seg in skel.segments:
+            flat = jnp.broadcast_to(
+                jnp.array([skel.su, skel.si, sent2], jnp.int32)[
+                    None, None, None, :, None
+                ],
+                (S, S, seg.nt, 3, skel.tile),
+            )
+            out.append(flat)
+        return out
     if payload2 is None:
         payload2 = lax.bitcast_convert_type(
             jnp.asarray(r_dev, jnp.float32), jnp.int32

@@ -307,14 +307,18 @@ def train_epochs_ring_blocked(
                 dense_meta = ((0, nwh),)
                 dense_groups = (dense_tensors,)
 
-    # the sparse plan skeleton is built once from the remaining ratings
+    # the sparse plan skeleton is built once from the remaining ratings;
+    # segments with no tiles (e.g. fully-dense splits) are skipped
     skel = prd.build_ring_skeleton(
         u_dev, ir_dev, S, geo.ublock, geo.iblock, geo.su, geo.si,
         geo.tile, geo.tpg, geo.nwin,
     )
-    seg_meta = tuple((seg.win0, seg.nwin) for seg in skel.segments)
-    sas = tuple(seg.sa for seg in skel.segments)
-    tcs = tuple(seg.tc for seg in skel.segments)
+    keep = [k for k, seg in enumerate(skel.segments) if seg.nt > 0]
+    seg_meta = tuple(
+        (skel.segments[k].win0, skel.segments[k].nwin) for k in keep
+    )
+    sas = tuple(skel.segments[k].sa for k in keep)
+    tcs = tuple(skel.segments[k].tc for k in keep)
 
     epoch_fn = make_ring_blocked_epoch_fn(
         mesh, geo, rank, use_bias, seg_meta,
@@ -328,9 +332,10 @@ def train_epochs_ring_blocked(
     for epoch in range(start_epoch, cfg.epochs):
         lr = cfg.lr * (cfg.lr_decay**epoch)
         if tls is None or (replan_every and epoch % replan_every == 0):
-            tls = tuple(
-                prd.epoch_tiles_ring(skel, u_dev, ir_dev, r_dev, seed, epoch)
+            tl_all = prd.epoch_tiles_ring(
+                skel, u_dev, ir_dev, r_dev, seed, epoch
             )
+            tls = tuple(tl_all[k] for k in keep)
         Pm, Qm, sse = epoch_fn(
             Pm, Qm, sas, tcs, tls, dense_groups,
             jnp.asarray(lr, jnp.float32),
