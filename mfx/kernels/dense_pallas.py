@@ -102,6 +102,13 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
             "int4 nibble-packing pairs parity blocks (pack^2 even); "
             "rank 128 (pack 1) uses the int8 stream"
         )
+    # The dense phase is HBM-bound, so dead streams are real time: with
+    # lane biases (or use_bias=False) the frozen-bias aux_i input and the
+    # dbu/dbi E-sum outputs are all-zero — ~450 MB/epoch at the ML-25M
+    # full-span preset (~10% of the epoch). Exclude them from the
+    # pallas_call entirely instead of streaming zeros.
+    has_bi = use_bias  # aux_i streamed only when frozen biases are live
+    emit_db = use_bias  # dbu/dbi emitted only for the post-phase update
     sup, sip = su // pack, si // pack
     auxw = aux_width(pack)
     qstride = sip + BIAS_ROWS
@@ -114,16 +121,27 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
             x, y, (dims, ((), ())), precision=prec, preferred_element_type=f32
         )
 
-    def kernel(
-        hp_ref, sa_ref, sc_ref,  # prefetch: f32[4], i32[ND], i32[ND]
-        R_ref,  # (1, pack²·sup, sip) decimated raw ratings (0 = absent)
-        aux_u_ref,  # (1, sup, auxw) cols: bu[pack], Du[pack], Di[pack]
-        aux_i_ref,  # (1, auxw, sip) rows: bi[pack]
-        P_in, Q_in,  # aliased inputs
-        P_out, Q_hbm, dbu_ref, dbi_ref, sse_ref,  # outputs
-        Qseg, acc_ref, sem,  # scratch
-    ):
-        del Q_in
+    def kernel(*refs):
+        # prefetch: hp f32[4], sa i32[ND], sc i32[ND]
+        # inputs: R (1, pack²·sup, sip) decimated raw ratings (0 = absent);
+        #   aux_u (1, sup, auxw) cols bu[pack], Du[pack], Di[pack];
+        #   [aux_i (1, auxw, sip) rows bi[pack] — only when has_bi];
+        #   P_in, Q_in aliased
+        # outputs: P_out, Q_hbm, [dbu, dbi — only when emit_db], sse
+        # scratch: Qseg, acc_ref, sem
+        hp_ref, sa_ref, sc_ref, R_ref, aux_u_ref = refs[:5]
+        k = 5
+        aux_i_ref = None
+        if has_bi:
+            aux_i_ref = refs[k]
+            k += 1
+        P_in, _Q_in, P_out, Q_hbm = refs[k : k + 4]
+        k += 4
+        dbu_ref = dbi_ref = None
+        if emit_db:
+            dbu_ref, dbi_ref = refs[k : k + 2]
+            k += 2
+        sse_ref, Qseg, acc_ref, sem = refs[k : k + 4]
         g = pl.program_id(0)
         ng = pl.num_programs(0)
         lr = hp_ref[0]
@@ -214,7 +232,7 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
                 dP[a] = ta if dP[a] is None else dP[a] + ta
                 tb = dotg(Eab, Pa[a], dims_tn)
                 dQ[b] = tb if dQ[b] is None else dQ[b] + tb
-                if not lane:
+                if emit_db:
                     ru = jnp.sum(Eab, axis=1)
                     ebu[a] = ru if ebu[a] is None else ebu[a] + ru
                     ci = jnp.sum(Eab, axis=0)
@@ -227,8 +245,6 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
             lidx = lax.broadcasted_iota(jnp.int32, (1, K), 1)
             mP = (lidx != K - 2).astype(f32)
             mQ = (lidx != K - 1).astype(f32)
-            ebu = [jnp.zeros((sup,), f32)] * pack
-            ebi = [jnp.zeros((sip,), f32)] * pack
         else:
             mP = mQ = None
 
@@ -258,17 +274,18 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
             [upd_q(b) for b in range(pack)], axis=1
         ) if pack > 1 else upd_q(0)
 
-        # per-stratum E sums for the post-phase bias update (single writes)
-        dbu_ref[0, :, :] = jnp.concatenate(
-            [ebu[a][:, None] for a in range(pack)]
-            + [jnp.zeros((sup, auxw - pack), f32)],
-            axis=1,
-        )
-        dbi_ref[0, :, :] = jnp.concatenate(
-            [ebi[b][None, :] for b in range(pack)]
-            + [jnp.zeros((auxw - pack, sip), f32)],
-            axis=0,
-        )
+        if emit_db:
+            # per-stratum E sums for the post-phase bias update
+            dbu_ref[0, :, :] = jnp.concatenate(
+                [ebu[a][:, None] for a in range(pack)]
+                + [jnp.zeros((sup, auxw - pack), f32)],
+                axis=1,
+            )
+            dbi_ref[0, :, :] = jnp.concatenate(
+                [ebi[b][None, :] for b in range(pack)]
+                + [jnp.zeros((auxw - pack, sip), f32)],
+                axis=0,
+            )
 
         acc_ref[0] = acc_ref[0] + sse_acc
 
@@ -332,55 +349,80 @@ def dense_sgd_phase_pallas(
                           rfmt=rfmt, lane=lane)
     pstride = sup + BIAS_ROWS
     r_rows = (pack * pack // (2 if rfmt == "int4" else 1)) * sup
+    # aux_i / dbu / dbi are zero streams when biases are lane-carried (or
+    # off): exclude them from the call — see _kernel_body. Placeholder
+    # zeros keep the 5-tuple return shape for callers.
+    has_bi = emit_db = use_bias
+    in_specs = [
+        pl.BlockSpec((1, r_rows, sip), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [hp, dense["sa"], dense["sc"], dense["R"], dense["aux_u"]]
+    if has_bi:
+        in_specs.append(
+            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(dense["aux_i"])
+    in_specs += [
+        pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # Q head
+    ]
+    p_pos = len(operands)  # positional index (incl. prefetch) of Pm
+    operands += [Pm, Qh]
+    out_specs = [
+        pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(Pm.shape, f32),
+        jax.ShapeDtypeStruct(Qh.shape, f32),
+    ]
+    if emit_db:
+        out_specs += [
+            pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((nd, sup, auxw), f32),
+            jax.ShapeDtypeStruct((nd, auxw, sip), f32),
+        ]
+    out_specs.append(
+        pl.BlockSpec((1, 1), lambda g, *_: (0, 0), memory_space=pltpu.VMEM)
+    )
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), f32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nd,),
-        in_specs=[
-            pl.BlockSpec((1, r_rows, sip), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Q head
-        ],
-        out_specs=[
-            pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda g, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((nwin * (sip + BIAS_ROWS), 128), f32),
             pltpu.SMEM((1,), f32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out_shape = [
-        jax.ShapeDtypeStruct(Pm.shape, f32),
-        jax.ShapeDtypeStruct(Qh.shape, f32),
-        jax.ShapeDtypeStruct((nd, sup, auxw), f32),
-        jax.ShapeDtypeStruct((nd, auxw, sip), f32),
-        jax.ShapeDtypeStruct((1, 1), f32),
-    ]
-    # positional indices incl. prefetch: hp=0, sa=1, sc=2, R=3, aux_u=4,
-    # aux_i=5, P=6, Q=7
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={p_pos: 0, p_pos + 1: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(hp, dense["sa"], dense["sc"], dense["R"], dense["aux_u"],
-      dense["aux_i"], Pm, Qh)
+    )(*operands)
+    if emit_db:
+        Pm_o, Qh_o, dbu, dbi, sse = out
+    else:
+        Pm_o, Qh_o, sse = out
+        dbu = jnp.zeros((nd, sup, auxw), f32)
+        dbi = jnp.zeros((nd, auxw, sip), f32)
+    return Pm_o, Qh_o, dbu, dbi, sse

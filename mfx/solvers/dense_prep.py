@@ -900,15 +900,11 @@ def dense_phase_core(
     nd = sa.shape[0]
 
     # per-stratum aux arrays from the CURRENT biases (frozen for the phase)
+    frozen_bias = use_bias and not lane
     bu_full = _bias_from_merged(Pm, pstride, sup, su)  # (A, su)
-    bi_full = _bias_from_merged(
-        Qh[: nwin * qstride], qstride, sip, si
-    )  # (nwin, si)
     bu_dec = bu_full.reshape(-1, sup, pack)
-    bi_dec = bi_full.reshape(-1, sip, pack)
-    if not use_bias or lane:
+    if not frozen_bias:
         bu_dec = jnp.zeros_like(bu_dec)
-        bi_dec = jnp.zeros_like(bi_dec)
     aux_u = jnp.concatenate(
         [
             bu_dec[sa],  # cols [0, p): frozen user biases
@@ -918,13 +914,20 @@ def dense_phase_core(
         ],
         axis=2,
     )
-    bi_rows = jnp.swapaxes(bi_dec[sc], 1, 2)  # (ND, pack, sip)
-    aux_i = jnp.concatenate(
-        [bi_rows, jnp.zeros((nd, auxw - pack, sip), jnp.float32)], axis=1
-    )
-
-    dense = {"sa": sa, "sc": sc, "R": tensors["R"], "aux_u": aux_u,
-             "aux_i": aux_i}
+    dense = {"sa": sa, "sc": sc, "R": tensors["R"], "aux_u": aux_u}
+    if frozen_bias:
+        # aux_i exists only on the frozen-bias path — with lane-carried
+        # biases (or use_bias=False) it is an all-zero stream the kernel
+        # no longer takes (dense_pallas: has_bi)
+        bi_full = _bias_from_merged(
+            Qh[: nwin * qstride], qstride, sip, si
+        )  # (nwin, si)
+        bi_dec = bi_full.reshape(-1, sip, pack)
+        bi_rows = jnp.swapaxes(bi_dec[sc], 1, 2)  # (ND, pack, sip)
+        dense["aux_i"] = jnp.concatenate(
+            [bi_rows, jnp.zeros((nd, auxw - pack, sip), jnp.float32)],
+            axis=1,
+        )
     Pm, Qh, dbu, dbi, sse = dense_sgd_phase_pallas(
         Pm, Qh, dense, lr, reg, mu,
         su=su, si=si, rank=rank, nwin=nwin,
