@@ -325,13 +325,13 @@ PRESETS: dict[str, TrainConfig] = {
             iblock=1024,
             tile=256,
             # full-span grouped dense phase: eligible strata anywhere in
-            # the item span run densely. chi=0.0003 is the measured
-            # optimum on the bench chip (99.8% of ratings dense, sparse
-            # sweeps reduced to a ~45k-rating tail; within-job 1.7x the
-            # head-only split) — on spec-bandwidth v5e the dense stream
-            # is ~14x cheaper, so chi=0 -> everything dense is the
-            # expected retune (STATUS.md roofline)
-            dense_chi=0.0003,
+            # the item span run densely. chi=0.0002 makes the epoch 100%
+            # dense (frac=1.0, no sparse phase at all) — measured optimum
+            # on the bench chip after the zero-stream kernel slimming
+            # (within-job 65.4 ms vs 72.3 ms at 0.0003; per-epoch test
+            # RMSE identical to 4 decimals, gate in 1 epoch both).
+            # chi=0.0001 adds no strata (same plan)
+            dense_chi=0.0002,
             dense_span="full",
             # lane-carried biases: deletes the per-tile bias machinery
             # (sparse path 94 -> 65 ms measured; epoch 104.5 -> 73.4 ms,
