@@ -8,8 +8,9 @@
 from __future__ import annotations
 
 from mfx.config import (
-    TrainConfig, DataConfig, ModelConfig, SGDConfig, ALSConfig, BPRConfig,
-    ParallelConfig, preset, apply_overrides, PRESETS,
+    TrainConfig, DataConfig, ModelConfig, SGDConfig, SVDPPConfig, ALSConfig,
+    NMFConfig, IALSConfig, BPRConfig, ParallelConfig, preset,
+    apply_overrides, PRESETS,
 )
 from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
@@ -17,16 +18,19 @@ from mfx.data.split import train_test_split
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
 from mfx.eval.ranking import hr_ndcg_at_k
 from mfx.models.mf import MFModel, init_model
+from mfx.models.svdpp import SVDppModel, init_svdpp
 from mfx.serve import ShardedTopKRecommender, TopKRecommender
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
 
 __all__ = [
-    "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "ALSConfig",
-    "BPRConfig", "ParallelConfig", "preset", "apply_overrides", "PRESETS",
+    "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "SVDPPConfig",
+    "ALSConfig", "NMFConfig", "IALSConfig", "BPRConfig", "ParallelConfig",
+    "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
     "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "evaluate",
-    "MFModel", "init_model", "load_checkpoint", "save_checkpoint",
+    "MFModel", "init_model", "SVDppModel", "init_svdpp",
+    "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
 ]
 

@@ -13,7 +13,9 @@ __all__ = [
     "DataConfig",
     "ModelConfig",
     "SGDConfig",
+    "SVDPPConfig",
     "ALSConfig",
+    "NMFConfig",
     "IALSConfig",
     "BPRConfig",
     "ParallelConfig",
@@ -191,10 +193,51 @@ class SGDConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SVDPPConfig:
+    """SVD++ (mfx/solvers/svdpp.py): biased MF plus implicit item factors
+    y_j with epoch-frozen implicit sums — the canonical quality step
+    beyond configs[1]'s biased MF on the same explicit data."""
+
+    lr: float = 0.007
+    reg: float = 0.02
+    lr_decay: float = 0.95
+    epochs: int = 20
+    batch_size: int = 8192
+    lr_y: float | None = None  # Y-step rate; None -> lr (same decay)
+    reg_y: float | None = None  # Y L2 (deg-scaled); None -> reg
+    # trust cap on the epoch-batched Y step (the dup_trust analog): item
+    # j's residual pull is scaled by min(1, y_trust / c_j) with
+    # c_j = sum_{u: j in N(u)} sqrt(deg_u) — hot items would otherwise
+    # take a same-snapshot batched step past the stable region. 0 = off.
+    y_trust: float = 16.0
+    partitioner: str = "fixed"  # 'fixed' | 'conflict_free'
+    dup_trust: float = 0.0  # hot-row trust scaling (as SGDConfig)
+
+    def __post_init__(self):
+        if self.partitioner not in ("fixed", "conflict_free"):
+            raise ValueError(
+                "svdpp.partitioner must be 'fixed' or 'conflict_free', "
+                f"got {self.partitioner!r}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
 class ALSConfig:
     reg: float = 0.05
     sweeps: int = 10
     user_chunk: int = 8192  # rows solved per batched-Cholesky call
+
+
+@dataclasses.dataclass(frozen=True)
+class NMFConfig:
+    """Weighted NMF (mfx/solvers/nmf.py): non-negative factor tables via
+    multiplicative updates on the ALS normal-equation blocks — the
+    interpretable-factors member of the explicit MF family."""
+
+    reg: float = 0.02
+    sweeps: int = 20
+    inner_iters: int = 2  # MU iterations per half-sweep on fixed (A, b)
+    user_chunk: int = 8192  # rows per batched accumulate/update call
 
 
 @dataclasses.dataclass(frozen=True)
@@ -259,11 +302,13 @@ class ParallelConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     name: str = "default"
-    solver: str = "sgd"  # 'sgd' | 'als' | 'ials' | 'bpr'
+    solver: str = "sgd"  # 'sgd' | 'svdpp' | 'als' | 'nmf' | 'ials' | 'bpr'
     data: DataConfig = DataConfig()
     model: ModelConfig = ModelConfig()
     sgd: SGDConfig = SGDConfig()
+    svdpp: SVDPPConfig = SVDPPConfig()
     als: ALSConfig = ALSConfig()
+    nmf: NMFConfig = NMFConfig()
     ials: IALSConfig = IALSConfig()
     bpr: BPRConfig = BPRConfig()
     parallel: ParallelConfig = ParallelConfig()

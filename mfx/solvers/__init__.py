@@ -1,3 +1,3 @@
-from mfx.solvers import sgd, als, ials, bpr, blocked
+from mfx.solvers import sgd, svdpp, als, nmf, ials, bpr, blocked
 
-__all__ = ["sgd", "als", "ials", "bpr", "blocked"]
+__all__ = ["sgd", "svdpp", "als", "nmf", "ials", "bpr", "blocked"]

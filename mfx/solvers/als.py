@@ -44,7 +44,12 @@ from mfx.config import ALSConfig
 from mfx.data.coo import RatingsCOO
 from mfx.models.mf import MFModel
 
-__all__ = ["als_half_sweep", "train_sweeps_als", "build_bucket_plan"]
+__all__ = [
+    "als_half_sweep",
+    "train_sweeps_als",
+    "build_bucket_plan",
+    "accumulate_range",
+]
 
 # Degree ladder for piece bucketing. caps[-1] also caps the piece length
 # (hot rows split; Gram partial sums add exactly).
@@ -177,6 +182,41 @@ def _solve_gram(A, b, cnt, old, reg, *, use_bias):
     return jnp.where(cnt[:, None] > 0, sol, old)
 
 
+def accumulate_range(
+    F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
+    *, d, dtype, use_bias,
+):
+    """Normal-equation accumulators (A, b, cnt) for target rows
+    [r0, r1) — the degree-bucketed gather/einsum loop shared by the ALS
+    Cholesky solve and the NMF multiplicative update
+    (mfx/solvers/nmf.py), which differ only in what they do with A, b."""
+    nseg = (r1 - r0) + 1  # +1: pad pieces target the dropped last seg
+    A = jnp.zeros((nseg, d, d), dtype)
+    b = jnp.zeros((nseg, d), dtype)
+    cnt = jnp.zeros((nseg,), dtype)
+    for cap, (prow, pstart, plen) in buckets.items():
+        s, e = np.searchsorted(prow, [r0, r1])
+        if e == s:
+            continue
+        nb_chunk = max(1, BUCKET_CELLS // cap)
+        for c0 in range(s, e, nb_chunk):
+            c1 = min(c0 + nb_chunk, e)
+            nb = _pow2_at_least(c1 - c0)
+            rows_rel = np.full(nb, nseg - 1, np.int32)
+            starts = np.zeros(nb, pstart.dtype)
+            lens = np.zeros(nb, np.int32)
+            rows_rel[: c1 - c0] = prow[c0:c1] - r0
+            starts[: c1 - c0] = pstart[c0:c1]
+            lens[: c1 - c0] = plen[c0:c1]
+            A, b, cnt = _gram_bucket(
+                F_other, b_other, mu, cols_dev, vals_dev,
+                jnp.asarray(rows_rel), jnp.asarray(starts),
+                jnp.asarray(lens), A, b, cnt,
+                cap=cap, nseg=nseg, use_bias=use_bias,
+            )
+    return A[: r1 - r0], b[: r1 - r0], cnt[: r1 - r0]
+
+
 def als_half_sweep(
     F_target,  # (rows, k) table being solved
     b_target,  # (rows,)
@@ -207,38 +247,17 @@ def als_half_sweep(
     new = []
     for r0 in range(0, num_rows, row_chunk):
         r1 = min(r0 + row_chunk, num_rows)
-        nseg = (r1 - r0) + 1  # +1: pad pieces target the dropped last seg
-        A = jnp.zeros((nseg, d, d), f)
-        b = jnp.zeros((nseg, d), f)
-        cnt = jnp.zeros((nseg,), f)
-        for cap, (prow, pstart, plen) in buckets.items():
-            s, e = np.searchsorted(prow, [r0, r1])
-            if e == s:
-                continue
-            nb_chunk = max(1, BUCKET_CELLS // cap)
-            for c0 in range(s, e, nb_chunk):
-                c1 = min(c0 + nb_chunk, e)
-                nb = _pow2_at_least(c1 - c0)
-                rows_rel = np.full(nb, nseg - 1, np.int32)
-                starts = np.zeros(nb, pstart.dtype)
-                lens = np.zeros(nb, np.int32)
-                rows_rel[: c1 - c0] = prow[c0:c1] - r0
-                starts[: c1 - c0] = pstart[c0:c1]
-                lens[: c1 - c0] = plen[c0:c1]
-                A, b, cnt = _gram_bucket(
-                    F_other, b_other, mu, cols_dev, vals_dev,
-                    jnp.asarray(rows_rel), jnp.asarray(starts),
-                    jnp.asarray(lens), A, b, cnt,
-                    cap=cap, nseg=nseg, use_bias=use_bias,
-                )
+        A, b, cnt = accumulate_range(
+            F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
+            d=d, dtype=f, use_bias=use_bias,
+        )
         old = (
             jnp.concatenate([F_target[r0:r1], b_target[r0:r1, None]], axis=1)
             if use_bias
             else F_target[r0:r1]
         )
         sol = _solve_gram(
-            A[: r1 - r0], b[: r1 - r0], cnt[: r1 - r0], old,
-            jnp.asarray(reg, f), use_bias=use_bias,
+            A, b, cnt, old, jnp.asarray(reg, f), use_bias=use_bias,
         )
         new.append(sol)
     out = jnp.concatenate(new) if len(new) > 1 else new[0]

@@ -121,6 +121,22 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
                 start_epoch=start_epoch, yield_padded=True,
             )
         raise ValueError(f"unknown parallel mode {mode!r}")
+    if cfg.solver == "svdpp":
+        if cfg.parallel.mode != "single":
+            raise ValueError(
+                "solver='svdpp' is single-device (its implicit-sum refresh "
+                "and Y step are one-table segment streams); use "
+                "parallel.mode='single', or solver='sgd' for the "
+                "multi-chip paths"
+            )
+        from mfx.solvers.svdpp import train_epochs_svdpp
+
+        # start_epoch > 0 raises inside: the MF-view checkpoint cannot
+        # carry the implicit Y table (SVDppModel.save_npz does)
+        return train_epochs_svdpp(
+            model, train_coo, cfg.svdpp, use_bias, seed=seed,
+            start_epoch=start_epoch,
+        )
     if cfg.solver == "als":
         if cfg.parallel.mode == "sharded":
             from mfx.parallel.als_ring import train_sweeps_als_ring
@@ -156,6 +172,22 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
                 yield sweep, m, float("nan")
 
         return gen()
+    if cfg.solver == "nmf":
+        if cfg.parallel.mode != "single":
+            raise ValueError(
+                "solver='nmf' is single-device; its Gram machinery is the "
+                "ALS one — use solver='als' with parallel.mode='dp'/"
+                "'sharded' for multi-chip normal-equation sweeps"
+            )
+        from mfx.solvers.nmf import train_sweeps_nmf
+
+        def gen_nmf():
+            for sweep, m in train_sweeps_nmf(
+                model, train_coo, cfg.nmf, use_bias=use_bias
+            ):
+                yield sweep, m, float("nan")
+
+        return gen_nmf()
     if cfg.solver == "ials":
         if cfg.parallel.mode in ("dp", "hybrid"):
             from mfx.parallel.ials_dp import train_sweeps_ials_dp
