@@ -37,7 +37,12 @@ from mfx.solvers.als import (
     gram_rowchunk,
 )
 
-__all__ = ["als_half_sweep_dp", "train_sweeps_als_dp"]
+__all__ = [
+    "als_half_sweep_dp",
+    "train_sweeps_als_dp",
+    "dp_accumulate_range",
+    "dp_bucket_chunks",
+]
 
 
 @functools.partial(
@@ -88,6 +93,50 @@ def _dp_solve(A, b, cnt, old, reg, *, mesh: Mesh, use_bias: bool):
     )(A, b, cnt, old, reg)
 
 
+def dp_accumulate_range(
+    F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
+    *, d, dtype, nseg, nb_cap, D, mesh, use_bias,
+):
+    """Per-shard partial (A, b, cnt) for target rows [r0, r1) — pieces
+    split contiguously across all mesh devices. Shared by the DP ALS
+    Cholesky solve and the DP NMF multiplicative update
+    (mfx/parallel/nmf_dp.py); the caller psums inside its solve."""
+    A = jnp.zeros((D, nseg, d, d), dtype)
+    b = jnp.zeros((D, nseg, d), dtype)
+    cnt = jnp.zeros((D, nseg), dtype)
+    for cap, (prow, pstart, plen) in buckets.items():
+        s, e = np.searchsorted(prow, [r0, r1])
+        if e == s:
+            continue
+        nb = nb_cap[cap]
+        per_call = D * nb
+        for c0 in range(s, e, per_call):
+            c1 = min(c0 + per_call, e)
+            n = c1 - c0
+            rows_rel = np.full((D, nb), nseg - 1, np.int32)
+            starts = np.zeros((D, nb), pstart.dtype)
+            lens = np.zeros((D, nb), np.int32)
+            rows_rel.reshape(-1)[:n] = prow[c0:c1] - r0
+            starts.reshape(-1)[:n] = pstart[c0:c1]
+            lens.reshape(-1)[:n] = plen[c0:c1]
+            A, b, cnt = _dp_gram_chunk(
+                F_other, b_other, mu, cols_dev, vals_dev,
+                jnp.asarray(rows_rel), jnp.asarray(starts),
+                jnp.asarray(lens), A, b, cnt,
+                mesh=mesh, cap=cap, use_bias=use_bias,
+            )
+    return A, b, cnt
+
+
+def dp_bucket_chunks(D: int) -> dict:
+    """Fixed per-cap shard chunk so every range reuses one compiled
+    program."""
+    return {
+        cap: _pow2_at_least(max(1, BUCKET_CELLS // cap // D))
+        for cap in BUCKET_CAPS
+    }
+
+
 def als_half_sweep_dp(
     F_target, b_target, F_other, b_other, mu,
     coo_rows: np.ndarray, coo_cols: np.ndarray, coo_vals: np.ndarray,
@@ -106,43 +155,17 @@ def als_half_sweep_dp(
     cols_dev = jnp.asarray(coo_cols)
     vals_dev = jnp.asarray(coo_vals)
     f = F_target.dtype
-    # fixed per-cap shard chunk so every range reuses one compiled program
-    nb_cap = {
-        cap: _pow2_at_least(max(1, BUCKET_CELLS // cap // D))
-        for cap in BUCKET_CAPS
-    }
+    nb_cap = dp_bucket_chunks(D)
 
     nseg = row_chunk + 1  # uniform across ranges; tail rows are padding
     new = []
     for r0 in range(0, num_rows, row_chunk):
         r1 = min(r0 + row_chunk, num_rows)
-        A = jnp.zeros((D, nseg, d, d), f)
-        b = jnp.zeros((D, nseg, d), f)
-        cnt = jnp.zeros((D, nseg), f)
-        for cap, (prow, pstart, plen) in buckets.items():
-            s, e = np.searchsorted(prow, [r0, r1])
-            if e == s:
-                continue
-            nb = nb_cap[cap]
-            per_call = D * nb
-            for c0 in range(s, e, per_call):
-                c1 = min(c0 + per_call, e)
-                n = c1 - c0
-                rows_rel = np.full((D, nb), nseg - 1, np.int32)
-                starts = np.zeros((D, nb), pstart.dtype)
-                lens = np.zeros((D, nb), np.int32)
-                flat_r = rows_rel.reshape(-1)
-                flat_s = starts.reshape(-1)
-                flat_l = lens.reshape(-1)
-                flat_r[:n] = prow[c0:c1] - r0
-                flat_s[:n] = pstart[c0:c1]
-                flat_l[:n] = plen[c0:c1]
-                A, b, cnt = _dp_gram_chunk(
-                    F_other, b_other, mu, cols_dev, vals_dev,
-                    jnp.asarray(rows_rel), jnp.asarray(starts),
-                    jnp.asarray(lens), A, b, cnt,
-                    mesh=mesh, cap=cap, use_bias=use_bias,
-                )
+        A, b, cnt = dp_accumulate_range(
+            F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
+            d=d, dtype=f, nseg=nseg, nb_cap=nb_cap, D=D, mesh=mesh,
+            use_bias=use_bias,
+        )
         nr = r1 - r0
         old = jnp.concatenate(
             [F_target[r0:r1], b_target[r0:r1, None]], axis=1

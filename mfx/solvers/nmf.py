@@ -48,15 +48,16 @@ from mfx.solvers.als import (
     gram_rowchunk,
 )
 
-__all__ = ["nmf_half_sweep", "train_sweeps_nmf"]
+__all__ = ["nmf_half_sweep", "train_sweeps_nmf", "mu_update", "fold_nonneg"]
 
 _EPS = 1e-9
 
 
-@functools.partial(jax.jit, static_argnames=("inner_iters",))
-def _mu_update(A, b, cnt, old, reg, *, inner_iters: int):
+def mu_update(A, b, cnt, old, reg, *, inner_iters: int):
     """``inner_iters`` multiplicative updates on the fixed (A, b) blocks;
-    rows with no ratings keep their factors."""
+    rows with no ratings keep their factors. Traceable — shared by the
+    single-chip jit wrapper and the data-parallel shard_map body
+    (mfx/parallel/nmf_dp.py)."""
     lam = reg * jnp.maximum(cnt, 1.0)
 
     def body(p, _):
@@ -67,6 +68,32 @@ def _mu_update(A, b, cnt, old, reg, *, inner_iters: int):
 
     sol, _ = jax.lax.scan(body, old, None, length=inner_iters)
     return jnp.where(cnt[:, None] > 0, sol, old)
+
+
+_mu_update = jax.jit(mu_update, static_argnames=("inner_iters",))
+
+
+def check_nmf_inputs(train: RatingsCOO, use_bias: bool) -> None:
+    if use_bias:
+        raise ValueError(
+            "NMF is bias-free (it factorizes the raw non-negative ratings); "
+            "set model.use_bias=false or use solver='als'/'sgd'"
+        )
+    if float(np.min(train.rating)) < 0.0:
+        raise ValueError("NMF needs non-negative ratings")
+
+
+def fold_nonneg(model: MFModel) -> MFModel:
+    """Fold an MF init onto the non-negative orthant (floored at a small
+    positive value so multiplicative updates can move every coordinate)
+    and zero the mean/biases — NMF predicts ``p_u . q_i`` directly."""
+    return MFModel(
+        P=jnp.maximum(jnp.abs(model.P), 1e-3),
+        Q=jnp.maximum(jnp.abs(model.Q), 1e-3),
+        bu=jnp.zeros_like(model.bu),
+        bi=jnp.zeros_like(model.bi),
+        mu=jnp.asarray(0.0, model.P.dtype),
+    )
 
 
 def nmf_half_sweep(
@@ -123,22 +150,9 @@ def train_sweeps_nmf(
     zeroed: NMF predicts ``p_u . q_i`` directly. ``use_bias`` must be
     False — bias terms belong to the unconstrained objectives.
     """
-    if use_bias:
-        raise ValueError(
-            "NMF is bias-free (it factorizes the raw non-negative ratings); "
-            "set model.use_bias=false or use solver='als'/'sgd'"
-        )
-    if float(np.min(train.rating)) < 0.0:
-        raise ValueError("NMF needs non-negative ratings")
+    check_nmf_inputs(train, use_bias)
     row_chunk = row_chunk or cfg.user_chunk
-    f = model.P.dtype
-    model = MFModel(
-        P=jnp.maximum(jnp.abs(model.P), 1e-3),
-        Q=jnp.maximum(jnp.abs(model.Q), 1e-3),
-        bu=jnp.zeros_like(model.bu),
-        bi=jnp.zeros_like(model.bi),
-        mu=jnp.asarray(0.0, f),
-    )
+    model = fold_nonneg(model)
     # sort + bucket once per run, as the ALS/iALS solvers do
     by_u = np.argsort(train.user, kind="stable")
     u_rows = train.user[by_u]

@@ -173,11 +173,22 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
 
         return gen()
     if cfg.solver == "nmf":
+        if cfg.parallel.mode in ("dp", "hybrid"):
+            from mfx.parallel.nmf_dp import train_sweeps_nmf_dp
+
+            def gen_nmf_dp():
+                for sweep, m in train_sweeps_nmf_dp(
+                    model, train_coo, cfg.nmf, mesh, use_bias=use_bias
+                ):
+                    yield sweep, m, float("nan")
+
+            return gen_nmf_dp()
         if cfg.parallel.mode != "single":
             raise ValueError(
-                "solver='nmf' is single-device; its Gram machinery is the "
-                "ALS one — use solver='als' with parallel.mode='dp'/"
-                "'sharded' for multi-chip normal-equation sweeps"
+                "solver='nmf' runs single-device or data-parallel "
+                "(parallel.mode in ('single', 'dp', 'hybrid')); use "
+                "solver='als' parallel.mode='sharded' for row-sharded "
+                "normal-equation sweeps"
             )
         from mfx.solvers.nmf import train_sweeps_nmf
 
