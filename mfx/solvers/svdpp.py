@@ -42,7 +42,7 @@ from mfx.models.mf import MFModel
 from mfx.models.svdpp import SVDppModel, implicit_sums
 from mfx.solvers.sgd import plan_epoch, _epoch_scan
 
-__all__ = ["train_epochs_svdpp", "y_gradient_step"]
+__all__ = ["train_epochs_svdpp", "y_gradient_step", "svdpp_run_constants"]
 
 
 @functools.partial(jax.jit, static_argnames=("use_bias",))
@@ -108,35 +108,10 @@ def _coo_chunks(train: RatingsCOO, chunk: int) -> dict[str, jax.Array]:
     return {k: jnp.asarray(v) for k, v in arrays.items()}
 
 
-def train_epochs_svdpp(
-    model: MFModel,
-    train: RatingsCOO,
-    cfg: SVDPPConfig,
-    use_bias: bool,
-    seed: int = 0,
-    start_epoch: int = 0,
-    chunk: int = 1 << 22,
-) -> Iterator[tuple[int, MFModel, float]]:
-    """Generator yielding ``(epoch, mf_view, train_rmse)``.
-
-    ``model`` is the usual MF init (the driver's); Y starts at zeros so
-    epoch 0's minibatch phase is bitwise the plain biased-MF epoch. The
-    yielded model is the post-epoch **MF view** ``X = P + S`` with S
-    refreshed after the Y step — eval, serving, and checkpoints consume
-    it unchanged. Resuming needs the full state (Y): use
-    SVDppModel.save_npz / load_npz, not the MF-view checkpoint.
-    """
-    if start_epoch != 0:
-        raise ValueError(
-            "svdpp cannot resume from an MF-view checkpoint (the implicit "
-            "Y table is not in it); save/restore SVDppModel.save_npz for "
-            "warm starts, or rerun from epoch 0"
-        )
-    state = SVDppModel(
-        P=model.P, Q=model.Q, Y=jnp.zeros_like(model.Q),
-        bu=model.bu, bi=model.bi, mu=model.mu,
-        nu=jnp.zeros((model.num_users,), model.P.dtype),
-    )
+def svdpp_run_constants(model: MFModel, train: RatingsCOO, cfg: SVDPPConfig,
+                        chunk: int):
+    """Degree-derived run constants shared by the single-device and DP
+    trainers: (user_dev, item_dev, nu, deg_i, y_scale, chunks)."""
     user_dev = jnp.asarray(train.user)
     item_dev = jnp.asarray(train.item)
     from mfx.models.svdpp import implicit_scale
@@ -162,11 +137,41 @@ def train_epochs_svdpp(
         y_scale = y_scale.astype(model.P.dtype)
     else:
         y_scale = jnp.ones((train.num_items,), model.P.dtype)
-    state = SVDppModel(
-        P=state.P, Q=state.Q, Y=state.Y, bu=state.bu, bi=state.bi,
-        mu=state.mu, nu=nu,
-    )
     chunks = _coo_chunks(train, min(chunk, max(1024, train.n_ratings)))
+    return user_dev, item_dev, nu, deg_i, y_scale, chunks
+
+
+def train_epochs_svdpp(
+    model: MFModel,
+    train: RatingsCOO,
+    cfg: SVDPPConfig,
+    use_bias: bool,
+    seed: int = 0,
+    start_epoch: int = 0,
+    chunk: int = 1 << 22,
+) -> Iterator[tuple[int, MFModel, float]]:
+    """Generator yielding ``(epoch, mf_view, train_rmse)``.
+
+    ``model`` is the usual MF init (the driver's); Y starts at zeros so
+    epoch 0's minibatch phase is bitwise the plain biased-MF epoch. The
+    yielded model is the post-epoch **MF view** ``X = P + S`` with S
+    refreshed after the Y step — eval, serving, and checkpoints consume
+    it unchanged. Resuming needs the full state (Y): use
+    SVDppModel.save_npz / load_npz, not the MF-view checkpoint.
+    """
+    if start_epoch != 0:
+        raise ValueError(
+            "svdpp cannot resume from an MF-view checkpoint (the implicit "
+            "Y table is not in it); save/restore SVDppModel.save_npz for "
+            "warm starts, or rerun from epoch 0"
+        )
+    user_dev, item_dev, nu, deg_i, y_scale, chunks = svdpp_run_constants(
+        model, train, cfg, chunk
+    )
+    state = SVDppModel(
+        P=model.P, Q=model.Q, Y=jnp.zeros_like(model.Q),
+        bu=model.bu, bi=model.bi, mu=model.mu, nu=nu,
+    )
 
     sgd_cfg = SGDConfig(
         lr=cfg.lr, reg=cfg.reg, lr_decay=cfg.lr_decay, epochs=cfg.epochs,

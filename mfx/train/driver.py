@@ -122,17 +122,24 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
             )
         raise ValueError(f"unknown parallel mode {mode!r}")
     if cfg.solver == "svdpp":
+        # start_epoch > 0 raises inside either trainer: the MF-view
+        # checkpoint cannot carry the implicit Y table
+        # (SVDppModel.save_npz does)
+        if cfg.parallel.mode in ("dp", "hybrid"):
+            from mfx.parallel.svdpp_dp import train_epochs_svdpp_dp
+
+            return train_epochs_svdpp_dp(
+                model, train_coo, cfg.svdpp, use_bias, mesh, seed=seed,
+                start_epoch=start_epoch,
+            )
         if cfg.parallel.mode != "single":
             raise ValueError(
-                "solver='svdpp' is single-device (its implicit-sum refresh "
-                "and Y step are one-table segment streams); use "
-                "parallel.mode='single', or solver='sgd' for the "
-                "multi-chip paths"
+                "solver='svdpp' runs single-device or data-parallel "
+                "(parallel.mode in ('single', 'dp', 'hybrid')); use "
+                "solver='sgd' for the row-sharded ring paths"
             )
         from mfx.solvers.svdpp import train_epochs_svdpp
 
-        # start_epoch > 0 raises inside: the MF-view checkpoint cannot
-        # carry the implicit Y table (SVDppModel.save_npz does)
         return train_epochs_svdpp(
             model, train_coo, cfg.svdpp, use_bias, seed=seed,
             start_epoch=start_epoch,

@@ -202,8 +202,8 @@ def test_driver_svdpp_rejects_parallel_and_resume():
     coo = _toy_coo()
     m0 = init_model(0, coo.num_users, coo.num_items, 4, global_mean=3.0)
     cfg = TrainConfig(solver="svdpp",
-                      parallel=ParallelConfig(mode="dp", data_axis=2))
-    with pytest.raises(ValueError, match="single-device"):
+                      parallel=ParallelConfig(mode="sharded", model_axis=8))
+    with pytest.raises(ValueError, match="single-device or data-parallel"):
         _make_epoch_iter(cfg, m0, coo, 0, 0, None)
     with pytest.raises(ValueError, match="resume"):
         list(train_epochs_svdpp(m0, coo, SVDPPConfig(epochs=1), True,
