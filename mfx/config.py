@@ -226,6 +226,18 @@ class ALSConfig:
     reg: float = 0.05
     sweeps: int = 10
     user_chunk: int = 8192  # rows solved per batched-Cholesky call
+    # ring-sharded mode: where the once-per-run piece plan's O(n log n)
+    # sort / slab scatter / group bounds run ('device' = accelerator,
+    # host only sees O(S^2 * block) degree summaries; bitwise-identical
+    # plans either way — same stable sort key). 'auto' = device on TPU.
+    plan_device: str = "auto"
+
+    def __post_init__(self):
+        if self.plan_device not in ("auto", "host", "device"):
+            raise ValueError(
+                "als.plan_device must be 'auto', 'host' or 'device', "
+                f"got {self.plan_device!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,12 +48,17 @@ from mfx.solvers.als import (
     BUCKET_CELLS,
     _pow2_at_least,
     _solve_gram,
+    bucket_plan_from_row_starts,
     build_bucket_plan,
     gram_accumulate,
     gram_rowchunk,
 )
 
-__all__ = ["build_ring_als_plan", "train_sweeps_als_ring"]
+__all__ = [
+    "build_ring_als_plan",
+    "build_ring_als_plan_device",
+    "train_sweeps_als_ring",
+]
 
 
 def _shuffle(n: int, seed: int, tag: int) -> tuple[np.ndarray, np.ndarray]:
@@ -126,10 +131,7 @@ def build_ring_als_plan(
         vals_h[s, : b - a] = v[a:b]
 
     NR = tgt_block // row_chunk
-    nb_cap = {
-        cap: _pow2_at_least(max(1, BUCKET_CELLS // cap // S), lo=8)
-        for cap in BUCKET_CAPS
-    }
+    nb_cap = _ring_bucket_chunks(S)
     # per-cell bucket plans, with piece starts made shard-local
     cell = {}  # (s, b) -> {cap: (prow, pstart, plen)} + range cuts
     for s in range(S):
@@ -140,15 +142,36 @@ def build_ring_als_plan(
         for b in range(S):
             c0, c1 = int(bcut[b]), int(bcut[b + 1])
             buckets, _ = build_bucket_plan(sl_rows[c0:c1], tgt_block)
-            ent = {}
-            for cap, (prow, pstart, plen) in buckets.items():
-                pstart = pstart + (a - shard_start[s]) + c0  # shard-local
-                cuts = np.searchsorted(prow, np.arange(0, tgt_block + 1,
-                                                       row_chunk))
-                ent[cap] = (prow.astype(np.int32), pstart.astype(np.int64),
-                            plen, cuts)
-            cell[(s, b)] = ent
+            cell[(s, b)] = _cell_entry(buckets, c0, tgt_block, row_chunk)
 
+    return _finish_plan(
+        cell, S, tgt_block, fix_block, row_chunk, nb_cap,
+        cols_h, vals_h, mesh,
+    )
+
+
+def _ring_bucket_chunks(S: int) -> dict:
+    return {
+        cap: _pow2_at_least(max(1, BUCKET_CELLS // cap // S), lo=8)
+        for cap in BUCKET_CAPS
+    }
+
+
+def _cell_entry(buckets, base, tgt_block, row_chunk):
+    """Make one cell's bucket plan shard-local (+ row-range cuts)."""
+    ent = {}
+    for cap, (prow, pstart, plen) in buckets.items():
+        pstart = pstart + base  # shard-local
+        cuts = np.searchsorted(prow, np.arange(0, tgt_block + 1, row_chunk))
+        ent[cap] = (prow.astype(np.int32), pstart.astype(np.int64),
+                    plen, cuts)
+    return ent
+
+
+def _finish_plan(cell, S, tgt_block, fix_block, row_chunk, nb_cap,
+                 cols_h, vals_h, mesh) -> RingAlsPlan:
+    """Pack the per-cell bucket plans into the padded device slabs."""
+    NR = tgt_block // row_chunk
     pieces_h = {}
     nchunks = {}
     for cap in BUCKET_CAPS:
@@ -192,6 +215,105 @@ def build_ring_als_plan(
         jax.device_put(cols_h, shd), jax.device_put(vals_h, shd),
         {cap: jax.device_put(a, shd) for cap, a in pieces_h.items()},
         nchunks, nb_cap,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("S", "tgt_block", "fix_block"))
+def _device_sort_side(rows_dev, cols_dev, vals_dev, *, S, tgt_block,
+                      fix_block):
+    """Stable device sort by (shard, fixed-block, local row) — the same
+    permutation as the host path's ``np.lexsort`` (both stable, same
+    key), so everything derived downstream is bitwise identical."""
+    shard = rows_dev // tgt_block
+    rloc = rows_dev % tgt_block
+    blk = cols_dev // fix_block
+    cloc = (cols_dev % fix_block).astype(jnp.int32)
+    # int32 key space (jax runs without x64 here) — the caller guards
+    # S * S * tgt_block < 2^31
+    key = ((shard * S + blk) * tgt_block + rloc).astype(jnp.int32)
+    order = jnp.argsort(key, stable=True)
+    key_s = jnp.take(key, order)
+    # shard boundaries in the sorted order (device; S+1 scalars)
+    shard_bounds = jnp.searchsorted(
+        key_s, jnp.arange(S + 1, dtype=jnp.int32) * (S * tgt_block)
+    )
+    return (
+        key_s,
+        jnp.take(cloc, order),
+        jnp.take(vals_dev.astype(jnp.float32), order),
+        shard_bounds,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("S", "n_max"))
+def _device_slabs(key_s, cloc_s, vals_s, shard_bounds, *, S, n_max):
+    """Scatter the sorted shard streams into (S, n_max) padded slabs."""
+    n = key_s.shape[0]
+    shard = jnp.searchsorted(shard_bounds, jnp.arange(n), side="right") - 1
+    shard = jnp.clip(shard, 0, S - 1).astype(jnp.int32)
+    within = jnp.arange(n) - jnp.take(shard_bounds, shard)
+    cols = jnp.zeros((S, n_max), jnp.int32).at[shard, within].set(cloc_s)
+    vals = jnp.zeros((S, n_max), jnp.float32).at[shard, within].set(vals_s)
+    return cols, vals
+
+
+def build_ring_als_plan_device(
+    rows_rel: np.ndarray,
+    cols_rel: np.ndarray,
+    vals: np.ndarray,
+    S: int,
+    tgt_block: int,
+    fix_block: int,
+    row_chunk: int,
+    mesh: Mesh,
+) -> RingAlsPlan:
+    """Device-assisted twin of ``build_ring_als_plan``: the O(n log n)
+    sort, the slab scatters and the (shard, block, row) group bounds run
+    on the accelerator; the host only touches O(S^2 * tgt_block) degree
+    summaries to lay out the piece slabs. Produces bitwise-identical
+    plans (same stable sort key as the host ``np.lexsort``), so the two
+    paths are interchangeable per run."""
+    if len(rows_rel) >= 1 << 31:
+        raise NotImplementedError(
+            "device ring-ALS planning indexes the sorted stream in int32"
+        )
+    if S * S * tgt_block >= 1 << 31:
+        raise NotImplementedError(
+            "device ring-ALS planning keys (shard, block, row) in int32 "
+            f"(S^2 * tgt_block = {S * S * tgt_block}); use "
+            "als.plan_device='host' at this geometry"
+        )
+    key_s, cloc_s, vals_s, shard_bounds_d = _device_sort_side(
+        jnp.asarray(rows_rel), jnp.asarray(cols_rel), jnp.asarray(vals),
+        S=S, tgt_block=tgt_block, fix_block=fix_block,
+    )
+    shard_bounds = np.asarray(shard_bounds_d)
+    n_max = int(np.max(np.diff(shard_bounds))) if len(rows_rel) else 1
+    n_max = max(n_max, 1)
+    if n_max >= 1 << 31:
+        raise NotImplementedError("per-shard ratings exceed int32")
+    cols_h, vals_h = _device_slabs(
+        key_s, cloc_s, vals_s, shard_bounds_d, S=S, n_max=n_max
+    )
+
+    nb_cap = _ring_bucket_chunks(S)
+    cell = {}
+    # per shard: one device searchsorted gives every (block, row) group's
+    # bounds; the host sees only the (S * tgt_block + 1) summary
+    for s in range(S):
+        base = np.int32(s * S * tgt_block)  # < 2^31 by the guard above
+        qs = base + np.arange(S * tgt_block + 1, dtype=np.int32)
+        bounds = np.asarray(jnp.searchsorted(key_s, jnp.asarray(qs)))
+        bounds = bounds - shard_bounds[s]  # shard-local positions
+        for b in range(S):
+            row_starts = bounds[b * tgt_block : (b + 1) * tgt_block + 1]
+            buckets = bucket_plan_from_row_starts(row_starts)
+            # pstart from row_starts is already shard-local: base = 0
+            cell[(s, b)] = _cell_entry(buckets, 0, tgt_block, row_chunk)
+
+    return _finish_plan(
+        cell, S, tgt_block, fix_block, row_chunk, nb_cap,
+        cols_h, vals_h, mesh,
     )
 
 
@@ -332,10 +454,15 @@ def train_sweeps_als_ring(
     urel = ufwd[train.user]
     irel = ifwd[train.item]
 
-    u_plan = build_ring_als_plan(
+    pd = getattr(cfg, "plan_device", "auto")
+    on_device = pd == "device" or (
+        pd == "auto" and jax.default_backend() == "tpu"
+    )
+    build = build_ring_als_plan_device if on_device else build_ring_als_plan
+    u_plan = build(
         urel, irel, train.rating, S, ublock, iblock, rc, mesh
     )
-    i_plan = build_ring_als_plan(
+    i_plan = build(
         irel, urel, train.rating, S, iblock, ublock, rc, mesh
     )
 

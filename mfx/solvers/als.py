@@ -48,6 +48,7 @@ __all__ = [
     "als_half_sweep",
     "train_sweeps_als",
     "build_bucket_plan",
+    "bucket_plan_from_row_starts",
     "accumulate_range",
 ]
 
@@ -85,6 +86,15 @@ def build_bucket_plan(coo_rows_sorted: np.ndarray, num_rows: int):
     row_starts = np.searchsorted(
         coo_rows_sorted, np.arange(num_rows + 1, dtype=np.int64)
     )
+    return bucket_plan_from_row_starts(row_starts), row_starts
+
+
+def bucket_plan_from_row_starts(row_starts: np.ndarray):
+    """The piece/bucket construction from run boundaries alone — callers
+    that already know each row's [start, end) in the sorted rating
+    arrays (e.g. the ring planner's device-computed group bounds,
+    mfx/parallel/als_ring.py) skip the O(n) host searchsorted."""
+    num_rows = len(row_starts) - 1
     degs = np.diff(row_starts)
     capmax = BUCKET_CAPS[-1]
     npieces = -(-degs // capmax)  # 0 pieces for empty rows
@@ -103,7 +113,7 @@ def build_bucket_plan(coo_rows_sorted: np.ndarray, num_rows: int):
             pstart[m].astype(np.int64),
             plen[m].astype(np.int32),
         )
-    return plan, row_starts
+    return plan
 
 
 def gram_accumulate(

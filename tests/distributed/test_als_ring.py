@@ -90,3 +90,52 @@ def test_als_ring_mesh_of_1_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(got.Q), np.asarray(ref.Q), rtol=2e-4, atol=2e-4
     )
+
+
+@requires_8
+def test_device_plan_bitwise_matches_host_plan():
+    """The device-assisted planner (stable device argsort on the same
+    composite key as the host np.lexsort) must produce BITWISE the same
+    piece slabs, cols/vals slabs, and trained model."""
+    from mfx.parallel.als_ring import (
+        build_ring_als_plan,
+        build_ring_als_plan_device,
+    )
+    import dataclasses
+
+    coo = synthetic.make_synthetic(220, 180, 11_000, rank=5, noise=0.25,
+                                   seed=9)
+    train, _ = train_test_split(coo, test_frac=0.1, seed=0)
+    mesh = make_mesh(model=4)
+
+    rng = np.random.default_rng(3)
+    # shuffled relabelings as the trainer produces
+    ufwd = rng.permutation(220).astype(np.int32)
+    ifwd = rng.permutation(180).astype(np.int32)
+    urel, irel = ufwd[train.user], ifwd[train.item]
+    S, ub, ib, rc = 4, 64, 48, 32
+    host = build_ring_als_plan(urel, irel, train.rating, S, ub * S // S,
+                               ib, rc, mesh)
+    dev = build_ring_als_plan_device(urel, irel, train.rating, S, ub,
+                                     ib, rc, mesh)
+    np.testing.assert_array_equal(np.asarray(host.cols), np.asarray(dev.cols))
+    np.testing.assert_array_equal(np.asarray(host.vals), np.asarray(dev.vals))
+    assert set(host.pieces) == set(dev.pieces)
+    for cap in host.pieces:
+        np.testing.assert_array_equal(
+            np.asarray(host.pieces[cap]), np.asarray(dev.pieces[cap])
+        )
+        np.testing.assert_array_equal(host.nchunks[cap], dev.nchunks[cap])
+
+    # end-to-end: trained tables bitwise-equal across planner choices
+    cfg_h = ALSConfig(reg=0.02, sweeps=1, user_chunk=64, plan_device="host")
+    cfg_d = dataclasses.replace(cfg_h, plan_device="device")
+    m0 = init_model(4, 220, 180, 8, global_mean=train.global_mean)
+    mh = _final(train_sweeps_als_ring(m0, train, cfg_h, mesh, use_bias=True,
+                                      seed=2))
+    md = _final(train_sweeps_als_ring(m0, train, cfg_d, mesh, use_bias=True,
+                                      seed=2))
+    for f in ("P", "Q", "bu", "bi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(mh, f)), np.asarray(getattr(md, f))
+        )
