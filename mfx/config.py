@@ -263,6 +263,15 @@ class IALSConfig:
     reg: float = 0.1
     sweeps: int = 8
     user_chunk: int = 8192  # rows solved per batched-Cholesky call
+    # ring-sharded mode: planner placement, as ALSConfig.plan_device
+    plan_device: str = "auto"
+
+    def __post_init__(self):
+        if self.plan_device not in ("auto", "host", "device"):
+            raise ValueError(
+                "ials.plan_device must be 'auto', 'host' or 'device', "
+                f"got {self.plan_device!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

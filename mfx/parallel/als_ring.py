@@ -343,6 +343,19 @@ def _ring_gram_chunk(
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
+def _ring_rotate_one(rotF, *, mesh: Mesh):
+    """Single-table ring rotation (the bias-free iALS ring uses this)."""
+    S = mesh.shape[MODEL_AXIS]
+    ring = [(r, (r - 1) % S) for r in range(S)]
+
+    def body(rF):
+        return lax.ppermute(rF, MODEL_AXIS, ring)
+
+    ax = P(MODEL_AXIS)
+    return jax.shard_map(body, mesh=mesh, in_specs=(ax,), out_specs=ax)(rotF)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
 def _ring_rotate(rotF, rotb, *, mesh: Mesh):
     S = mesh.shape[MODEL_AXIS]
     ring = [(r, (r - 1) % S) for r in range(S)]

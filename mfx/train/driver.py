@@ -217,11 +217,21 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
                     yield sweep, m, float("nan")
 
             return gen_ials_dp()
+        if cfg.parallel.mode == "sharded":
+            from mfx.parallel.ials_ring import train_sweeps_ials_ring
+
+            def gen_ials_ring():
+                for sweep, m in train_sweeps_ials_ring(
+                    model, train_coo, cfg.ials, mesh, use_bias=use_bias,
+                    seed=seed,
+                ):
+                    yield sweep, m, float("nan")
+
+            return gen_ials_ring()
         if cfg.parallel.mode != "single":
             raise ValueError(
-                "solver='ials' runs single-device or data-parallel; use "
-                "parallel.mode in ('single', 'dp', 'hybrid') "
-                "(row-sharded iALS: see STATUS.md next-round queue)"
+                "solver='ials' supports parallel.mode in "
+                "('single', 'dp', 'hybrid', 'sharded')"
             )
         from mfx.solvers.ials import train_sweeps_ials
 
