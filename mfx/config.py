@@ -126,6 +126,13 @@ class SGDConfig:
     # 'select' — per-slot select-merge to (tile, rank) and concat back
     #            (the original form; step_user_batch always uses it)
     pack_path: str = "roll"
+    # dense-phase data echoing: SGD passes per stratum per epoch on the
+    # VMEM-resident R block. The dense phase is HBM-bound on the R
+    # stream, so extra in-VMEM batch steps cost only (partly idle) MXU
+    # time — more rating updates per byte streamed, faster convergence
+    # per epoch (each stratum takes `dense_echo` Jacobi-style steps).
+    # Requires bias_mode='lane' (or use_bias=False) when > 1.
+    dense_echo: int = 1
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4
@@ -189,6 +196,16 @@ class SGDConfig:
             raise ValueError(
                 f"sgd.bias_mode={self.bias_mode!r} and sgd.step_user_batch "
                 "are mutually exclusive kernel variants"
+            )
+        if self.dense_echo < 1:
+            raise ValueError(
+                f"sgd.dense_echo must be >= 1, got {self.dense_echo}"
+            )
+        if self.dense_echo > 1 and self.bias_mode == "epoch":
+            raise ValueError(
+                "sgd.dense_echo > 1 needs per-pass bias semantics: use "
+                "bias_mode='lane' (or 'tile', or a bias-free model) — "
+                "'epoch' consumes single-pass residual sums"
             )
 
 

@@ -84,7 +84,7 @@ def aux_width(pack: int) -> int:
 
 
 def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
-                 lane=False):
+                 lane=False, echo=1):
     # lane=True (sgd.bias_mode='lane'): biases ride in the factor lanes
     # (see sgd_pallas.py) — S already contains bu+bi, the per-stratum
     # E row/col sums and the post-phase bias update disappear, and the
@@ -164,11 +164,6 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
             P_out[:, :] = P_in[:, :]
 
         qs = sc_ref[g] * qstride
-        Pblk = P_out[0:sup, :]
-        Qwin = Qseg[pl.ds(qs, sip), :]
-        Pa = [Pblk[:, a * K : (a + 1) * K] for a in range(pack)]
-        Qb = [Qwin[:, b * K : (b + 1) * K] for b in range(pack)]
-
         if use_bias:
             bu = [aux_u_ref[0, :, a : a + 1] for a in range(pack)]  # (sup,1)
             bi = [aux_i_ref[0, b : b + 1, :] for b in range(pack)]  # (1,sip)
@@ -215,30 +210,6 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
             )
             nib = (byte >> 4) if (p_idx % 2) else (byte & 15)
             return nib.astype(f32)
-        dP = [None] * pack
-        dQ = [None] * pack
-        ebu = [None] * pack  # per-a row sums of Σ_b E
-        ebi = [None] * pack  # per-b col sums of Σ_a E
-        sse_acc = None
-        for a in range(pack):
-            for b in range(pack):
-                p_idx = a * pack + b
-                Rab = load_R(p_idx)
-                Sab = dotg(Pa[a], Qb[b], dims_nt)
-                Eab = jnp.where(
-                    Rab > 0.0, Rab * inv_scale - Sab - bu[a] - bi[b] - mu, 0.0
-                )
-                ta = dotg(Eab, Qb[b], dims_nn)
-                dP[a] = ta if dP[a] is None else dP[a] + ta
-                tb = dotg(Eab, Pa[a], dims_tn)
-                dQ[b] = tb if dQ[b] is None else dQ[b] + tb
-                if emit_db:
-                    ru = jnp.sum(Eab, axis=1)
-                    ebu[a] = ru if ebu[a] is None else ebu[a] + ru
-                    ci = jnp.sum(Eab, axis=0)
-                    ebi[b] = ci if ebi[b] is None else ebi[b] + ci
-                sq = jnp.sum(Eab**2)
-                sse_acc = sq if sse_acc is None else sse_acc + sq
         if lane:
             # freeze the constant-1 lanes (P: index K-2, Q: index K-1);
             # masks cover the FULL delta incl. the L2 term
@@ -254,25 +225,67 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
         s_i = [jnp.minimum(1.0, DSTAR / jnp.maximum(Di[a], 1.0))
                for a in range(pack)]
 
-        def upd_p(a):
-            d = dP[a] - reg * Du[a] * Pa[a]
-            if lane:
-                d = d * mP
-            return Pa[a] + lr * s_u[a] * d
+        # ``echo`` > 1 repeats the whole batch step on the VMEM-resident
+        # R block (unrolled; iteration n+1 re-reads the tables n just
+        # wrote). The R stream — what the phase is HBM-bound on — is
+        # fetched once per stratum either way, so the extra SGD passes
+        # ride the idle MXU under the next stratum's DMA.
+        for it in range(echo):
+            Pblk = P_out[0:sup, :]
+            Qwin = Qseg[pl.ds(qs, sip), :]
+            Pa = [Pblk[:, a * K : (a + 1) * K] for a in range(pack)]
+            Qb = [Qwin[:, b * K : (b + 1) * K] for b in range(pack)]
+            dP = [None] * pack
+            dQ = [None] * pack
+            ebu = [None] * pack  # per-a row sums of Σ_b E
+            ebi = [None] * pack  # per-b col sums of Σ_a E
+            sse_acc = None
+            for a in range(pack):
+                for b in range(pack):
+                    p_idx = a * pack + b
+                    Rab = load_R(p_idx)
+                    Sab = dotg(Pa[a], Qb[b], dims_nt)
+                    Eab = jnp.where(
+                        Rab > 0.0,
+                        Rab * inv_scale - Sab - bu[a] - bi[b] - mu,
+                        0.0,
+                    )
+                    ta = dotg(Eab, Qb[b], dims_nn)
+                    dP[a] = ta if dP[a] is None else dP[a] + ta
+                    tb = dotg(Eab, Pa[a], dims_tn)
+                    dQ[b] = tb if dQ[b] is None else dQ[b] + tb
+                    if emit_db:
+                        ru = jnp.sum(Eab, axis=1)
+                        ebu[a] = ru if ebu[a] is None else ebu[a] + ru
+                        ci = jnp.sum(Eab, axis=0)
+                        ebi[b] = ci if ebi[b] is None else ebi[b] + ci
+                    sq = jnp.sum(Eab**2)
+                    sse_acc = sq if sse_acc is None else sse_acc + sq
 
-        def upd_q(b):
-            d = dQ[b] - reg * Di[b] * Qb[b]
-            if lane:
-                d = d * mQ
-            return Qb[b] + lr * s_i[b] * d
+            def upd_p(a):
+                d = dP[a] - reg * Du[a] * Pa[a]
+                if lane:
+                    d = d * mP
+                return Pa[a] + lr * s_u[a] * d
 
-        # full-width writes (lane sub-range stores need masking in Mosaic)
-        P_out[0:sup, :] = jnp.concatenate(
-            [upd_p(a) for a in range(pack)], axis=1
-        ) if pack > 1 else upd_p(0)
-        Qseg[pl.ds(qs, sip), :] = jnp.concatenate(
-            [upd_q(b) for b in range(pack)], axis=1
-        ) if pack > 1 else upd_q(0)
+            def upd_q(b):
+                d = dQ[b] - reg * Di[b] * Qb[b]
+                if lane:
+                    d = d * mQ
+                return Qb[b] + lr * s_i[b] * d
+
+            # full-width writes (lane sub-range stores need Mosaic masking)
+            P_out[0:sup, :] = jnp.concatenate(
+                [upd_p(a) for a in range(pack)], axis=1
+            ) if pack > 1 else upd_p(0)
+            Qseg[pl.ds(qs, sip), :] = jnp.concatenate(
+                [upd_q(b) for b in range(pack)], axis=1
+            ) if pack > 1 else upd_q(0)
+
+            if it == 0:
+                # train-sse keeps first-pass (pre-update) semantics so the
+                # reported RMSE is echo-invariant in meaning
+                acc_ref[0] = acc_ref[0] + sse_acc
 
         if emit_db:
             # per-stratum E sums for the post-phase bias update
@@ -286,8 +299,6 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
                 + [jnp.zeros((auxw - pack, sip), f32)],
                 axis=0,
             )
-
-        acc_ref[0] = acc_ref[0] + sse_acc
 
         @pl.when(g == ng - 1)
         def _():
@@ -305,7 +316,7 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "nwin", "use_bias", "exact", "interpret",
-        "rfmt", "lane",
+        "rfmt", "lane", "echo",
     ),
 )
 def dense_sgd_phase_pallas(
@@ -329,6 +340,7 @@ def dense_sgd_phase_pallas(
     interpret: bool = False,
     rfmt: str = "int8",
     lane: bool = False,
+    echo: int = 1,
 ):
     """Run the dense phase. Returns (Pm, Qh, dbu, dbi, sse) where dbu/dbi
     are per-stratum E sums for the post-phase bias update (zeros with
@@ -336,7 +348,20 @@ def dense_sgd_phase_pallas(
 
     ``rfmt``: 'int8' (round(r*R_SCALE) bytes) or 'int4' (round(r*2)
     nibbles, parity-pair-packed — exact for real star-scale ratings and
-    half the HBM stream; see R4_SCALE)."""
+    half the HBM stream; see R4_SCALE).
+
+    ``echo``: in-VMEM SGD passes per stratum (data echoing — the phase is
+    HBM-bound on the R stream, so extra batch steps on the resident block
+    are nearly free MXU time). Requires lane or bias-free mode: the
+    frozen-bias E sums are defined per single pass."""
+    if echo < 1:
+        raise ValueError(f"echo must be >= 1, got {echo}")
+    if echo > 1 and use_bias:
+        raise NotImplementedError(
+            "dense echo > 1 requires lane-carried biases "
+            "(sgd.bias_mode='lane') or use_bias=False: the frozen-bias "
+            "post-phase update consumes single-pass E sums"
+        )
     pack = 128 // rank
     auxw = aux_width(pack)
     nd = dense["sa"].shape[0]
@@ -346,7 +371,7 @@ def dense_sgd_phase_pallas(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
     kernel = _kernel_body(su, si, rank, pack, nwin, use_bias, exact,
-                          rfmt=rfmt, lane=lane)
+                          rfmt=rfmt, lane=lane, echo=echo)
     pstride = sup + BIAS_ROWS
     r_rows = (pack * pack // (2 if rfmt == "int4" else 1)) * sup
     # aux_i / dbu / dbi are zero streams when biases are lane-carried (or

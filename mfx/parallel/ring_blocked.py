@@ -133,6 +133,7 @@ def make_ring_blocked_epoch_fn(
     dense_meta: tuple = (),  # ((win0, nwin), ...) static per dense group
     rfmt: str = "int8",
     pack_path: str = "roll", bias_mode: str = "tile",
+    dense_echo: int = 1,
 ):
     """Jitted blocked-kernel DSGD-ring epoch over the flattened mesh.
 
@@ -166,7 +167,7 @@ def make_ring_blocked_epoch_fn(
                         Pm, Qs, local, lr, reg, mu,
                         su=geo.su, si=geo.si, rank=rank, use_bias=use_bias,
                         exact=exact, interpret=interpret, rfmt=rfmt,
-                        lane=lane,
+                        lane=lane, echo=dense_echo,
                     )
                     Qm = pk.q_segment_restore(Qm, Qs, win0, rank, geo.si)
                     sse = sse + s
@@ -325,7 +326,7 @@ def train_epochs_ring_blocked(
         exact=exact, interpret=interpret,
         mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
         dense_meta=dense_meta, rfmt=rfmt, pack_path=cfg.pack_path,
-        bias_mode=cfg.bias_mode,
+        bias_mode=cfg.bias_mode, dense_echo=cfg.dense_echo,
     )
     replan_every = cfg.replan_every
     tls = None

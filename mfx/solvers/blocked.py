@@ -97,7 +97,7 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
         "sweep_meta", "dense_meta", "mxu_bf16", "step_u", "rfmt",
-        "bias_mode", "pack_path",
+        "bias_mode", "pack_path", "dense_echo",
     ),
     donate_argnums=(0, 1),
 )
@@ -105,7 +105,7 @@ def _fused_epoch(
     Pm, Qm, sweeps, dense_groups, lr, reg, mu,
     *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
     dense_meta=(), mxu_bf16=False, step_u=False, rfmt="int8",
-    bias_mode="tile", bias_aux=None, pack_path="roll",
+    bias_mode="tile", bias_aux=None, pack_path="roll", dense_echo=1,
 ):
     """One whole epoch — dense phases + every item-sweep — as a single
     donated XLA program. One dispatch per epoch, no host sync inside, and
@@ -140,6 +140,7 @@ def _fused_epoch(
                 Pm, Qs, dt, lr, reg, mu,
                 su=su, si=si, rank=rank, use_bias=use_bias,
                 exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
+                echo=dense_echo,
             )
             Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
             sse = sse + s
@@ -289,6 +290,15 @@ def train_epochs_blocked(
         want_dense = (
             cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4)
         )
+        if (
+            want_dense and cfg.dense_echo > 1 and use_bias
+            and cfg.bias_mode == "tile"
+        ):
+            raise ValueError(
+                "sgd.dense_echo > 1 with biases requires "
+                "sgd.bias_mode='lane' (the frozen-bias dense path consumes "
+                "single-pass E sums)"
+            )
         nwin_head = min(-(-DENSE_HEAD_ITEMS // si), -(-I // si))
         rfmt = dense_rfmt(cfg, 128 // rank, train.rating) if want_dense else (
             "int8"
@@ -469,7 +479,7 @@ def train_epochs_blocked(
                 dense_meta=dense_meta,
                 mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
                 rfmt=rfmt, bias_mode=cfg.bias_mode, bias_aux=bias_aux,
-                pack_path=cfg.pack_path,
+                pack_path=cfg.pack_path, dense_echo=cfg.dense_echo,
             )
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates

@@ -858,12 +858,12 @@ import functools
 @functools.partial(
     jax.jit,
     static_argnames=("su", "si", "rank", "use_bias", "exact", "interpret",
-                     "rfmt", "lane"),
+                     "rfmt", "lane", "echo"),
     donate_argnums=(0, 1),
 )
 def run_dense_phase(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False, rfmt="int8", lane=False,
+    exact=False, interpret=False, rfmt="int8", lane=False, echo=1,
 ):
     """One dense phase over all dense strata. Qm is the FULL merged item
     table, donated; the kernel addresses only its head rows. Returns
@@ -878,13 +878,13 @@ def run_dense_phase(
     return dense_phase_core(
         Pm, Qm, tensors, lr, reg, mu, su=su, si=si, rank=rank,
         use_bias=use_bias, exact=exact, interpret=interpret, rfmt=rfmt,
-        lane=lane,
+        lane=lane, echo=echo,
     )
 
 
 def dense_phase_core(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False, rfmt="int8", lane=False,
+    exact=False, interpret=False, rfmt="int8", lane=False, echo=1,
 ):
     # lane (sgd.bias_mode='lane'): biases ride in the factor lanes —
     # the aux bias columns stay zero, the kernel's S carries bu+bi, the
@@ -932,7 +932,7 @@ def dense_phase_core(
         Pm, Qh, dense, lr, reg, mu,
         su=su, si=si, rank=rank, nwin=nwin,
         use_bias=use_bias and not lane,
-        exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
+        exact=exact, interpret=interpret, rfmt=rfmt, lane=lane, echo=echo,
     )
 
     if use_bias and not lane:

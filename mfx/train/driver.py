@@ -71,6 +71,15 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             "sgd.kernel=pallas (the DSGD ring runs per-shard dense strata "
             "on the held block) or sgd.dense_chi=0"
         )
+    if (
+        mode in ("sharded", "hybrid") and sgd.dense_echo > 1
+        and sgd.bias_mode == "tile" and cfg.model.use_bias
+    ):
+        raise ValueError(
+            "sgd.dense_echo > 1 with biases requires "
+            "sgd.bias_mode='lane' (the frozen-bias dense path consumes "
+            "single-pass E sums)"
+        )
 
 
 def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh):

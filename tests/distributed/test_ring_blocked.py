@@ -419,3 +419,36 @@ def test_ring_dense_full_span_on_mesh():
     assert np.isfinite(tr_full)
     assert r_full < 0.75 and r_off < 0.75, (r_full, r_off)
     assert abs(r_full - r_off) < 0.07, (r_full, r_off)
+
+
+def test_mesh_of_1_bitwise_dense_echo_lane():
+    """sgd.dense_echo in the ring: mesh-of-1 with lane biases + echo=2
+    must stay bitwise-identical to the single-chip full-span pipeline at
+    the same echo (same split, same per-stratum in-VMEM repeats)."""
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    U1, I1, N1 = 300, 260, 12_000
+    coo = synthetic.make_synthetic(U1, I1, N1, rank=4, noise=0.3, seed=9)
+    cfg = dataclasses.replace(CFG, epochs=2, dense_chi=0.03,
+                              dense_span="full", dense_nwd=1,
+                              bias_mode="lane", dense_echo=2)
+    mesh = make_mesh()  # 1x1
+
+    m_ring = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_ring, _ in train_epochs_ring_blocked(
+        m_ring, coo, cfg, use_bias=True, mesh=mesh, seed=0, interpret=True
+    ):
+        pass
+
+    m_single = init_model(2, U1, I1, 64, global_mean=coo.global_mean)
+    for _, m_single, _ in train_epochs_blocked(
+        m_single, coo, cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+    m_single = m_single.materialize()
+
+    for a, b in [
+        (m_ring.P, m_single.P), (m_ring.Q, m_single.Q),
+        (m_ring.bu, m_single.bu), (m_ring.bi, m_single.bi),
+    ]:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -377,3 +377,73 @@ def test_dense_phase_lane_matches_mirror_interpret():
     np.testing.assert_array_equal(np.asarray(got.Q[:, rank - 1]), 1.0)
     assert not np.allclose(np.asarray(got.P[:, rank - 1]),
                            np.asarray(laneM.P[:, rank - 1]))
+
+
+@pytest.mark.parametrize("lane", [False, True])
+def test_dense_echo_equals_sequential_passes(lane):
+    """dense_echo semantics: with DIAGONAL strata (disjoint user blocks x
+    item windows) the per-stratum in-VMEM repeat order coincides with the
+    whole-phase order, so one echo=2 phase must equal two echo=1 phases
+    exactly. (With shared blocks the orders differ by design — echo is
+    per-stratum Jacobi repeats, not extra epochs.)"""
+    from mfx.data.coo import RatingsCOO
+
+    U0 = I0 = 512
+    su = si = 256
+    rank = 64
+    pack = 128 // rank
+    rng = np.random.default_rng(7)
+    us, its, rs = [], [], []
+    for k in range(2):  # stratum (k, k) only
+        n = 3000
+        us.append(rng.integers(k * su, (k + 1) * su, n, dtype=np.int64))
+        its.append(rng.integers(k * si, (k + 1) * si, n, dtype=np.int64))
+        rs.append(rng.uniform(0.5, 5.0, n).astype(np.float32))
+    coo = RatingsCOO(
+        np.concatenate(us).astype(np.int32),
+        np.concatenate(its).astype(np.int32),
+        np.concatenate(rs), U0, I0,
+    )
+    split = dp.split_dense_strata(
+        coo.user, coo.item, U0, I0, su, si,
+        chi_min=0.01, nwin_head=2, pack=pack,
+    )
+    assert split.num_strata == 2
+    assert len(split.sparse_idx) == 0
+    tensors = dp.build_dense_tensors(split, coo.rating, su, si, pack)
+
+    model = init_model(4, U0, I0, rank, global_mean=float(coo.rating.mean()))
+    if lane:
+        model = pk.to_lane_model(model)
+    lr, reg, mu = 0.01, 0.02, float(model.mu)
+    kw = dict(su=su, si=si, rank=rank, use_bias=lane, exact=True,
+              interpret=True, lane=lane)
+
+    Pm, Qm = pk.pack_state(model, su, si)
+    Pe, Qe, sse_e = dp.run_dense_phase(Pm, Qm, tensors, lr, reg, mu,
+                                       echo=2, **kw)
+
+    Pm, Qm = pk.pack_state(model, su, si)
+    P1, Q1, sse_1 = dp.run_dense_phase(Pm, Qm, tensors, lr, reg, mu, **kw)
+    P1_snap = np.asarray(P1)  # P1 is donated into the second pass below
+    P2, Q2, _ = dp.run_dense_phase(P1, Q1, tensors, lr, reg, mu, **kw)
+
+    np.testing.assert_array_equal(np.asarray(Pe), np.asarray(P2))
+    np.testing.assert_array_equal(np.asarray(Qe), np.asarray(Q2))
+    # sse keeps first-pass semantics: echo-invariant
+    np.testing.assert_allclose(float(sse_e), float(sse_1), rtol=1e-6)
+    # and the echoed tables really took a second step
+    assert not np.allclose(np.asarray(Pe), P1_snap)
+
+
+def test_dense_echo_rejects_frozen_bias():
+    with pytest.raises(NotImplementedError, match="echo"):
+        from mfx.kernels.dense_pallas import dense_sgd_phase_pallas
+
+        dense_sgd_phase_pallas(
+            jnp.zeros((264, 128)), jnp.zeros((264, 128)),
+            {"sa": jnp.zeros((1,), jnp.int32)},
+            0.01, 0.02, 0.0,
+            su=256, si=256, rank=64, nwin=1, use_bias=True,
+            interpret=True, echo=2,
+        )

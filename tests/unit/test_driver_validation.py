@@ -56,3 +56,41 @@ def test_sharded_accepts_full_dense_span():
         _cfg("sharded", kernel="pallas", partitioner="blocked",
              dense_chi=0.001, dense_span="full")
     )
+
+
+def test_dense_echo_config_bounds():
+    import pytest
+    from mfx.config import SGDConfig
+
+    with pytest.raises(ValueError, match="dense_echo"):
+        SGDConfig(dense_echo=0)
+    with pytest.raises(ValueError, match="dense_echo"):
+        SGDConfig(dense_echo=2, bias_mode="epoch", kernel="pallas",
+                  plan_device="device")
+
+
+def test_sharded_dense_echo_needs_lane():
+    import dataclasses
+
+    import pytest
+
+    from mfx.config import ModelConfig
+
+    biased = dataclasses.replace(
+        _cfg("sharded", kernel="pallas", partitioner="blocked",
+             dense_chi=0.001, dense_echo=2),
+        model=ModelConfig(rank=64, use_bias=True),
+    )
+    with pytest.raises(ValueError, match="dense_echo"):
+        _validate_parallel_sgd(biased)
+    # lane biases (or a bias-free model) make it legal
+    _validate_parallel_sgd(
+        dataclasses.replace(
+            biased,
+            sgd=dataclasses.replace(biased.sgd, bias_mode="lane"),
+        )
+    )
+    _validate_parallel_sgd(
+        _cfg("sharded", kernel="pallas", partitioner="blocked",
+             dense_chi=0.001, dense_echo=2)
+    )
