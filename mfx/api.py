@@ -44,8 +44,8 @@ def evaluate(
 ) -> dict:
     """Held-out metrics: RMSE/MAE (explicit; predictions clipped to the
     rating scale, matching the training driver) or sampled AUC (implicit).
-    ``ranking_k``: additionally report sampled HR@K / NDCG@K at this K
-    (pass ``pos_keys`` built over train ∪ test to ``hr_ndcg_at_k``
+    ``ranking_k``: additionally report sampled HR@K / NDCG@K / MRR@K at
+    this K (pass ``pos_keys`` built over train ∪ test to ``hr_ndcg_at_k``
     directly for the unbiased protocol)."""
     out = {}
     if implicit:
@@ -56,4 +56,5 @@ def evaluate(
         r = hr_ndcg_at_k(model, coo, k=ranking_k)
         out[f"hr@{ranking_k}"] = r["hr"]
         out[f"ndcg@{ranking_k}"] = r["ndcg"]
+        out[f"mrr@{ranking_k}"] = r["mrr"]
     return out

@@ -314,6 +314,16 @@ class BPRConfig:
     #            1-core time at configs[4] scale)
     # 'auto'   — device on TPU backends, host otherwise
     sample_device: str = "auto"
+    # negative-sampling proposal measure:
+    # 'uniform'    — uniform over the catalog (exact: complement draw /
+    #                rejection); the BPR paper's sampler
+    # 'popularity' — P(i) ∝ count(i)**neg_beta (word2vec-style adaptive
+    #                oversampling: popular items make harder negatives).
+    #                Snapshot-minibatch ('jnp') paths only — the fused
+    #                ring kernel's window-local complement draw is
+    #                uniform by construction.
+    neg_weighting: str = "uniform"
+    neg_beta: float = 0.75
 
     def __post_init__(self):
         if self.sample_device not in ("auto", "host", "device"):
@@ -324,6 +334,17 @@ class BPRConfig:
         if self.kernel not in ("jnp", "pallas"):
             raise ValueError(
                 f"bpr.kernel must be 'jnp' or 'pallas', got {self.kernel!r}"
+            )
+        if self.neg_weighting not in ("uniform", "popularity"):
+            raise ValueError(
+                "bpr.neg_weighting must be 'uniform' or 'popularity', "
+                f"got {self.neg_weighting!r}"
+            )
+        if self.neg_weighting == "popularity" and self.kernel == "pallas":
+            raise ValueError(
+                "bpr.neg_weighting='popularity' needs the snapshot-"
+                "minibatch path (bpr.kernel='jnp'); the fused ring "
+                "kernel's window-local exact negatives are uniform"
             )
 
 

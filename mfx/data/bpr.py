@@ -27,8 +27,10 @@ __all__ = [
     "complement_draw",
     "lowerbound_2key",
     "members_2key",
+    "popularity_cdf",
     "sample_negatives",
     "sample_negatives_device",
+    "sample_negatives_weighted_device",
     "bpr_epoch_triples",
 ]
 
@@ -47,6 +49,35 @@ def build_positive_index(coo: RatingsCOO) -> np.ndarray:
     return keys
 
 
+def popularity_cdf(
+    item: np.ndarray, num_items: int, beta: float = 0.75
+) -> np.ndarray:
+    """Cumulative distribution over items with P(i) ∝ count(i)**beta —
+    the standard popularity-weighted ("adaptive") negative-sampling
+    measure (word2vec's beta=0.75 default): popular items make harder
+    negatives, which sharpens top-of-ranking resolution. Items unseen in
+    ``item`` have zero mass (they are never drawn as negatives). Build
+    once per run; pass to :func:`sample_negatives` /
+    :func:`bpr_epoch_triples` (host) or, as a device array, to
+    :func:`sample_negatives_weighted_device`. float64 so the inverse-CDF
+    searchsorted stays exact at billion-count scale."""
+    counts = np.bincount(item, minlength=num_items).astype(np.float64)
+    w = counts**beta
+    tot = w.sum()
+    if tot <= 0:
+        raise ValueError("popularity_cdf needs at least one interaction")
+    cdf = np.cumsum(w / tot)
+    cdf[-1] = 1.0  # close the rounding gap so every u < 1 maps in-range
+    return cdf
+
+
+def _cdf_draw(rng: np.random.Generator, cdf: np.ndarray, size: int):
+    """Inverse-CDF draw: item k with probability cdf[k] - cdf[k-1]."""
+    return np.searchsorted(cdf, rng.random(size), side="right").astype(
+        np.int32
+    )
+
+
 def _members(pos_keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
     """Boolean membership of each query key in the sorted key array."""
     idx = np.searchsorted(pos_keys, queries)
@@ -61,22 +92,29 @@ def sample_negatives(
     epoch: int,
     users: np.ndarray | None = None,
     pos_keys: np.ndarray | None = None,
+    cdf: np.ndarray | None = None,
 ) -> np.ndarray:
     """Seeded negatives. With ``users`` + ``pos_keys`` the sampling is
     exact (rejection against each user's positive set); without them it is
     plain uniform (used only where positives are acceptable, e.g. sampled
-    AUC's ranking noise floor)."""
+    AUC's ranking noise floor). ``cdf`` (from :func:`popularity_cdf`)
+    switches the proposal measure to popularity-weighted; rejection then
+    samples the user-conditional renormalization of that measure."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xBB12, epoch]))
-    neg = rng.integers(0, num_items, size=n, dtype=np.int32)
+
+    def draw(size):
+        if cdf is not None:
+            return _cdf_draw(rng, cdf, size)
+        return rng.integers(0, num_items, size=size, dtype=np.int32)
+
+    neg = draw(n)
     if users is None or pos_keys is None:
         return neg
     ukeys = users.astype(np.int64) * num_items
     pending = np.flatnonzero(_members(pos_keys, ukeys + neg))
     rounds = 0
     while pending.size and rounds < MAX_REJECTION_ROUNDS:
-        neg[pending] = rng.integers(
-            0, num_items, size=pending.size, dtype=np.int32
-        )
+        neg[pending] = draw(pending.size)
         pending = pending[_members(pos_keys, ukeys[pending] + neg[pending])]
         rounds += 1
     return neg
@@ -232,20 +270,52 @@ def sample_negatives_device(key, users, pu, pi, num_items: int):
     )
 
 
+def sample_negatives_weighted_device(
+    key, users, pu, pi, cdf, rounds: int = 16
+):
+    """Device-side popularity-weighted negatives: inverse-CDF draws from
+    ``cdf`` (a device array from :func:`popularity_cdf`), with ``rounds``
+    fixed redraw rounds rejecting the user's observed positives
+    (:func:`members_2key`). Unlike the uniform :func:`complement_draw`
+    this is exact only up to a density**rounds residual per slot
+    (< 1e-20 at real catalog densities with the default 16 rounds) —
+    the weighted measure has no order-statistic shortcut. All ops are
+    jit-friendly; the stream is bitwise-reproducible per (key, shape)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def draw(k):
+        u = jax.random.uniform(k, users.shape, dtype=jnp.float32)
+        return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+
+    neg = draw(jax.random.fold_in(key, 0))
+
+    def body(r, neg):
+        coll = members_2key(pu, pi, users, neg)
+        fresh = draw(jax.random.fold_in(key, 1 + r))
+        return jnp.where(coll, fresh, neg)
+
+    return lax.fori_loop(0, rounds, body, neg)
+
+
 def bpr_epoch_triples(
     coo: RatingsCOO,
     seed: int,
     epoch: int,
     perm: np.ndarray | None = None,
     pos_keys: np.ndarray | None = None,
+    cdf: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(users, pos_items, neg_items) for one epoch, in permuted order.
     Pass ``pos_keys`` (from :func:`build_positive_index`) for exact
-    negatives."""
+    negatives and ``cdf`` (from :func:`popularity_cdf`) for
+    popularity-weighted ones."""
     neg = sample_negatives(
         coo.n_ratings, coo.num_items, seed, epoch,
         users=coo.user if pos_keys is not None else None,
         pos_keys=pos_keys,
+        cdf=cdf,
     )
     if perm is None:
         return coo.user, coo.item, neg

@@ -5,7 +5,9 @@ is ranked against ``n_neg`` sampled negatives drawn uniformly from the
 catalog and rejection-filtered against the user's FULL observed positive
 set (train ∪ test via ``pos_keys``), so a "negative" is never actually a
 positive. HR@K is the fraction of positives ranked in the top K of their
-1 + n_neg candidate list; NDCG@K credits 1/log2(rank + 1).
+1 + n_neg candidate list; NDCG@K credits 1/log2(rank + 1); MRR@K credits
+1/rank (with a single positive per list this equals MAP@K, and HR@K
+equals Recall@K — the sampled protocol's full metric set).
 
 TPU-native shape: evaluation streams fixed-size jitted chunks of
 ``(chunk, 1 + n_neg)`` score gathers — one batched gather + dot per chunk,
@@ -56,7 +58,8 @@ def _rank_chunk(model, users, pos, negs, weights, k):
     rank = 1.0 + better
     hit = (rank <= k).astype(jnp.float32) * weights
     ndcg = jnp.where(rank <= k, 1.0 / jnp.log2(rank + 1.0), 0.0) * weights
-    return jnp.sum(hit), jnp.sum(ndcg), jnp.sum(weights)
+    mrr = jnp.where(rank <= k, 1.0 / rank, 0.0) * weights
+    return jnp.sum(hit), jnp.sum(ndcg), jnp.sum(mrr), jnp.sum(weights)
 
 
 def hr_ndcg_at_k(
@@ -68,7 +71,9 @@ def hr_ndcg_at_k(
     chunk: int = 1 << 16,
     pos_keys: np.ndarray | None = None,
 ) -> dict:
-    """{'hr': HR@K, 'ndcg': NDCG@K} of ``model`` on a held-out split.
+    """{'hr': HR@K, 'ndcg': NDCG@K, 'mrr': MRR@K} of ``model`` on a
+    held-out split (HR = Recall and MRR = MAP under the one-positive-
+    per-list sampled protocol).
 
     ``pos_keys``: sorted ``u * num_items + i`` keys of ALL observed
     positives (train ∪ test — build with
@@ -78,7 +83,7 @@ def hr_ndcg_at_k(
     """
     n = test.n_ratings
     if n == 0:
-        return {"hr": 0.0, "ndcg": 0.0}
+        return {"hr": 0.0, "ndcg": 0.0, "mrr": 0.0}
     if pos_keys is None:
         pos_keys = build_positive_index(test)
     # n_neg independent exact draws; distinct eval-only streams per column
@@ -93,7 +98,7 @@ def hr_ndcg_at_k(
         axis=1,
     )
     chunk = min(chunk, max(1024, n))
-    hits = ndcg = cnt = 0.0
+    hits = ndcg = mrr = cnt = 0.0
     u = np.zeros(chunk, np.int32)
     p = np.zeros(chunk, np.int32)
     q = np.zeros((chunk, n_neg), np.int32)
@@ -106,8 +111,9 @@ def hr_ndcg_at_k(
         q[:m] = negs[start:stop]
         w[:] = 0.0
         w[:m] = 1.0
-        h, g, c = _rank_chunk(model, u, p, q, w, k)
+        h, g, r, c = _rank_chunk(model, u, p, q, w, k)
         hits += float(h)
         ndcg += float(g)
+        mrr += float(r)
         cnt += float(c)
-    return {"hr": hits / cnt, "ndcg": ndcg / cnt}
+    return {"hr": hits / cnt, "ndcg": ndcg / cnt, "mrr": mrr / cnt}

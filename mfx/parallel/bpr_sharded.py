@@ -550,6 +550,12 @@ def train_epochs_bpr_ring(
     """Sharded-table BPR epochs; yields (epoch, model, mean_loss). The model
     is yielded in the ORIGINAL item labeling (the internal shuffle is
     undone on output)."""
+    if getattr(cfg, "neg_weighting", "uniform") != "uniform":
+        raise ValueError(
+            "the ring's block-stratified samplers are uniform-exact by "
+            "construction; bpr.neg_weighting='popularity' runs on the "
+            "snapshot-minibatch paths (parallel.mode 'single' or 'dp')"
+        )
     if cfg.kernel == "pallas":
         yield from train_epochs_bpr_ring_fused(
             model, train, cfg, mesh, seed=seed, start_epoch=start_epoch,

@@ -128,10 +128,17 @@ def train_epochs_bpr_dp(
     epoch_fn = make_bpr_dp_epoch_fn(mesh)
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     pos_keys = build_positive_index(train)
+    cdf = None
+    if getattr(cfg, "neg_weighting", "uniform") == "popularity":
+        from mfx.data.bpr import popularity_cdf
+
+        cdf = popularity_cdf(train.item, train.num_items,
+                             getattr(cfg, "neg_beta", 0.75))
     for epoch in range(start_epoch, cfg.epochs):
         perm = epoch_permutation(train.n_ratings, seed, epoch)
         u, i, j = bpr_epoch_triples(
-            train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys
+            train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys,
+            cdf=cdf,
         )
         batches = {
             k: jax.device_put(v, sharding)

@@ -97,17 +97,25 @@ def _pad_triples(u, i, j, batch_size):
 
 @functools.partial(jax.jit, static_argnames=("batch_size", "num_items"))
 def _epoch_triples_device(
-    u_dev, i_dev, pu, pi, key_perm, key_neg, *, batch_size, num_items
+    u_dev, i_dev, pu, pi, key_perm, key_neg, *, batch_size, num_items,
+    cdf=None,
 ):
     """One epoch's padded triple batches built entirely on device: seeded
-    permutation, exact negatives (sample_negatives_device), padding."""
-    from mfx.data.bpr import sample_negatives_device
+    permutation, exact negatives (sample_negatives_device — or
+    popularity-weighted ones when ``cdf`` is given), padding."""
+    from mfx.data.bpr import (
+        sample_negatives_device,
+        sample_negatives_weighted_device,
+    )
 
     n = u_dev.shape[0]
     perm = jax.random.permutation(key_perm, n)
     u = u_dev[perm]
     i = i_dev[perm]
-    j = sample_negatives_device(key_neg, u, pu, pi, num_items)
+    if cdf is not None:
+        j = sample_negatives_weighted_device(key_neg, u, pu, pi, cdf)
+    else:
+        j = sample_negatives_device(key_neg, u, pu, pi, num_items)
     nb = max(1, -(-n // batch_size))
     pad = nb * batch_size - n
     w = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))
@@ -135,6 +143,13 @@ def train_epochs_bpr(
     use_dev = cfg.sample_device == "device" or (
         cfg.sample_device == "auto" and jax.default_backend() == "tpu"
     )
+    weighting = getattr(cfg, "neg_weighting", "uniform")
+    cdf = cdf_dev = None
+    if weighting == "popularity":
+        from mfx.data.bpr import popularity_cdf
+
+        cdf = popularity_cdf(train.item, train.num_items,
+                             getattr(cfg, "neg_beta", 0.75))
     if use_dev:
         from mfx.data.bpr import build_positive_index_device
 
@@ -142,6 +157,8 @@ def train_epochs_bpr(
         i_dev = jnp.asarray(train.item, jnp.int32)
         pu, pi = build_positive_index_device(u_dev, i_dev)
         base = jax.random.key(seed + cfg.neg_seed)
+        if cdf is not None:
+            cdf_dev = jnp.asarray(cdf, jnp.float32)
     else:
         pos_keys = build_positive_index(train)  # exact negatives
     for epoch in range(start_epoch, cfg.epochs):
@@ -151,11 +168,13 @@ def train_epochs_bpr(
             batches = _epoch_triples_device(
                 u_dev, i_dev, pu, pi, kp, kn,
                 batch_size=cfg.batch_size, num_items=train.num_items,
+                cdf=cdf_dev,
             )
         else:
             perm = epoch_permutation(train.n_ratings, seed, epoch)
             u, i, j = bpr_epoch_triples(
-                train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys
+                train, cfg.neg_seed + seed, epoch, perm, pos_keys=pos_keys,
+                cdf=cdf,
             )
             batches = _pad_triples(u, i, j, cfg.batch_size)
         model, loss = _epoch_scan(

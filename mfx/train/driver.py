@@ -199,12 +199,23 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
                     yield sweep, m, float("nan")
 
             return gen_nmf_dp()
+        if cfg.parallel.mode == "sharded":
+            from mfx.parallel.nmf_ring import train_sweeps_nmf_ring
+
+            # sharded = no-gather row-sharded tables: ring-rotate the
+            # fixed side, Grams never leave their shard (nmf_ring.py)
+            def gen_nmf_ring():
+                for sweep, m in train_sweeps_nmf_ring(
+                    model, train_coo, cfg.nmf, mesh, use_bias=use_bias,
+                    seed=seed,
+                ):
+                    yield sweep, m, float("nan")
+
+            return gen_nmf_ring()
         if cfg.parallel.mode != "single":
             raise ValueError(
-                "solver='nmf' runs single-device or data-parallel "
-                "(parallel.mode in ('single', 'dp', 'hybrid')); use "
-                "solver='als' parallel.mode='sharded' for row-sharded "
-                "normal-equation sweeps"
+                "solver='nmf' supports parallel.mode in "
+                "('single', 'dp', 'hybrid', 'sharded')"
             )
         from mfx.solvers.nmf import train_sweeps_nmf
 

@@ -59,14 +59,3 @@ def test_driver_routes_nmf_dp(tmp_path):
     assert res.epochs_run == 2
     assert 0 < res.test_rmse < 1.5
     assert (np.asarray(res.model.P) >= 0).all()
-
-
-def test_driver_rejects_nmf_sharded():
-    from mfx.train.driver import _make_epoch_iter
-
-    cfg = TrainConfig(solver="nmf",
-                      parallel=ParallelConfig(mode="sharded", model_axis=8))
-    m0 = init_model(0, 10, 8, 4, global_mean=2.0)
-    coo = make_synthetic(10, 8, 50, rank=2, seed=0)
-    with pytest.raises(ValueError, match="single-device or data-parallel"):
-        _make_epoch_iter(cfg, m0, coo, 0, 0, None)

@@ -36,7 +36,7 @@ def test_hr_ndcg_matches_numpy_oracle():
         ],
         axis=1,
     )
-    hits = ndcg = 0.0
+    hits = ndcg = mrr = 0.0
     for t in range(n):
         u, p = test.user[t], test.item[t]
         sp = P[u] @ Q[p] + bi[p]
@@ -45,8 +45,10 @@ def test_hr_ndcg_matches_numpy_oracle():
         if rank <= k:
             hits += 1.0
             ndcg += 1.0 / np.log2(rank + 1.0)
+            mrr += 1.0 / rank
     np.testing.assert_allclose(got["hr"], hits / n, atol=1e-6)
     np.testing.assert_allclose(got["ndcg"], ndcg / n, atol=1e-6)
+    np.testing.assert_allclose(got["mrr"], mrr / n, atol=1e-6)
     # negatives never collide with ANY observed positive
     keys = test.user.astype(np.int64)[:, None] * I + negs
     assert not np.isin(keys.reshape(-1), pos_keys).any()
