@@ -101,6 +101,26 @@ def cmd_recommend(args) -> int:
     return 0
 
 
+def cmd_similar(args) -> int:
+    """Related-items serving from a checkpoint: top-K nearest items by
+    factor cosine — one JSON line per query item."""
+    import numpy as np
+
+    from mfx.serve import similar_items
+    from mfx.train.checkpoint import load_checkpoint
+
+    model, _epoch, _seed = load_checkpoint(args.checkpoint)
+    items = np.array([int(i) for i in args.items.split(",")], np.int32)
+    nbrs, cos = similar_items(model, items, k=args.k, batch=args.batch)
+    for q, it, sc in zip(items, nbrs, cos):
+        print(json.dumps({
+            "item": int(q),
+            "similar": it.tolist(),
+            "cosine": [float(s) for s in sc],
+        }))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Checkpoint -> portable .npz model artifact (orbax-free serving)."""
     from mfx.train.checkpoint import load_checkpoint
@@ -172,6 +192,14 @@ def main(argv=None) -> int:
     p.add_argument("--no-exclude", action="store_true",
                    help="keep already-seen items in the results")
     p.set_defaults(fn=cmd_recommend)
+
+    p = sub.add_parser("similar", help="related items from a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--items", required=True,
+                   help="comma-separated dense item ids")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=256)
+    p.set_defaults(fn=cmd_similar)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")
     p.add_argument("--checkpoint", required=True)

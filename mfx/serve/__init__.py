@@ -2,13 +2,14 @@
 plus cold-start fold-in of new user/item histories (explicit LS and
 implicit iALS-style solves)."""
 
-from mfx.serve.topk import TopKRecommender
+from mfx.serve.topk import TopKRecommender, similar_items
 from mfx.serve.sharded import ShardedTopKRecommender
 from mfx.serve.foldin import fold_in, fold_in_batch, fold_in_implicit
 
 __all__ = [
     "TopKRecommender",
     "ShardedTopKRecommender",
+    "similar_items",
     "fold_in",
     "fold_in_batch",
     "fold_in_implicit",

@@ -21,9 +21,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TopKRecommender"]
+__all__ = ["TopKRecommender", "similar_items"]
 
 _NEG_INF = float("-inf")
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _similar_batch(Qn, query, k):
+    scores = jnp.take(Qn, query, axis=0, mode="clip") @ Qn.T  # (B, I)
+    # exclude the query item itself from its own neighbor list
+    scores = scores.at[jnp.arange(query.shape[0]), query].set(
+        _NEG_INF, mode="drop"
+    )
+    return jax.lax.top_k(scores, k)
+
+
+def similar_items(model, items, k: int = 10, batch: int = 256):
+    """Top-``k`` most similar items per query item by factor cosine —
+    the standard MF "related items" endpoint (item-item neighbors in the
+    learned latent space; biases deliberately excluded so similarity is
+    taste-direction, not popularity). One MXU matmul per batch over the
+    row-normalized item table; the query item is excluded from its own
+    list. Returns (items (n, k) int32, cosines (n, k) f32)."""
+    items = np.asarray(items, np.int32).reshape(-1)
+    num_items = model.num_items
+    if k < 1 or k > num_items - 1:
+        raise ValueError(
+            f"k must be in [1, num_items-1={num_items - 1}], got {k}"
+        )
+    if np.any((items < 0) | (items >= num_items)):
+        raise ValueError("item id out of range")
+    norm = jnp.linalg.norm(model.Q, axis=1, keepdims=True)
+    Qn = model.Q / jnp.maximum(norm, 1e-12)
+    n = items.shape[0]
+    out_i = np.empty((n, k), np.int32)
+    out_s = np.empty((n, k), np.float32)
+    for start in range(0, n, batch):
+        stop = min(start + batch, n)
+        qb = np.zeros(batch, np.int32)
+        qb[: stop - start] = items[start:stop]
+        s, i = _similar_batch(Qn, jnp.asarray(qb), k)
+        out_i[start:stop] = np.asarray(i)[: stop - start]
+        out_s[start:stop] = np.asarray(s)[: stop - start]
+    return out_i, out_s
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

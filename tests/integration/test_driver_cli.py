@@ -126,6 +126,18 @@ def test_cli_recommend_from_checkpoint(tmp_path):
         assert line["scores"] == sorted(line["scores"], reverse=True)
         seen = set(coo.item[coo.user == line["user"]].tolist())
         assert not seen & set(line["items"])
+    # related-items serving from the same checkpoint
+    rc, out = _run_cli([
+        "similar", "--checkpoint", str(ckpt), "--items", "1,7", "--k", "4",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.splitlines()]
+    assert [l["item"] for l in lines] == [1, 7]
+    for line in lines:
+        assert len(set(line["similar"])) == 4
+        assert line["item"] not in line["similar"]
+        assert line["cosine"] == sorted(line["cosine"], reverse=True)
+        assert all(c <= 1.0 + 1e-5 for c in line["cosine"])
 
 
 def test_driver_resume_continues(tmp_path):

@@ -95,3 +95,32 @@ def test_topk_recommender_no_train_and_validation():
         rec.recommend([0], k=I + 1)
     with pytest.raises(ValueError):
         rec.recommend([U], k=1)
+
+
+def test_similar_items_matches_cosine_oracle():
+    import pytest
+
+    from mfx.serve import similar_items
+
+    U, I, k = 20, 31, 5
+    model = _model(U, I, rank=6, seed=11)
+    queries = np.arange(I, dtype=np.int32)
+    nbrs, cos = similar_items(model, queries, k=k, batch=8)  # 4 batches
+
+    Q = np.asarray(model.Q, np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    full = Qn @ Qn.T
+    for q in range(I):
+        s = full[q].copy()
+        s[q] = -np.inf  # self excluded
+        want = np.argsort(-s, kind="stable")[:k]
+        np.testing.assert_allclose(cos[q], np.sort(s[want])[::-1], atol=1e-5)
+        assert q not in nbrs[q]
+        assert np.allclose(full[q][nbrs[q]], full[q][want], atol=1e-5)
+    assert (np.diff(cos, axis=1) <= 1e-6).all()
+    assert (cos <= 1.0 + 1e-5).all()
+
+    with pytest.raises(ValueError):
+        similar_items(model, [0], k=I)  # self-excluded: max is I-1
+    with pytest.raises(ValueError):
+        similar_items(model, [I], k=1)
