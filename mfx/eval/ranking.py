@@ -70,6 +70,7 @@ def hr_ndcg_at_k(
     seed: int = 0,
     chunk: int = 1 << 16,
     pos_keys: np.ndarray | None = None,
+    cdf: np.ndarray | None = None,
 ) -> dict:
     """{'hr': HR@K, 'ndcg': NDCG@K, 'mrr': MRR@K} of ``model`` on a
     held-out split (HR = Recall and MRR = MAP under the one-positive-
@@ -80,6 +81,11 @@ def hr_ndcg_at_k(
     ``mfx.data.bpr.build_positive_index``). When omitted, only the eval
     split's own positives filter the negative draws; pass the full index
     for the unbiased protocol.
+
+    ``cdf`` (from ``mfx.data.bpr.popularity_cdf``): draw the negative
+    candidates popularity-weighted instead of uniform — the harder
+    variant of the sampled protocol (popular unseen items are the
+    negatives a production ranker actually competes against).
     """
     n = test.n_ratings
     if n == 0:
@@ -91,7 +97,7 @@ def hr_ndcg_at_k(
         [
             sample_negatives(
                 n, test.num_items, seed, epoch=0xC0DE00 + j,
-                users=test.user, pos_keys=pos_keys,
+                users=test.user, pos_keys=pos_keys, cdf=cdf,
             )
             for j in range(n_neg)
         ],

@@ -100,3 +100,25 @@ def test_config_rejects_bad_weighting_combos():
         BPRConfig(neg_weighting="zipf")
     with pytest.raises(ValueError, match="window-local exact negatives"):
         BPRConfig(neg_weighting="popularity", kernel="pallas")
+
+
+def test_ranking_eval_with_popularity_candidates():
+    from mfx.eval.ranking import hr_ndcg_at_k
+    from mfx.models.mf import init_model
+
+    coo = synthetic.make_implicit_synthetic(120, 80, 2500, rank=4, seed=5)
+    model = init_model(2, coo.num_users, coo.num_items, rank=8,
+                       global_mean=0.0)
+    cdf = popularity_cdf(coo.item, coo.num_items, beta=0.75)
+    pos_keys = build_positive_index(coo)
+    got = hr_ndcg_at_k(model, coo, k=10, n_neg=20, seed=1,
+                       pos_keys=pos_keys, cdf=cdf)
+    again = hr_ndcg_at_k(model, coo, k=10, n_neg=20, seed=1,
+                         pos_keys=pos_keys, cdf=cdf)
+    assert set(got) == {"hr", "ndcg", "mrr"}
+    assert all(0.0 <= got[m] <= 1.0 for m in got)
+    assert got == again  # seeded protocol is deterministic
+    # weighted candidates change the measured difficulty vs uniform
+    uni = hr_ndcg_at_k(model, coo, k=10, n_neg=20, seed=1,
+                       pos_keys=pos_keys)
+    assert uni != got
