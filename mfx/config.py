@@ -267,6 +267,16 @@ class NMFConfig:
     sweeps: int = 20
     inner_iters: int = 2  # MU iterations per half-sweep on fixed (A, b)
     user_chunk: int = 8192  # rows per batched accumulate/update call
+    # ring-sharded piece planning: 'device' / 'host' / 'auto' (device on
+    # TPU backends) — same semantics as als.plan_device
+    plan_device: str = "auto"
+
+    def __post_init__(self):
+        if self.plan_device not in ("auto", "host", "device"):
+            raise ValueError(
+                "nmf.plan_device must be 'auto', 'host' or 'device', "
+                f"got {self.plan_device!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

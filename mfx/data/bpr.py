@@ -28,6 +28,7 @@ __all__ = [
     "lowerbound_2key",
     "members_2key",
     "popularity_cdf",
+    "split_cdf_f32",
     "sample_negatives",
     "sample_negatives_device",
     "sample_negatives_weighted_device",
@@ -35,8 +36,12 @@ __all__ = [
 ]
 
 # Rejection rounds before giving up on a pending sample. Expected pending
-# fraction after r rounds is density^r; real datasets (density < 5%) clear
-# in 2-3 rounds.
+# fraction after r rounds is density^r under the uniform proposal; real
+# datasets (density < 5%) clear in 2-3 rounds. Under a popularity-weighted
+# proposal the per-slot bound is the user's share of the sampling MASS
+# raised to r — worst realistic case (a user holding half the mass) is
+# 2^-32; bpr_epoch_triples additionally falls back to the positive
+# (zero-gradient pair) for any slot still colliding.
 MAX_REJECTION_ROUNDS = 32
 
 
@@ -270,24 +275,85 @@ def sample_negatives_device(key, users, pu, pi, num_items: int):
     )
 
 
+def split_cdf_f32(cdf: np.ndarray):
+    """Double-single device representation of a float64 CDF: (hi, lo)
+    float32 pairs with ``hi + lo == cdf`` to ~2^-48. A plain f32 cast
+    quantizes long-tail items to ZERO draw probability at configs[4]
+    scale (a count-1 item's mass ~1e-8 is below f32 ulp near 1.0, so
+    adjacent CDF entries collapse and searchsorted can never return
+    them); the pair keeps every item reachable with its true mass.
+    Compare lexicographically — the pairs are normalized (|lo| <=
+    ulp(hi)/2) and monotone because the f64 source is."""
+    import jax.numpy as jnp
+
+    hi = cdf.astype(np.float32)
+    lo = (cdf - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def _upperbound_cdf2(hi, lo, q_hi, q_lo):
+    """First index with (hi, lo) > (q_hi, q_lo) lexicographically — the
+    side='right' searchsorted over the double-single CDF, as a
+    fixed-depth binary search (32 steps cover any int32 length)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = hi.shape[0]
+    lo_i = jnp.zeros(q_hi.shape, jnp.int32)
+    hi_i = jnp.full(q_hi.shape, n, jnp.int32)
+
+    def body(_, lh):
+        lo_i, hi_i = lh
+        active = lo_i < hi_i
+        mid = jnp.minimum((lo_i + hi_i) // 2, n - 1)
+        mh = hi[mid]
+        ml = lo[mid]
+        le = (mh < q_hi) | ((mh == q_hi) & (ml <= q_lo))
+        lo_i = jnp.where(active & le, mid + 1, lo_i)
+        hi_i = jnp.where(active & ~le, mid, hi_i)
+        return lo_i, hi_i
+
+    lo_i, _ = lax.fori_loop(0, 32, body, (lo_i, hi_i))
+    return lo_i
+
+
 def sample_negatives_weighted_device(
-    key, users, pu, pi, cdf, rounds: int = 16
+    key, users, pu, pi, cdf, fallback=None, rounds: int = 16
 ):
     """Device-side popularity-weighted negatives: inverse-CDF draws from
-    ``cdf`` (a device array from :func:`popularity_cdf`), with ``rounds``
+    ``cdf`` (a :func:`split_cdf_f32` (hi, lo) pair, or a plain device
+    array for small catalogs), with ``rounds``
     fixed redraw rounds rejecting the user's observed positives
     (:func:`members_2key`). Unlike the uniform :func:`complement_draw`
-    this is exact only up to a density**rounds residual per slot
-    (< 1e-20 at real catalog densities with the default 16 rounds) —
-    the weighted measure has no order-statistic shortcut. All ops are
-    jit-friendly; the stream is bitwise-reproducible per (key, shape)."""
+    the weighted measure has no order-statistic shortcut, so rejection
+    leaves a residual: per slot it is (the user's share of the sampling
+    MASS)**(rounds+1) — popularity weighting concentrates mass on head
+    items, so a power user holding e.g. half the weighted mass retains
+    ~2^-17 residual, NOT the uniform-density bound. Slots still
+    colliding after the last round therefore return ``fallback``
+    (callers pass the slot's positive item, making the triple a
+    zero-gradient no-op exactly like :func:`complement_draw`'s
+    catalog-exhausted fallback) instead of leaking an observed positive
+    as a "negative". All ops are jit-friendly; the stream is
+    bitwise-reproducible per (key, shape)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    if isinstance(cdf, (tuple, list)):
+        c_hi, c_lo = cdf
+    else:
+        c_hi, c_lo = jnp.asarray(cdf, jnp.float32), None
+
     def draw(k):
         u = jax.random.uniform(k, users.shape, dtype=jnp.float32)
-        return jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+        if c_lo is None:
+            return jnp.searchsorted(c_hi, u, side="right").astype(jnp.int32)
+        # refine the query below f32 ulp so sub-ulp CDF gaps stay
+        # reachable in proportion to their (hi, lo) mass
+        u2 = jax.random.uniform(jax.random.fold_in(k, 0x10), users.shape,
+                                dtype=jnp.float32)
+        return _upperbound_cdf2(c_hi, c_lo, u, (u2 - 0.5) * 2.0**-24)
 
     neg = draw(jax.random.fold_in(key, 0))
 
@@ -296,7 +362,10 @@ def sample_negatives_weighted_device(
         fresh = draw(jax.random.fold_in(key, 1 + r))
         return jnp.where(coll, fresh, neg)
 
-    return lax.fori_loop(0, rounds, body, neg)
+    neg = lax.fori_loop(0, rounds, body, neg)
+    if fallback is not None:
+        neg = jnp.where(members_2key(pu, pi, users, neg), fallback, neg)
+    return neg
 
 
 def bpr_epoch_triples(
@@ -317,6 +386,11 @@ def bpr_epoch_triples(
         pos_keys=pos_keys,
         cdf=cdf,
     )
+    if cdf is not None and pos_keys is not None:
+        # weighted rejection has a user-mass residual (see
+        # MAX_REJECTION_ROUNDS); make any survivor a zero-gradient pair
+        ukeys = coo.user.astype(np.int64) * coo.num_items
+        neg = np.where(_members(pos_keys, ukeys + neg), coo.item, neg)
     if perm is None:
         return coo.user, coo.item, neg
     return coo.user[perm], coo.item[perm], neg[perm]

@@ -1,9 +1,10 @@
 """Sampled top-K ranking metrics — HR@K and NDCG@K (implicit feedback).
 
 Standard sampled evaluation protocol (NCF-style): each held-out positive
-is ranked against ``n_neg`` sampled negatives drawn uniformly from the
-catalog and rejection-filtered against the user's FULL observed positive
-set (train ∪ test via ``pos_keys``), so a "negative" is never actually a
+is ranked against ``n_neg`` sampled negatives drawn from the catalog —
+uniformly by default, or popularity-weighted when a ``cdf`` is passed —
+and rejection-filtered against the user's FULL observed positive set
+(train ∪ test via ``pos_keys``), so a "negative" is never actually a
 positive. HR@K is the fraction of positives ranked in the top K of their
 1 + n_neg candidate list; NDCG@K credits 1/log2(rank + 1); MRR@K credits
 1/rank (with a single positive per list this equals MAP@K, and HR@K

@@ -57,8 +57,31 @@ from mfx.solvers.als import (
 __all__ = [
     "build_ring_als_plan",
     "build_ring_als_plan_device",
+    "ring_accumulate_range",
     "train_sweeps_als_ring",
 ]
+
+
+def ring_accumulate_range(plan: "RingAlsPlan", ri: int,
+                          accumulate_chunk, rotate) -> None:
+    """One row range's (sub-step × bucket × chunk) accumulation schedule —
+    the ring scheduling shared by the ALS/iALS/NMF half-sweeps (they
+    differ only in what each chunk folds and how the range is solved):
+    calls ``accumulate_chunk(cap, pieces_chunk)`` for every planned chunk
+    of the cell each shard currently holds, and ``rotate()`` between
+    sub-steps to pass the fixed-side blocks around the ICI ring."""
+    for t in range(plan.S):
+        for cap in BUCKET_CAPS:
+            nb = plan.nb_cap[cap]
+            for c in range(int(plan.nchunks[cap][ri, t])):
+                accumulate_chunk(
+                    cap,
+                    lax.slice_in_dim(
+                        plan.pieces[cap][:, ri, t], c * nb, (c + 1) * nb,
+                        axis=2,
+                    ),
+                )
+        rotate()
 
 
 def _shuffle(n: int, seed: int, tag: int) -> tuple[np.ndarray, np.ndarray]:
@@ -422,20 +445,19 @@ def _als_ring_half_sweep(
         A = jax.device_put(jnp.zeros((S, nseg, d, d), f), shd)
         b = jax.device_put(jnp.zeros((S, nseg, d), f), shd)
         cnt = jax.device_put(jnp.zeros((S, nseg), f), shd)
-        for t in range(S):
-            for cap in BUCKET_CAPS:
-                nb = plan.nb_cap[cap]
-                for c in range(int(plan.nchunks[cap][ri, t])):
-                    A, b, cnt = _ring_gram_chunk(
-                        rotF, rotb, muj, plan.cols, plan.vals,
-                        lax.slice_in_dim(
-                            plan.pieces[cap][:, ri, t], c * nb,
-                            (c + 1) * nb, axis=2,
-                        ),
-                        A, b, cnt,
-                        mesh=mesh, cap=cap, use_bias=use_bias,
-                    )
+
+        def acc(cap, pc):
+            nonlocal A, b, cnt
+            A, b, cnt = _ring_gram_chunk(
+                rotF, rotb, muj, plan.cols, plan.vals, pc, A, b, cnt,
+                mesh=mesh, cap=cap, use_bias=use_bias,
+            )
+
+        def rot():
+            nonlocal rotF, rotb
             rotF, rotb = _ring_rotate(rotF, rotb, mesh=mesh)
+
+        ring_accumulate_range(plan, ri, acc, rot)
         tgtF, tgtb = _ring_solve_update(
             tgtF, tgtb, A, b, cnt, regj,
             jnp.asarray(ri * plan.row_chunk, jnp.int32),

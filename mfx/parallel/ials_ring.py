@@ -43,8 +43,9 @@ from mfx.parallel.als_ring import (
     _shuffle,
     build_ring_als_plan,
     build_ring_als_plan_device,
+    ring_accumulate_range,
 )
-from mfx.solvers.als import BUCKET_CAPS, gram_rowchunk
+from mfx.solvers.als import gram_rowchunk
 from mfx.solvers.ials import weighted_gram_accumulate, _solve_wgram
 
 __all__ = ["train_sweeps_ials_ring"]
@@ -119,19 +120,19 @@ def _ials_ring_half_sweep(tgtF, rotF, plan: RingAlsPlan, alpha, reg, mesh):
     for ri in range(plan.NR):
         A = jax.device_put(jnp.zeros((S, nseg, k, k), f), shd)
         b = jax.device_put(jnp.zeros((S, nseg, k), f), shd)
-        for t in range(S):
-            for cap in BUCKET_CAPS:
-                nb = plan.nb_cap[cap]
-                for c in range(int(plan.nchunks[cap][ri, t])):
-                    A, b = _ring_wgram_chunk(
-                        rotF, alphaj, plan.cols, plan.vals,
-                        lax.slice_in_dim(
-                            plan.pieces[cap][:, ri, t], c * nb,
-                            (c + 1) * nb, axis=2,
-                        ),
-                        A, b, mesh=mesh, cap=cap,
-                    )
+
+        def acc(cap, pc):
+            nonlocal A, b
+            A, b = _ring_wgram_chunk(
+                rotF, alphaj, plan.cols, plan.vals, pc, A, b,
+                mesh=mesh, cap=cap,
+            )
+
+        def rot():
+            nonlocal rotF
             rotF = _ring_rotate_one(rotF, mesh=mesh)
+
+        ring_accumulate_range(plan, ri, acc, rot)
         tgtF = _ring_wsolve_update(
             tgtF, A, b, G, regj,
             jnp.asarray(ri * plan.row_chunk, jnp.int32),

@@ -46,8 +46,9 @@ from mfx.parallel.als_ring import (
     _shuffle,
     build_ring_als_plan,
     build_ring_als_plan_device,
+    ring_accumulate_range,
 )
-from mfx.solvers.als import BUCKET_CAPS, gram_rowchunk
+from mfx.solvers.als import gram_rowchunk
 from mfx.solvers.nmf import check_nmf_inputs, fold_nonneg, mu_update
 
 __all__ = ["train_sweeps_nmf_ring"]
@@ -93,19 +94,19 @@ def _nmf_ring_half_sweep(tgtF, rotF, plan: RingAlsPlan, reg, inner_iters,
         A = jax.device_put(jnp.zeros((S, nseg, k, k), f), shd)
         b = jax.device_put(jnp.zeros((S, nseg, k), f), shd)
         cnt = jax.device_put(jnp.zeros((S, nseg), f), shd)
-        for t in range(S):
-            for cap in BUCKET_CAPS:
-                nb = plan.nb_cap[cap]
-                for c in range(int(plan.nchunks[cap][ri, t])):
-                    A, b, cnt = _ring_gram_chunk(
-                        rotF, rotb, muj, plan.cols, plan.vals,
-                        lax.slice_in_dim(
-                            plan.pieces[cap][:, ri, t], c * nb,
-                            (c + 1) * nb, axis=2,
-                        ),
-                        A, b, cnt, mesh=mesh, cap=cap, use_bias=False,
-                    )
+
+        def acc(cap, pc):
+            nonlocal A, b, cnt
+            A, b, cnt = _ring_gram_chunk(
+                rotF, rotb, muj, plan.cols, plan.vals, pc, A, b, cnt,
+                mesh=mesh, cap=cap, use_bias=False,
+            )
+
+        def rot():
+            nonlocal rotF
             rotF = _ring_rotate_one(rotF, mesh=mesh)
+
+        ring_accumulate_range(plan, ri, acc, rot)
         tgtF = _ring_mu_update(
             tgtF, A, b, cnt, regj,
             jnp.asarray(ri * plan.row_chunk, jnp.int32),
@@ -138,9 +139,8 @@ def train_sweeps_nmf_ring(
     urel = ufwd[train.user]
     irel = ifwd[train.item]
 
-    pd = getattr(cfg, "plan_device", "auto")
-    on_device = pd == "device" or (
-        pd == "auto" and jax.default_backend() == "tpu"
+    on_device = cfg.plan_device == "device" or (
+        cfg.plan_device == "auto" and jax.default_backend() == "tpu"
     )
     build = build_ring_als_plan_device if on_device else build_ring_als_plan
     u_plan = build(urel, irel, train.rating, S, ublock, iblock, rc, mesh)

@@ -42,9 +42,17 @@ def similar_items(model, items, k: int = 10, batch: int = 256):
     learned latent space; biases deliberately excluded so similarity is
     taste-direction, not popularity). One MXU matmul per batch over the
     row-normalized item table; the query item is excluded from its own
-    list. Returns (items (n, k) int32, cosines (n, k) f32)."""
+    list. Returns (items (n, k) int32, cosines (n, k) f32).
+
+    Each dispatch materializes a (batch, num_items) f32 score block in
+    HBM — like :class:`TopKRecommender`, size ``batch`` for the catalog
+    (256 × 10M items ≈ 10 GB; the batch size is auto-capped to keep the
+    block under ~1 GB on very large catalogs)."""
     items = np.asarray(items, np.int32).reshape(-1)
     num_items = model.num_items
+    # cap the score block at ~1 GB so configs[4]-class catalogs don't
+    # RESOURCE_EXHAUST the chip with the default batch
+    batch = max(1, min(batch, (1 << 28) // max(1, num_items)))
     if k < 1 or k > num_items - 1:
         raise ValueError(
             f"k must be in [1, num_items-1={num_items - 1}], got {k}"

@@ -113,7 +113,10 @@ def _epoch_triples_device(
     u = u_dev[perm]
     i = i_dev[perm]
     if cdf is not None:
-        j = sample_negatives_weighted_device(key_neg, u, pu, pi, cdf)
+        # fallback = the positive itself: a residual collision becomes a
+        # zero-gradient pair instead of training against a true positive
+        j = sample_negatives_weighted_device(key_neg, u, pu, pi, cdf,
+                                             fallback=i)
     else:
         j = sample_negatives_device(key_neg, u, pu, pi, num_items)
     nb = max(1, -(-n // batch_size))
@@ -158,7 +161,11 @@ def train_epochs_bpr(
         pu, pi = build_positive_index_device(u_dev, i_dev)
         base = jax.random.key(seed + cfg.neg_seed)
         if cdf is not None:
-            cdf_dev = jnp.asarray(cdf, jnp.float32)
+            from mfx.data.bpr import split_cdf_f32
+
+            # double-single pair: a plain f32 cast would zero out
+            # long-tail item mass at large-catalog scale
+            cdf_dev = split_cdf_f32(cdf)
     else:
         pos_keys = build_positive_index(train)  # exact negatives
     for epoch in range(start_epoch, cfg.epochs):

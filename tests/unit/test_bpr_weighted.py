@@ -122,3 +122,56 @@ def test_ranking_eval_with_popularity_candidates():
     uni = hr_ndcg_at_k(model, coo, k=10, n_neg=20, seed=1,
                        pos_keys=pos_keys)
     assert uni != got
+
+
+def test_split_cdf_reaches_sub_ulp_tail_items():
+    """A plain f32 CDF cast zeroes items whose mass is below the f32 ulp
+    near 1.0; the (hi, lo) double-single pair must keep them reachable."""
+    import jax.numpy as jnp
+
+    from mfx.data.bpr import _upperbound_cdf2, split_cdf_f32
+
+    # one mega-hit + 1000 count-1 items: tail masses ~1e-9 each
+    w = np.concatenate([[1e9], np.ones(1000)])
+    cdf = np.cumsum(w / w.sum())
+    cdf[-1] = 1.0
+    hi, lo = split_cdf_f32(cdf)
+    # f32 collapse: most tail entries are indistinguishable in hi alone
+    assert np.unique(np.asarray(hi)[1:]).size < 100
+    # query the exact f64 midpoint of several tail items' mass intervals:
+    # the compound search must land on them; plain f32 searchsorted can't
+    for j in [5, 400, 999]:
+        u = (cdf[j - 1] + cdf[j]) / 2.0
+        q_hi = np.float32(u)
+        q_lo = np.float32(u - np.float64(q_hi))
+        got = _upperbound_cdf2(
+            hi, lo, jnp.asarray([q_hi]), jnp.asarray([q_lo])
+        )
+        assert int(got[0]) == j, (j, int(got[0]))
+
+
+def test_weighted_device_split_pair_matches_plain_on_small_catalog():
+    """On a small catalog (no sub-ulp gaps) the pair path must agree with
+    the legacy single-array path in distribution and stay positive-free."""
+    import jax.numpy as jnp
+
+    from mfx.data.bpr import split_cdf_f32
+
+    coo = synthetic.make_implicit_synthetic(150, 60, 2500, rank=4, seed=9)
+    u = np.asarray(coo.user, np.int32)
+    pu, pi = build_positive_index_device(u, np.asarray(coo.item, np.int32))
+    cdf = popularity_cdf(coo.item, coo.num_items, beta=0.75)
+    key = jax.random.key(11)
+    pair = sample_negatives_weighted_device(
+        key, jnp.asarray(u), pu, pi, split_cdf_f32(cdf),
+        fallback=jnp.asarray(coo.item),
+    )
+    pos_keys = build_positive_index(coo)
+    keys = u.astype(np.int64) * coo.num_items + np.asarray(pair)
+    # either a valid non-positive or the loss-neutral fallback (the
+    # slot's own positive)
+    coll = np.isin(keys, pos_keys)
+    assert (np.asarray(pair)[coll] == coo.item[coll]).all()
+    counts = np.bincount(coo.item, minlength=coo.num_items)
+    drawn = np.asarray(pair)[~coll]
+    assert (counts[drawn] > 0).all()  # zero-mass items never drawn
