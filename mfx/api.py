@@ -14,7 +14,7 @@ from mfx.config import (
 )
 from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
-from mfx.data.split import train_test_split
+from mfx.data.split import leave_one_out_split, train_test_split
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
 from mfx.eval.ranking import hr_ndcg_at_k
 from mfx.models.mf import MFModel, init_model
@@ -27,7 +27,7 @@ __all__ = [
     "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "SVDPPConfig",
     "ALSConfig", "NMFConfig", "IALSConfig", "BPRConfig", "ParallelConfig",
     "preset", "apply_overrides", "PRESETS",
-    "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
+    "RatingsCOO", "load_dataset", "dataset_names", "train_test_split", "leave_one_out_split",
     "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "evaluate",
     "MFModel", "init_model", "SVDppModel", "init_svdpp",
     "load_checkpoint", "save_checkpoint",

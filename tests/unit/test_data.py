@@ -130,3 +130,26 @@ def test_load_dataset_synthetic_fallback(tmp_path):
     np.testing.assert_array_equal(coo.user, coo2.user)
     with pytest.raises(KeyError):
         load_dataset("nope")
+
+
+def test_leave_one_out_split():
+    from mfx.data.split import leave_one_out_split
+
+    coo = synthetic.make_synthetic(80, 40, 900, seed=4)
+    train, test = leave_one_out_split(coo, seed=1)
+    assert train.n_ratings + test.n_ratings == coo.n_ratings
+    # at most (and for multi-interaction users exactly) one held-out
+    # interaction per user; single-interaction users stay in train
+    counts = np.bincount(coo.user, minlength=coo.num_users)
+    test_counts = np.bincount(test.user, minlength=coo.num_users)
+    assert (test_counts <= 1).all()
+    assert (test_counts[counts >= 2] == 1).all()
+    assert (test_counts[counts < 2] == 0).all()
+    # every multi-interaction user keeps >= 1 training interaction
+    train_counts = np.bincount(train.user, minlength=coo.num_users)
+    assert (train_counts[counts >= 1] >= 1).all()
+    # reproducible; different seed picks differently
+    t2 = leave_one_out_split(coo, seed=1)[1]
+    np.testing.assert_array_equal(test.item, t2.item)
+    t3 = leave_one_out_split(coo, seed=2)[1]
+    assert not np.array_equal(test.item, t3.item)
