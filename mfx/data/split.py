@@ -1,8 +1,11 @@
 """Train/test splitting and epoch shuffling (SURVEY.md C3).
 
-Seeded and reproducible: the same (seed, n) always yields the same split and
-the same per-epoch permutation stream, which is a precondition for the
-bitwise-determinism guarantees in BASELINE.json's north star.
+Seeded and reproducible: ``train_test_split`` and ``epoch_permutation``
+depend only on (seed, n) — a precondition for the bitwise-determinism
+guarantees in BASELINE.json's north star. ``leave_one_out_split`` is
+seeded per (seed, coo): its draws are positional over the COO's per-user
+runs, so the same seed on the same COO always reproduces the split, but
+a row-reordered COO does not.
 """
 
 from __future__ import annotations
@@ -32,27 +35,51 @@ def train_test_split(
 def leave_one_out_split(
     coo: RatingsCOO, seed: int = 0
 ) -> tuple[RatingsCOO, RatingsCOO]:
-    """Leave-one-out split: ONE seeded-random interaction per user held
-    out — the canonical protocol for sampled ranking evaluation (NCF
-    style; pairs with ``mfx.eval.ranking.hr_ndcg_at_k``, which ranks
-    each held-out positive against sampled candidates). Users with a
-    single interaction stay entirely in train (holding their only
-    interaction out would leave an untrainable user row). RatingsCOO
-    carries no timestamps, so the held-out interaction is seeded-random
-    per user rather than the latest; the draw is reproducible.
-    Returns (train, test)."""
+    """Leave-one-out split: ONE seeded-random held-out item per user —
+    the canonical protocol for sampled ranking evaluation (NCF style;
+    pairs with ``mfx.eval.ranking.hr_ndcg_at_k``, which ranks each
+    held-out positive against sampled candidates).
+
+    Duplicate-safe: the pick is uniform over each user's UNIQUE items,
+    and every duplicate copy of the held-out (user, item) pair is
+    removed from train (raw COOs may repeat pairs — a surviving copy
+    would train on the exact pair being ranked and inflate HR/NDCG).
+    Users with fewer than two unique items stay entirely in train
+    (holding their only item out would leave an untrainable row).
+    RatingsCOO carries no timestamps, so the held-out item is
+    seeded-random per user rather than the latest; the draw is
+    reproducible for a given (seed, coo). Cost: one O(n log n) key sort
+    (built once per run). Returns (train, test)."""
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0x100]))
     n = coo.n_ratings
-    # per-user contiguous runs via a stable sort, one uniform pick each
-    order = np.argsort(coo.user, kind="stable")
-    users_sorted = coo.user[order]
-    starts = np.searchsorted(users_sorted, np.arange(coo.num_users + 1))
-    counts = np.diff(starts)
-    active = np.flatnonzero(counts >= 2)
-    picks = starts[active] + rng.integers(0, counts[active])
-    test_idx = order[picks]
+    num_items = coo.num_items
+    keys = coo.user.astype(np.int64) * num_items + coo.item
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    first = np.ones(n, bool)
+    first[1:] = ks[1:] != ks[:-1]
+    # cf0[p] = number of unique keys among sorted positions [0, p)
+    cf0 = np.concatenate(([0], np.cumsum(first)))
+    # user run boundaries in the key-sorted order
+    starts = np.searchsorted(
+        ks, np.arange(coo.num_users + 1, dtype=np.int64) * num_items
+    )
+    u_uniq = cf0[starts[1:]] - cf0[starts[:-1]]
+    active = np.flatnonzero(u_uniq >= 2)
+    # uniform pick among each active user's unique items
+    uniq_pos = np.flatnonzero(first)
+    pick_rank = cf0[starts[:-1]][active] + rng.integers(0, u_uniq[active])
+    p = uniq_pos[pick_rank]  # first copy of the picked pair
+    run_end = np.searchsorted(ks, ks[p], side="right")
+    # drop ALL copies of each picked pair from train; test keeps one
+    lengths = run_end - p
+    ramp = np.arange(int(lengths.sum())) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths
+    )
+    drop_pos = np.repeat(p, lengths) + ramp
     mask = np.ones(n, bool)
-    mask[test_idx] = False
+    mask[order[drop_pos]] = False
+    test_idx = order[p]
     return coo.select(np.flatnonzero(mask)), coo.select(np.sort(test_idx))
 
 

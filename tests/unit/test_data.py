@@ -135,21 +135,43 @@ def test_load_dataset_synthetic_fallback(tmp_path):
 def test_leave_one_out_split():
     from mfx.data.split import leave_one_out_split
 
-    coo = synthetic.make_synthetic(80, 40, 900, seed=4)
+    coo = synthetic.make_synthetic(80, 40, 900, seed=4)  # duplicates likely
     train, test = leave_one_out_split(coo, seed=1)
-    assert train.n_ratings + test.n_ratings == coo.n_ratings
-    # at most (and for multi-interaction users exactly) one held-out
-    # interaction per user; single-interaction users stay in train
-    counts = np.bincount(coo.user, minlength=coo.num_users)
+    # held-out pairs (ALL their duplicate copies) are gone from train
+    assert test.n_ratings <= coo.n_ratings - train.n_ratings
+    tr_keys = train.user.astype(np.int64) * coo.num_items + train.item
+    te_keys = test.user.astype(np.int64) * coo.num_items + test.item
+    assert not np.isin(tr_keys, te_keys).any()  # no leakage
+    # exactly one held-out item per user with >= 2 UNIQUE items
+    keys = coo.user.astype(np.int64) * coo.num_items + coo.item
+    uq_users = (np.unique(keys) // coo.num_items).astype(np.int64)
+    uniq_counts = np.bincount(uq_users, minlength=coo.num_users)
     test_counts = np.bincount(test.user, minlength=coo.num_users)
-    assert (test_counts <= 1).all()
-    assert (test_counts[counts >= 2] == 1).all()
-    assert (test_counts[counts < 2] == 0).all()
-    # every multi-interaction user keeps >= 1 training interaction
+    assert (test_counts[uniq_counts >= 2] == 1).all()
+    assert (test_counts[uniq_counts < 2] == 0).all()
+    # every user keeps >= 1 training interaction
     train_counts = np.bincount(train.user, minlength=coo.num_users)
-    assert (train_counts[counts >= 1] >= 1).all()
+    raw_counts = np.bincount(coo.user, minlength=coo.num_users)
+    assert (train_counts[raw_counts >= 1] >= 1).all()
     # reproducible; different seed picks differently
     t2 = leave_one_out_split(coo, seed=1)[1]
     np.testing.assert_array_equal(test.item, t2.item)
     t3 = leave_one_out_split(coo, seed=2)[1]
     assert not np.array_equal(test.item, t3.item)
+    # explicit duplicate construction: the duplicated pair, when picked,
+    # must not survive in train
+    from mfx.data.coo import RatingsCOO
+
+    dup = RatingsCOO(
+        user=np.array([0, 0, 0, 1, 1], np.int32),
+        item=np.array([2, 2, 3, 1, 4], np.int32),
+        rating=np.ones(5, np.float32),
+        num_users=2, num_items=5,
+    )
+    for s in range(6):
+        tr, te = leave_one_out_split(dup, seed=s)
+        assert te.n_ratings == 2  # both users have 2 unique items
+        k_tr = tr.user.astype(np.int64) * 5 + tr.item
+        k_te = te.user.astype(np.int64) * 5 + te.item
+        assert not np.isin(k_tr, k_te).any()
+        assert set(np.bincount(tr.user, minlength=2)) <= {1, 2}
