@@ -81,7 +81,7 @@ def run_bench(
     # timed epochs split into back-to-back windows (see below); size the
     # generator so every window has real epochs to consume
     windows = 3
-    per_window = max(1, epochs // windows)
+    per_window = max(1, -(-epochs // windows))  # ceil: never time fewer
     epochs = per_window * windows
     max_epochs = epochs + 1 + (MAX_CONVERGENCE_EPOCHS if convergence else 0)
     sgd_cfg = _dc.replace(cfg.sgd, epochs=max_epochs)

@@ -103,8 +103,9 @@ class SGDConfig:
     #           step IS the per-occurrence bias update, so the entire
     #           per-tile bias machinery (measured 32% of the sparse path
     #           at su=1024) disappears for the cost of 2 latent dims and
-    #           one static delta mask. Requires kernel='pallas';
-    #           single-chip only (the ring keeps 'tile').
+    #           one static delta mask. Requires kernel='pallas'; runs
+    #           single-chip AND in the DSGD ring (the ml25m and
+    #           configs[3] presets both use it).
     # 'epoch' — biases frozen per epoch: the planner bakes bu[u]+bi[i]
     #           into the tile stream, the kernel emits residuals, and one
     #           batched trust-scaled bias update applies per epoch —

@@ -93,17 +93,12 @@ def _dp_solve(A, b, cnt, old, reg, *, mesh: Mesh, use_bias: bool):
     )(A, b, cnt, old, reg)
 
 
-def dp_accumulate_range(
-    F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
-    *, d, dtype, nseg, nb_cap, D, mesh, use_bias,
-):
-    """Per-shard partial (A, b, cnt) for target rows [r0, r1) — pieces
-    split contiguously across all mesh devices. Shared by the DP ALS
-    Cholesky solve and the DP NMF multiplicative update
-    (mfx/parallel/nmf_dp.py); the caller psums inside its solve."""
-    A = jnp.zeros((D, nseg, d, d), dtype)
-    b = jnp.zeros((D, nseg, d), dtype)
-    cnt = jnp.zeros((D, nseg), dtype)
+def iter_bucket_chunks_dp(buckets, r0, r1, nseg, nb_cap, D):
+    """Yield ``(cap, rows_rel, starts, lens)`` piece chunks for target
+    rows [r0, r1) packed as (D, nb) shard slabs — the DP twin of
+    ``mfx.solvers.als.iter_bucket_chunks``, shared by the DP ALS/NMF
+    accumulators and the DP iALS half-sweep. Pad slots target the
+    dropped segment ``nseg - 1`` with zero length."""
     for cap, (prow, pstart, plen) in buckets.items():
         s, e = np.searchsorted(prow, [r0, r1])
         if e == s:
@@ -119,12 +114,31 @@ def dp_accumulate_range(
             rows_rel.reshape(-1)[:n] = prow[c0:c1] - r0
             starts.reshape(-1)[:n] = pstart[c0:c1]
             lens.reshape(-1)[:n] = plen[c0:c1]
-            A, b, cnt = _dp_gram_chunk(
-                F_other, b_other, mu, cols_dev, vals_dev,
-                jnp.asarray(rows_rel), jnp.asarray(starts),
-                jnp.asarray(lens), A, b, cnt,
-                mesh=mesh, cap=cap, use_bias=use_bias,
+            yield (
+                cap, jnp.asarray(rows_rel), jnp.asarray(starts),
+                jnp.asarray(lens),
             )
+
+
+def dp_accumulate_range(
+    F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
+    *, d, dtype, nseg, nb_cap, D, mesh, use_bias,
+):
+    """Per-shard partial (A, b, cnt) for target rows [r0, r1) — pieces
+    split contiguously across all mesh devices. Shared by the DP ALS
+    Cholesky solve and the DP NMF multiplicative update
+    (mfx/parallel/nmf_dp.py); the caller psums inside its solve."""
+    A = jnp.zeros((D, nseg, d, d), dtype)
+    b = jnp.zeros((D, nseg, d), dtype)
+    cnt = jnp.zeros((D, nseg), dtype)
+    for cap, rows_rel, starts, lens in iter_bucket_chunks_dp(
+        buckets, r0, r1, nseg, nb_cap, D
+    ):
+        A, b, cnt = _dp_gram_chunk(
+            F_other, b_other, mu, cols_dev, vals_dev,
+            rows_rel, starts, lens, A, b, cnt,
+            mesh=mesh, cap=cap, use_bias=use_bias,
+        )
     return A, b, cnt
 
 

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from mfx.config import IALSConfig
 from mfx.data.coo import RatingsCOO
 from mfx.models.mf import MFModel
+from mfx.parallel.als_dp import iter_bucket_chunks_dp
 from mfx.solvers.als import (
     BUCKET_CAPS,
     BUCKET_CELLS,
@@ -110,26 +111,13 @@ def ials_half_sweep_dp(
         r1 = min(r0 + row_chunk, num_rows)
         A = jnp.zeros((D, nseg, k, k), f)
         b = jnp.zeros((D, nseg, k), f)
-        for cap, (prow, pstart, plen) in buckets.items():
-            s, e = np.searchsorted(prow, [r0, r1])
-            if e == s:
-                continue
-            nb = nb_cap[cap]
-            per_call = D * nb
-            for c0 in range(s, e, per_call):
-                c1 = min(c0 + per_call, e)
-                n = c1 - c0
-                rows_rel = np.full((D, nb), nseg - 1, np.int32)
-                starts = np.zeros((D, nb), pstart.dtype)
-                lens = np.zeros((D, nb), np.int32)
-                rows_rel.reshape(-1)[:n] = prow[c0:c1] - r0
-                starts.reshape(-1)[:n] = pstart[c0:c1]
-                lens.reshape(-1)[:n] = plen[c0:c1]
-                A, b = _dp_wgram_chunk(
-                    F_other, alpha, cols_dev, vals_dev,
-                    jnp.asarray(rows_rel), jnp.asarray(starts),
-                    jnp.asarray(lens), A, b, mesh=mesh, cap=cap,
-                )
+        for cap, rows_rel, starts, lens in iter_bucket_chunks_dp(
+            buckets, r0, r1, nseg, nb_cap, D
+        ):
+            A, b = _dp_wgram_chunk(
+                F_other, alpha, cols_dev, vals_dev,
+                rows_rel, starts, lens, A, b, mesh=mesh, cap=cap,
+            )
         nr = r1 - r0
         old = jnp.pad(F_target[r0:r1], ((0, nseg - nr), (0, 0)))
         sol = _dp_wsolve(A, b, G, old, jnp.asarray(reg, f), mesh=mesh)[:nr]
@@ -146,11 +134,9 @@ def train_sweeps_ials_dp(
     row_chunk: int | None = None,
 ):
     """DP mirror of ``train_sweeps_ials``; yields (sweep, model)."""
-    if use_bias:
-        raise ValueError(
-            "iALS is bias-free (binary preference target); set "
-            "model.use_bias=false"
-        )
+    from mfx.solvers.ials import check_ials_inputs
+
+    check_ials_inputs(train, use_bias)
     row_chunk = row_chunk or cfg.user_chunk
     by_u = np.argsort(train.user, kind="stable")
     u_rows = train.user[by_u]

@@ -152,11 +152,9 @@ def train_sweeps_ials_ring(
 ):
     """Ring-sharded mirror of ``train_sweeps_ials``; yields (sweep,
     model) in the original id labeling after each full sweep."""
-    if use_bias:
-        raise ValueError(
-            "iALS is bias-free (binary preference target); set "
-            "model.use_bias=false or use solver='als' for explicit ratings"
-        )
+    from mfx.solvers.ials import check_ials_inputs
+
+    check_ials_inputs(train, use_bias)
     S = mesh.shape[MODEL_AXIS]
     U, I, k = model.num_users, model.num_items, model.rank
     rc = gram_rowchunk(k, row_chunk or cfg.user_chunk)

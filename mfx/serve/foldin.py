@@ -36,10 +36,7 @@ from mfx.models.mf import MFModel
 
 __all__ = ["fold_in", "fold_in_batch", "fold_in_implicit"]
 
-
-def _pow2_at_least(n: int, lo: int = 8) -> int:
-    n = int(max(n, lo))
-    return 1 << (n - 1).bit_length()
+from mfx.solvers.als import _pow2_at_least  # shared pow2 bucket helper
 
 
 @functools.partial(jax.jit, static_argnames=("use_bias", "transpose"))
@@ -144,7 +141,7 @@ def fold_in_implicit(
     lens = np.array(
         [min(len(ids), max_deg) for ids, _ in histories], np.int32
     )
-    D = _pow2_at_least(int(lens.max()) if B else 1)
+    D = _pow2_at_least(int(lens.max()) if B else 1, lo=8)
     items = np.full((B, D), n, np.int32)  # pad: out-of-range id
     vals = np.zeros((B, D), np.float32)
     for b, (ids, r) in enumerate(histories):
@@ -182,7 +179,7 @@ def fold_in(
     lens = np.array(
         [min(len(ids), max_deg) for ids, _ in histories], np.int32
     )
-    D = _pow2_at_least(int(lens.max()) if B else 1)
+    D = _pow2_at_least(int(lens.max()) if B else 1, lo=8)
     items = np.full((B, D), n, np.int32)  # pad: out-of-range id
     vals = np.zeros((B, D), np.float32)
     for b, (ids, r) in enumerate(histories):

@@ -192,18 +192,12 @@ def _solve_gram(A, b, cnt, old, reg, *, use_bias):
     return jnp.where(cnt[:, None] > 0, sol, old)
 
 
-def accumulate_range(
-    F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
-    *, d, dtype, use_bias,
-):
-    """Normal-equation accumulators (A, b, cnt) for target rows
-    [r0, r1) — the degree-bucketed gather/einsum loop shared by the ALS
-    Cholesky solve and the NMF multiplicative update
-    (mfx/solvers/nmf.py), which differ only in what they do with A, b."""
-    nseg = (r1 - r0) + 1  # +1: pad pieces target the dropped last seg
-    A = jnp.zeros((nseg, d, d), dtype)
-    b = jnp.zeros((nseg, d), dtype)
-    cnt = jnp.zeros((nseg,), dtype)
+def iter_bucket_chunks(buckets, r0: int, r1: int, nseg: int):
+    """Yield ``(cap, rows_rel, starts, lens)`` padded piece chunks for
+    target rows [r0, r1) — the degree-bucket packing shared by every
+    Gram-engine accumulation (ALS/NMF ``accumulate_range``, the iALS
+    half-sweeps, and their DP mirrors). Pad slots target the dropped
+    segment ``nseg - 1`` with zero length."""
     for cap, (prow, pstart, plen) in buckets.items():
         s, e = np.searchsorted(prow, [r0, r1])
         if e == s:
@@ -218,12 +212,32 @@ def accumulate_range(
             rows_rel[: c1 - c0] = prow[c0:c1] - r0
             starts[: c1 - c0] = pstart[c0:c1]
             lens[: c1 - c0] = plen[c0:c1]
-            A, b, cnt = _gram_bucket(
-                F_other, b_other, mu, cols_dev, vals_dev,
-                jnp.asarray(rows_rel), jnp.asarray(starts),
-                jnp.asarray(lens), A, b, cnt,
-                cap=cap, nseg=nseg, use_bias=use_bias,
+            yield (
+                cap, jnp.asarray(rows_rel), jnp.asarray(starts),
+                jnp.asarray(lens),
             )
+
+
+def accumulate_range(
+    F_other, b_other, mu, cols_dev, vals_dev, buckets, r0, r1,
+    *, d, dtype, use_bias,
+):
+    """Normal-equation accumulators (A, b, cnt) for target rows
+    [r0, r1) — the degree-bucketed gather/einsum loop shared by the ALS
+    Cholesky solve and the NMF multiplicative update
+    (mfx/solvers/nmf.py), which differ only in what they do with A, b."""
+    nseg = (r1 - r0) + 1  # +1: pad pieces target the dropped last seg
+    A = jnp.zeros((nseg, d, d), dtype)
+    b = jnp.zeros((nseg, d), dtype)
+    cnt = jnp.zeros((nseg,), dtype)
+    for cap, rows_rel, starts, lens in iter_bucket_chunks(
+        buckets, r0, r1, nseg
+    ):
+        A, b, cnt = _gram_bucket(
+            F_other, b_other, mu, cols_dev, vals_dev,
+            rows_rel, starts, lens, A, b, cnt,
+            cap=cap, nseg=nseg, use_bias=use_bias,
+        )
     return A[: r1 - r0], b[: r1 - r0], cnt[: r1 - r0]
 
 

@@ -17,6 +17,7 @@ from typing import Iterator
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mfx.config import SGDConfig
 from mfx.data.coo import RatingsCOO
@@ -317,8 +318,18 @@ def train_epochs_blocked(
             from mfx.kernels import plan_device as pdv
             from mfx.solvers import dense_prep as dp
 
+            # dataset fingerprint: shape alone is not identity — two
+            # different splits of the same corpus share (U, I, n) and a
+            # stale hit would silently train on the OTHER split's device
+            # arrays. A strided sample pins the actual triples cheaply.
+            st = max(1, train.n_ratings // 13)
+            fp = (
+                tuple(train.user[::st][:16].tolist()),
+                tuple(train.item[::st][:16].tolist()),
+                tuple(np.float64(train.rating[::st][:16]).tolist()),
+            )
             cache_key = (
-                "devprep", U, I, train.n_ratings, su, si, rank,
+                "devprep", U, I, train.n_ratings, fp, su, si, rank,
                 cfg.tile, tpg, nwin, want_dense, rfmt, cfg.dense_chi,
                 cfg.dense_span, cfg.dense_nwd,
             )

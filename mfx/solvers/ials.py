@@ -48,10 +48,9 @@ from mfx.config import IALSConfig
 from mfx.data.coo import RatingsCOO
 from mfx.models.mf import MFModel
 from mfx.solvers.als import (
-    BUCKET_CELLS,
     build_bucket_plan,
     gram_rowchunk,
-    _pow2_at_least,
+    iter_bucket_chunks,
 )
 
 __all__ = ["ials_half_sweep", "train_sweeps_ials", "weighted_gram_accumulate"]
@@ -152,31 +151,35 @@ def ials_half_sweep(
         nseg = (r1 - r0) + 1  # +1: pad pieces target the dropped last seg
         A = jnp.zeros((nseg, k, k), f)
         b = jnp.zeros((nseg, k), f)
-        for cap, (prow, pstart, plen) in buckets.items():
-            s, e = np.searchsorted(prow, [r0, r1])
-            if e == s:
-                continue
-            nb_chunk = max(1, BUCKET_CELLS // cap)
-            for c0 in range(s, e, nb_chunk):
-                c1 = min(c0 + nb_chunk, e)
-                nb = _pow2_at_least(c1 - c0)
-                rows_rel = np.full(nb, nseg - 1, np.int32)
-                starts = np.zeros(nb, pstart.dtype)
-                lens = np.zeros(nb, np.int32)
-                rows_rel[: c1 - c0] = prow[c0:c1] - r0
-                starts[: c1 - c0] = pstart[c0:c1]
-                lens[: c1 - c0] = plen[c0:c1]
-                A, b = _wgram_bucket(
-                    F_other, alpha, cols_dev, vals_dev,
-                    jnp.asarray(rows_rel), jnp.asarray(starts),
-                    jnp.asarray(lens), A, b, cap=cap,
-                )
+        for cap, rows_rel, starts, lens in iter_bucket_chunks(
+            buckets, r0, r1, nseg
+        ):
+            A, b = _wgram_bucket(
+                F_other, alpha, cols_dev, vals_dev,
+                rows_rel, starts, lens, A, b, cap=cap,
+            )
         sol = _solve_wgram(
             A[: r1 - r0], b[: r1 - r0], G, F_target[r0:r1],
             jnp.asarray(reg, f),
         )
         new.append(sol)
     return jnp.concatenate(new) if len(new) > 1 else new[0]
+
+
+def check_ials_inputs(train: RatingsCOO, use_bias: bool) -> None:
+    """Shared validation for the single/DP/ring iALS trainers."""
+    if use_bias:
+        raise ValueError(
+            "iALS is bias-free (binary preference target); set "
+            "model.use_bias=false or use solver='als' for explicit ratings"
+        )
+    if float(np.min(train.rating)) < 0.0:
+        raise ValueError(
+            "iALS needs non-negative feedback strengths (confidence "
+            "c = 1 + alpha*r is accumulated via sqrt(alpha*r); a negative "
+            "r would silently produce NaN factors) — shift/clip the "
+            "ratings or use solver='als'/'sgd' for signed explicit data"
+        )
 
 
 def train_sweeps_ials(
@@ -192,11 +195,7 @@ def train_sweeps_ials(
     confidence weighting absorbs feedback strength — bias terms belong to
     the explicit-rating objective (mfx/solvers/als.py handles those).
     """
-    if use_bias:
-        raise ValueError(
-            "iALS is bias-free (binary preference target); set "
-            "model.use_bias=false or use solver='als' for explicit ratings"
-        )
+    check_ials_inputs(train, use_bias)
     row_chunk = row_chunk or cfg.user_chunk
     # sort + bucket once per run (degrees don't change across sweeps);
     # cols/vals go to the device here, once, like the explicit solver

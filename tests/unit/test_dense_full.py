@@ -241,6 +241,36 @@ def test_prep_cache_reuse_is_bitwise():
     assert cache["key"] != key1
 
 
+def test_prep_cache_keys_dataset_identity_not_just_shape():
+    """Two different datasets of IDENTICAL shape must not share a cache
+    entry — a stale hit would silently train on the other dataset's
+    device arrays (e.g. two split seeds of the same corpus)."""
+    cfg = SGDConfig(
+        lr=0.01, reg=0.02, epochs=1, partitioner="blocked",
+        kernel="pallas", ublock=256, iblock=256, tile=64, dense_chi=0.01,
+        dense_span="full", plan_device="device",
+    )
+
+    def run(coo, cache):
+        model = init_model(0, 500, 500, 64, global_mean=coo.global_mean)
+        for _, m, _ in train_epochs_blocked(
+            model, coo, cfg, use_bias=True, seed=0, tpg=4,
+            interpret=True, prep_cache=cache,
+        ):
+            pass
+        return np.asarray(m.P)
+
+    coo_a = synthetic.make_synthetic(500, 500, 30_000, rank=6, seed=5)
+    coo_b = synthetic.make_synthetic(500, 500, 30_000, rank=6, seed=6)
+    shared: dict = {}
+    run(coo_a, shared)
+    key_a = shared["key"]
+    P_shared = run(coo_b, shared)  # must MISS (different triples)
+    assert shared["key"] != key_a
+    P_fresh = run(coo_b, {})
+    np.testing.assert_array_equal(P_shared, P_fresh)
+
+
 def test_full_span_with_host_planner():
     """dense_span='full' under plan_device='host': the grouped split is
     pure jnp (runs on any backend); the host planner gets the sparse

@@ -116,3 +116,21 @@ def test_driver_ials_path(tmp_path):
     res = train(cfg)
     assert res.epochs_run == 2
     assert res.test_auc is not None and 0.0 <= res.test_auc <= 1.0
+
+
+def test_ials_rejects_negative_feedback():
+    import pytest
+
+    from mfx.data.coo import RatingsCOO
+    from mfx.solvers.ials import train_sweeps_ials
+
+    coo = RatingsCOO(
+        user=np.array([0, 1, 2], np.int32),
+        item=np.array([0, 1, 0], np.int32),
+        rating=np.array([1.0, -1.0, 2.0], np.float32),  # thumbs-down
+        num_users=3, num_items=2,
+    )
+    model = init_model(0, 3, 2, 4)
+    cfg = IALSConfig(alpha=10.0, reg=0.1, sweeps=1)
+    with pytest.raises(ValueError, match="non-negative feedback"):
+        list(train_sweeps_ials(model, coo, cfg))
