@@ -16,7 +16,7 @@ from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
 from mfx.data.split import leave_one_out_split, train_test_split
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
-from mfx.eval.ranking import hr_ndcg_at_k
+from mfx.eval.ranking import full_hr_ndcg_at_k, hr_ndcg_at_k
 from mfx.models.mf import MFModel, init_model
 from mfx.models.svdpp import SVDppModel, init_svdpp
 from mfx.serve import ShardedTopKRecommender, TopKRecommender
@@ -28,7 +28,8 @@ __all__ = [
     "ALSConfig", "NMFConfig", "IALSConfig", "BPRConfig", "ParallelConfig",
     "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split", "leave_one_out_split",
-    "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "evaluate",
+    "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "full_hr_ndcg_at_k",
+    "evaluate",
     "MFModel", "init_model", "SVDppModel", "init_svdpp",
     "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
@@ -41,19 +42,33 @@ def evaluate(
     implicit: bool = False,
     clip: tuple[float, float] | None = (0.5, 5.0),
     ranking_k: int | None = None,
+    ranking_protocol: str = "sampled",
+    train: RatingsCOO | None = None,
 ) -> dict:
     """Held-out metrics: RMSE/MAE (explicit; predictions clipped to the
     rating scale, matching the training driver) or sampled AUC (implicit).
-    ``ranking_k``: additionally report sampled HR@K / NDCG@K / MRR@K at
-    this K (pass ``pos_keys`` built over train ∪ test to ``hr_ndcg_at_k``
-    directly for the unbiased protocol)."""
+
+    ``ranking_k``: additionally report HR@K / NDCG@K / MRR@K at this K.
+    ``ranking_protocol``: 'sampled' (NCF-style, 100 drawn candidates per
+    positive — pass ``pos_keys`` built over train ∪ test to
+    ``hr_ndcg_at_k`` directly for the unbiased variant) or 'full' (rank
+    against the entire catalog — the bias-free protocol; give ``train``
+    so its interactions are excluded from the competitor set)."""
     out = {}
     if implicit:
         out["auc"] = sampled_auc(model, coo)
     else:
         out["rmse"], out["mae"] = rmse_mae(model, coo, clip=clip)
     if ranking_k is not None:
-        r = hr_ndcg_at_k(model, coo, k=ranking_k)
+        if ranking_protocol == "full":
+            r = full_hr_ndcg_at_k(model, coo, train=train, k=ranking_k)
+        elif ranking_protocol == "sampled":
+            r = hr_ndcg_at_k(model, coo, k=ranking_k)
+        else:
+            raise ValueError(
+                "ranking_protocol must be 'sampled' or 'full', got "
+                f"{ranking_protocol!r}"
+            )
         out[f"hr@{ranking_k}"] = r["hr"]
         out[f"ndcg@{ranking_k}"] = r["ndcg"]
         out[f"mrr@{ranking_k}"] = r["mrr"]

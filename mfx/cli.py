@@ -46,14 +46,27 @@ def cmd_train(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    from mfx.api import evaluate, load_dataset, train_test_split
+    from mfx.api import (
+        evaluate, leave_one_out_split, load_dataset, train_test_split,
+    )
     from mfx.train.checkpoint import load_checkpoint
 
     model, epoch, seed = load_checkpoint(args.checkpoint)
     coo = load_dataset(args.dataset, root=args.root)
-    _, test = train_test_split(coo, test_frac=args.test_frac, seed=seed)
+    if args.split == "loo":
+        tr, test = leave_one_out_split(coo, seed=seed)
+    else:
+        tr, test = train_test_split(coo, test_frac=args.test_frac, seed=seed)
     print(json.dumps(
-        {"checkpoint_epoch": epoch, **evaluate(model, test, args.implicit)},
+        {
+            "checkpoint_epoch": epoch,
+            **evaluate(
+                model, test, args.implicit,
+                ranking_k=args.ranking_k,
+                ranking_protocol=args.ranking_protocol,
+                train=tr,
+            ),
+        },
         sort_keys=True,
     ))
     return 0
@@ -169,6 +182,15 @@ def main(argv=None) -> int:
     p.add_argument("--root", default=None, help="dataset root directory")
     p.add_argument("--test-frac", type=float, default=0.1)
     p.add_argument("--implicit", action="store_true")
+    p.add_argument("--split", choices=("uniform", "loo"), default="uniform",
+                   help="held-out protocol: uniform fraction or "
+                        "leave-one-out (the ranking-eval standard)")
+    p.add_argument("--ranking-k", type=int, default=None,
+                   help="also report HR/NDCG/MRR at this K")
+    p.add_argument("--ranking-protocol", choices=("sampled", "full"),
+                   default="sampled",
+                   help="rank vs 100 sampled candidates (NCF-style) or "
+                        "the full catalog (bias-free)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="measure updates/sec/chip")

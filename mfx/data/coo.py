@@ -12,7 +12,7 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["RatingsCOO"]
+__all__ = ["RatingsCOO", "SeenCSR"]
 
 
 @dataclasses.dataclass
@@ -114,6 +114,17 @@ class RatingsCOO:
             item_raw_ids=self.item_raw_ids,
         )
 
+    # ---- derived indexes ----------------------------------------------
+
+    def seen_csr(self) -> "SeenCSR":
+        """Per-user seen-item index over these triples (see SeenCSR)."""
+        order = np.argsort(self.user, kind="stable")
+        items = self.item[order].astype(np.int32)
+        offsets = np.searchsorted(
+            self.user[order], np.arange(self.num_users + 1)
+        ).astype(np.int64)
+        return SeenCSR(items=items, offsets=offsets)
+
     # ---- persistence ------------------------------------------------------
 
     def save_npz(self, path) -> None:
@@ -147,3 +158,49 @@ class RatingsCOO:
                     z["item_raw_ids"] if "item_raw_ids" in z else None
                 ),
             )
+
+
+@dataclasses.dataclass
+class SeenCSR:
+    """Per-user seen-item index (CSR over a RatingsCOO) — the shared
+    exclusion machinery of serving ("don't recommend what the user
+    already rated", mfx/serve/topk.py) and full-catalog ranking eval
+    (seen items are not ranking competitors, mfx/eval/ranking.py).
+
+    Build with :meth:`RatingsCOO.seen_csr` (or :meth:`SeenCSR.empty` for
+    the no-exclusions case). ``batch`` emits a user batch's (row, item)
+    pairs as flat padded arrays shaped for a single -inf scatter inside a
+    jitted scorer: padding goes to pow-2 buckets so the consumer's
+    compiled-program count stays logarithmic in batch content.
+    """
+
+    items: np.ndarray  # int32 [nnz], user-major
+    offsets: np.ndarray  # int64 [num_users + 1]
+
+    @staticmethod
+    def empty(num_users: int) -> "SeenCSR":
+        return SeenCSR(
+            items=np.zeros(0, np.int32),
+            offsets=np.zeros(num_users + 1, np.int64),
+        )
+
+    def batch(
+        self, users: np.ndarray, pad_row: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(rows, items) of the batch's seen pairs, padded to a pow-2
+        bucket; pad slots use the out-of-range row sentinel ``pad_row``
+        (dropped by the jitted scatter's out-of-bounds semantics)."""
+        starts = self.offsets[users]
+        stops = self.offsets[np.asarray(users) + 1]
+        counts = (stops - starts).astype(np.int64)
+        total = int(counts.sum())
+        cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
+        rows = np.full(cap, pad_row, np.int32)
+        items = np.zeros(cap, np.int32)
+        pos = 0
+        for b in np.flatnonzero(counts):
+            c = int(counts[b])
+            rows[pos:pos + c] = b
+            items[pos:pos + c] = self.items[starts[b]:starts[b] + c]
+            pos += c
+        return rows, items

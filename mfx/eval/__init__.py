@@ -1,3 +1,4 @@
 from mfx.eval.metrics import rmse, rmse_mae
+from mfx.eval.ranking import full_hr_ndcg_at_k, hr_ndcg_at_k
 
-__all__ = ["rmse", "rmse_mae"]
+__all__ = ["rmse", "rmse_mae", "hr_ndcg_at_k", "full_hr_ndcg_at_k"]

@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfx.data.bpr import build_positive_index, sample_negatives
+from mfx.data.coo import SeenCSR
 
-__all__ = ["hr_ndcg_at_k"]
+__all__ = ["hr_ndcg_at_k", "full_hr_ndcg_at_k"]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -93,17 +94,32 @@ def hr_ndcg_at_k(
         return {"hr": 0.0, "ndcg": 0.0, "mrr": 0.0}
     if pos_keys is None:
         pos_keys = build_positive_index(test)
-    # n_neg independent exact draws; distinct eval-only streams per column
-    negs = np.stack(
-        [
-            sample_negatives(
-                n, test.num_items, seed, epoch=0xC0DE00 + j,
-                users=test.user, pos_keys=pos_keys, cdf=cdf,
-            )
-            for j in range(n_neg)
-        ],
-        axis=1,
-    )
+    # on TPU, draw the candidates on device (exact complement draws per
+    # chunk) — the host-side rejection loop is n_neg full passes on this
+    # repo's documented 1-core throttled host (minutes at ML-25M scale);
+    # the host path stays for CPU runs and for the popularity-cdf
+    # protocol, and both streams are seeded/deterministic (they differ
+    # from each other: numpy vs jax RNG)
+    use_dev = cdf is None and jax.default_backend() == "tpu"
+    if use_dev:
+        from mfx.data.bpr import sample_negatives_device
+
+        uq = np.unique(pos_keys)  # complement_draw needs strict keys
+        pu = jnp.asarray((uq // test.num_items).astype(np.int32))
+        pi = jnp.asarray((uq % test.num_items).astype(np.int32))
+        base = jax.random.key(seed ^ 0xC0DE)
+    else:
+        # n_neg independent exact draws; distinct eval streams per column
+        negs = np.stack(
+            [
+                sample_negatives(
+                    n, test.num_items, seed, epoch=0xC0DE00 + j,
+                    users=test.user, pos_keys=pos_keys, cdf=cdf,
+                )
+                for j in range(n_neg)
+            ],
+            axis=1,
+        )
     chunk = min(chunk, max(1024, n))
     hits = ndcg = mrr = cnt = 0.0
     u = np.zeros(chunk, np.int32)
@@ -115,10 +131,106 @@ def hr_ndcg_at_k(
         m = stop - start
         u[:m] = test.user[start:stop]
         p[:m] = test.item[start:stop]
-        q[:m] = negs[start:stop]
         w[:] = 0.0
         w[:m] = 1.0
-        h, g, r, c = _rank_chunk(model, u, p, q, w, k)
+        if use_dev:
+            qd = sample_negatives_device(
+                jax.random.fold_in(base, start),
+                jnp.tile(jnp.asarray(u), n_neg), pu, pi, test.num_items,
+            ).reshape(n_neg, chunk).T
+        else:
+            q[:m] = negs[start:stop]
+            qd = q
+        h, g, r, c = _rank_chunk(model, u, p, qd, w, k)
+        hits += float(h)
+        ndcg += float(g)
+        mrr += float(r)
+        cnt += float(c)
+    return {"hr": hits / cnt, "ndcg": ndcg / cnt, "mrr": mrr / cnt}
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _full_rank_chunk(model, users, pos, excl_rows, excl_items, weights, k):
+    """(hits@k, ndcg@k, mrr@k, count) for one padded chunk, ranking each
+    positive against the ENTIRE catalog minus the user's train-seen items
+    (scattered to -inf via the same padded (row, item) pairs the serving
+    path uses). rank = 1 + #items scoring strictly higher (+ half-credit
+    on exact ties, matching the sampled protocol's tie handling)."""
+    pu = jnp.take(model.P, users, axis=0, mode="clip")  # (B, r)
+    scores = pu @ model.Q.T + model.bi[None, :]  # (B, I)
+    # bu/mu are constant within a row: rank-invariant, omitted.
+    s_pos = jnp.take_along_axis(scores, pos[:, None], axis=1)[:, 0]
+    scores = scores.at[excl_rows, excl_items].set(
+        -jnp.inf, mode="drop"
+    )
+    # the positive itself is not its own competitor (it would otherwise
+    # contribute a 0.5 self-tie)
+    scores = scores.at[jnp.arange(users.shape[0]), pos].set(
+        -jnp.inf, mode="drop"
+    )
+    better = jnp.sum(
+        (scores > s_pos[:, None]).astype(jnp.float32)
+        + 0.5 * (scores == s_pos[:, None]).astype(jnp.float32),
+        axis=-1,
+    )
+    rank = 1.0 + better
+    hit = (rank <= k).astype(jnp.float32) * weights
+    ndcg = jnp.where(rank <= k, 1.0 / jnp.log2(rank + 1.0), 0.0) * weights
+    mrr = jnp.where(rank <= k, 1.0 / rank, 0.0) * weights
+    return jnp.sum(hit), jnp.sum(ndcg), jnp.sum(mrr), jnp.sum(weights)
+
+
+def full_hr_ndcg_at_k(
+    model,
+    test,
+    train=None,
+    k: int = 10,
+    chunk: int = 1 << 10,
+) -> dict:
+    """{'hr', 'ndcg', 'mrr'}@K of ``model`` on a held-out split, ranking
+    each positive against the **full catalog** — the unsampled protocol
+    (Krichene & Rendle 2020 showed sampled metrics can reorder models;
+    this is the bias-free variant for final comparisons, at O(num_items)
+    work per positive instead of O(n_neg)).
+
+    ``train`` (optional RatingsCOO): interactions to EXCLUDE from the
+    competitor set — the standard "train items are not candidates" rule
+    (same exclusion machinery as serving). Other test positives of the
+    same user remain competitors, per the standard protocol.
+
+    TPU-native shape: one (chunk × rank)·(rank × num_items) MXU matmul
+    per chunk plus a -inf exclusion scatter — no sort: the metric needs
+    only the positive's rank, which is a vectorized comparison count.
+    The score block is (chunk, num_items) f32 in HBM; ``chunk`` is
+    auto-capped to keep it under ~1 GB on very large catalogs.
+    """
+    n = test.n_ratings
+    if n == 0:
+        return {"hr": 0.0, "ndcg": 0.0, "mrr": 0.0}
+    if k < 1 or k > test.num_items:
+        raise ValueError(
+            f"k must be in [1, num_items={test.num_items}], got {k}"
+        )
+    seen = (
+        train.seen_csr() if train is not None
+        else SeenCSR.empty(test.num_users)
+    )
+    chunk = max(1, min(chunk, n, (1 << 28) // max(1, test.num_items)))
+    hits = ndcg = mrr = cnt = 0.0
+    u = np.zeros(chunk, np.int32)
+    p = np.zeros(chunk, np.int32)
+    w = np.zeros(chunk, np.float32)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        m = stop - start
+        u[:m] = test.user[start:stop]
+        p[:m] = test.item[start:stop]
+        w[:] = 0.0
+        w[:m] = 1.0
+        rows, items = seen.batch(u[:m], pad_row=chunk)
+        h, g, r, c = _full_rank_chunk(
+            model, u, p, jnp.asarray(rows), jnp.asarray(items), w, k
+        )
         hits += float(h)
         ndcg += float(g)
         mrr += float(r)

@@ -125,33 +125,17 @@ class ShardedTopKRecommender(TopKRecommender):
         self._kern[k] = jitted
         return jitted
 
-    def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        users = np.asarray(users, np.int32).reshape(-1)
-        if k < 1 or k > self.model.num_items:
-            raise ValueError(
-                f"k must be in [1, num_items={self.model.num_items}], got {k}"
-            )
+    def _validate(self, users: np.ndarray, k: int) -> None:
+        super()._validate(users, k)
         if k > self._ipad // self._S:
             raise ValueError(
                 f"k={k} exceeds the per-shard catalog slice "
                 f"{self._ipad // self._S}; use fewer shards or smaller k"
             )
-        if np.any((users < 0) | (users >= self.model.num_users)):
-            raise ValueError("user id out of range")
-        kern = self._kernel(k)
-        n = users.shape[0]
-        out_i = np.empty((n, k), np.int32)
-        out_s = np.empty((n, k), np.float32)
-        for start in range(0, n, self.batch):
-            stop = min(start + self.batch, n)
-            ub = np.zeros(self.batch, np.int32)
-            ub[: stop - start] = users[start:stop]
-            rows, items = self._exclusions(ub[: stop - start])
-            pu, bu_b = self._user_rows(ub)
-            i_, s_ = kern(
-                pu, bu_b, self._mu, self._Q, self._bi,
-                jnp.asarray(rows), jnp.asarray(items),
-            )
-            out_i[start:stop] = np.asarray(i_)[: stop - start]
-            out_s[start:stop] = np.asarray(s_)[: stop - start]
-        return out_i, out_s
+
+    def _score_batch(self, ub, rows, items, k):
+        pu, bu_b = self._user_rows(ub)
+        return self._kernel(k)(
+            pu, bu_b, self._mu, self._Q, self._bi,
+            jnp.asarray(rows), jnp.asarray(items),
+        )

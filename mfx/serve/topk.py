@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mfx.data.coo import SeenCSR
+
 __all__ = ["TopKRecommender", "similar_items"]
 
 _NEG_INF = float("-inf")
@@ -111,44 +113,37 @@ class TopKRecommender:
             raise ValueError(f"batch must be >= 1, got {batch}")
         self.model = model
         self.batch = batch
-        if train is not None:
-            order = np.argsort(train.user, kind="stable")
-            self._items = train.item[order].astype(np.int32)
-            self._offsets = np.searchsorted(
-                train.user[order], np.arange(model.num_users + 1)
-            ).astype(np.int64)
-        else:
-            self._items = np.zeros(0, np.int32)
-            self._offsets = np.zeros(model.num_users + 1, np.int64)
+        self._seen = (
+            train.seen_csr() if train is not None
+            else SeenCSR.empty(model.num_users)
+        )
 
     def _exclusions(self, users: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(rows, items) of the batch's seen pairs, padded to a pow-2
         bucket; pad slots use the out-of-range row sentinel ``batch``."""
-        starts = self._offsets[users]
-        stops = self._offsets[users + 1]
-        counts = (stops - starts).astype(np.int64)
-        total = int(counts.sum())
-        cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
-        rows = np.full(cap, self.batch, np.int32)
-        items = np.zeros(cap, np.int32)
-        pos = 0
-        for b in np.flatnonzero(counts):
-            c = int(counts[b])
-            rows[pos:pos + c] = b
-            items[pos:pos + c] = self._items[starts[b]:starts[b] + c]
-            pos += c
-        return rows, items
+        return self._seen.batch(users, pad_row=self.batch)
 
-    def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        """Top-``k`` unseen items per user: (items (n, k) int32,
-        scores (n, k) f32), both sorted by descending score."""
-        users = np.asarray(users, np.int32).reshape(-1)
+    def _validate(self, users: np.ndarray, k: int) -> None:
         if k < 1 or k > self.model.num_items:
             raise ValueError(
                 f"k must be in [1, num_items={self.model.num_items}], got {k}"
             )
         if np.any((users < 0) | (users >= self.model.num_users)):
             raise ValueError("user id out of range")
+
+    def _score_batch(self, ub, rows, items, k):
+        """Score one padded user batch. Hook for subclasses; ALWAYS
+        returns (items, scores) in that order."""
+        s, i = _topk_batch(
+            self.model, ub, jnp.asarray(rows), jnp.asarray(items), k
+        )
+        return i, s
+
+    def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Top-``k`` unseen items per user: (items (n, k) int32,
+        scores (n, k) f32), both sorted by descending score."""
+        users = np.asarray(users, np.int32).reshape(-1)
+        self._validate(users, k)
         n = users.shape[0]
         out_i = np.empty((n, k), np.int32)
         out_s = np.empty((n, k), np.float32)
@@ -157,9 +152,7 @@ class TopKRecommender:
             ub = np.zeros(self.batch, np.int32)
             ub[: stop - start] = users[start:stop]
             rows, items = self._exclusions(ub[: stop - start])
-            s, i = _topk_batch(
-                self.model, ub, jnp.asarray(rows), jnp.asarray(items), k
-            )
-            out_i[start:stop] = np.asarray(i)[: stop - start]
-            out_s[start:stop] = np.asarray(s)[: stop - start]
+            i_, s_ = self._score_batch(ub, rows, items, k)
+            out_i[start:stop] = np.asarray(i_)[: stop - start]
+            out_s[start:stop] = np.asarray(s_)[: stop - start]
         return out_i, out_s

@@ -51,6 +51,19 @@ def test_cli_train_eval_roundtrip(tmp_path):
     ev = json.loads(out)
     assert abs(ev["rmse"] - summary["test_rmse"]) < 1e-6
 
+    # ranking metrics off a checkpoint: leave-one-out split, full-catalog
+    # protocol (train-side interactions excluded from the competitor set)
+    rc, out = _run_cli([
+        "eval", "--checkpoint", str(ckpt), "--dataset", "synthetic-small",
+        "--root", str(tmp_path), "--split", "loo",
+        "--ranking-k", "5", "--ranking-protocol", "full",
+    ])
+    assert rc == 0
+    ev = json.loads(out)
+    for m in ("hr@5", "ndcg@5", "mrr@5"):
+        assert 0.0 <= ev[m] <= 1.0
+    assert ev["mrr@5"] <= ev["ndcg@5"] <= ev["hr@5"] + 1e-9
+
 
 def test_model_npz_roundtrip(tmp_path):
     model = init_model(3, 17, 23, rank=4, global_mean=3.2)

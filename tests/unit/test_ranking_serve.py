@@ -54,6 +54,53 @@ def test_hr_ndcg_matches_numpy_oracle():
     assert not np.isin(keys.reshape(-1), pos_keys).any()
 
 
+def test_full_ranking_matches_numpy_oracle():
+    """Unsampled protocol: rank vs the whole catalog, train-seen items
+    excluded from the competitor set, exact oracle parity."""
+    from mfx.eval.ranking import full_hr_ndcg_at_k
+
+    U, I, k = 60, 40, 5
+    coo = synthetic.make_synthetic(U, I, 800, seed=7)
+    train, test = train_test_split(coo, 0.25, seed=0)
+    model = _model(U, I)
+    got = full_hr_ndcg_at_k(model, test, train=train, k=k, chunk=128)
+
+    P, Q, bi = map(np.asarray, (model.P, model.Q, model.bi))
+    full = P @ Q.T + bi[None, :]
+    hits = ndcg = mrr = 0.0
+    n = test.n_ratings
+    for t in range(n):
+        u, p = test.user[t], test.item[t]
+        s = full[u].copy()
+        s[train.item[train.user == u]] = -np.inf  # train-seen excluded
+        sp = full[u, p]
+        s[p] = -np.inf  # the positive is not its own competitor
+        rank = 1.0 + np.sum(s > sp) + 0.5 * np.sum(s == sp)
+        if rank <= k:
+            hits += 1.0
+            ndcg += 1.0 / np.log2(rank + 1.0)
+            mrr += 1.0 / rank
+    np.testing.assert_allclose(got["hr"], hits / n, atol=1e-6)
+    np.testing.assert_allclose(got["ndcg"], ndcg / n, atol=1e-6)
+    np.testing.assert_allclose(got["mrr"], mrr / n, atol=1e-6)
+
+
+def test_full_ranking_no_train_and_validation():
+    import pytest
+
+    from mfx.eval.ranking import full_hr_ndcg_at_k
+
+    U, I = 12, 9
+    coo = synthetic.make_synthetic(U, I, 90, seed=3)
+    model = _model(U, I, rank=4)
+    got = full_hr_ndcg_at_k(model, coo, k=I)  # k = full catalog: all hit
+    np.testing.assert_allclose(got["hr"], 1.0, atol=1e-6)
+    with pytest.raises(ValueError):
+        full_hr_ndcg_at_k(model, coo, k=0)
+    with pytest.raises(ValueError):
+        full_hr_ndcg_at_k(model, coo, k=I + 1)
+
+
 def test_topk_recommender_matches_bruteforce_and_excludes_seen():
     U, I, k = 50, 37, 6
     coo = synthetic.make_synthetic(U, I, 700, seed=5)
