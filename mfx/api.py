@@ -16,7 +16,9 @@ from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
 from mfx.data.split import leave_one_out_split, train_test_split
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
-from mfx.eval.ranking import full_hr_ndcg_at_k, hr_ndcg_at_k
+from mfx.eval.ranking import (
+    full_hr_ndcg_at_k, hr_ndcg_at_k, user_topk_metrics,
+)
 from mfx.models.mf import MFModel, init_model
 from mfx.models.svdpp import SVDppModel, init_svdpp
 from mfx.serve import ShardedTopKRecommender, TopKRecommender
@@ -29,7 +31,7 @@ __all__ = [
     "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split", "leave_one_out_split",
     "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "full_hr_ndcg_at_k",
-    "evaluate",
+    "user_topk_metrics", "evaluate",
     "MFModel", "init_model", "SVDppModel", "init_svdpp",
     "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",

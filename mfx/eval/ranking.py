@@ -29,7 +29,7 @@ import numpy as np
 from mfx.data.bpr import build_positive_index, sample_negatives
 from mfx.data.coo import SeenCSR
 
-__all__ = ["hr_ndcg_at_k", "full_hr_ndcg_at_k"]
+__all__ = ["hr_ndcg_at_k", "full_hr_ndcg_at_k", "user_topk_metrics"]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -147,6 +147,68 @@ def hr_ndcg_at_k(
         mrr += float(r)
         cnt += float(c)
     return {"hr": hits / cnt, "ndcg": ndcg / cnt, "mrr": mrr / cnt}
+
+
+def user_topk_metrics(
+    model,
+    test,
+    train=None,
+    k: int = 10,
+    batch: int = 256,
+) -> dict:
+    """Per-USER top-K quality of the model's actual recommendation lists
+    — the multi-positive protocol (each user may hold several held-out
+    items, e.g. from a uniform split): {'recall', 'precision', 'ndcg',
+    'map'}@K, averaged over users with at least one test item.
+
+    Definitions (standard): with T_u the user's distinct test items and
+    L_u the served top-K list (train-seen excluded), recall = |hit|/|T_u|,
+    precision = |hit|/K, NDCG uses binary gains with the ideal DCG at
+    min(K, |T_u|), and MAP is average precision truncated at K.
+
+    Runs the SERVING path (mfx.serve.TopKRecommender — one MXU catalog
+    matmul + top_k per user batch), so it measures exactly what
+    production would return; host work is O(users · K · log n) membership
+    searches. Complements :func:`hr_ndcg_at_k` /
+    :func:`full_hr_ndcg_at_k`, which rank one positive per interaction.
+    """
+    from mfx.serve.topk import TopKRecommender
+
+    if test.n_ratings == 0:
+        return {"recall": 0.0, "precision": 0.0, "ndcg": 0.0, "map": 0.0}
+    I = test.num_items
+    # distinct (user, item) test pairs, user-grouped
+    keys = np.unique(test.user.astype(np.int64) * I + test.item)
+    users = np.unique((keys // I).astype(np.int32))
+    counts = np.searchsorted(
+        keys, (users.astype(np.int64) + 1) * I
+    ) - np.searchsorted(keys, users.astype(np.int64) * I)
+
+    rec = TopKRecommender(model, train=train, batch=batch)
+    items, _ = rec.recommend(users, k=k)  # (n_users, k)
+
+    hit = np.zeros(items.shape, bool)
+    qk = users.astype(np.int64)[:, None] * I + items
+    pos = np.searchsorted(keys, qk.reshape(-1))
+    ok = pos < keys.shape[0]
+    hit.reshape(-1)[ok] = keys[pos[ok]] == qk.reshape(-1)[ok]
+
+    ranks = np.arange(1, k + 1, dtype=np.float64)
+    disc = 1.0 / np.log2(ranks + 1.0)
+    nhit = hit.sum(axis=1).astype(np.float64)
+    recall = nhit / counts
+    precision = nhit / k
+    ideal = np.cumsum(disc)[np.minimum(counts, k) - 1]
+    ndcg = (hit @ disc) / ideal
+    # AP@K: mean over min(K, |T_u|) of precision@p at each hit position
+    prec_at = np.cumsum(hit, axis=1) / ranks[None, :]
+    ap = (prec_at * hit).sum(axis=1) / np.minimum(counts, k)
+    return {
+        "recall": float(recall.mean()),
+        "precision": float(precision.mean()),
+        "ndcg": float(ndcg.mean()),
+        "map": float(ap.mean()),
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -101,6 +101,43 @@ def test_full_ranking_no_train_and_validation():
         full_hr_ndcg_at_k(model, coo, k=I + 1)
 
 
+def test_user_topk_metrics_matches_numpy_oracle():
+    """Per-user Recall/Precision/NDCG/MAP@K vs a brute-force oracle that
+    re-derives the top-K lists and the textbook metric definitions."""
+    from mfx.eval.ranking import user_topk_metrics
+
+    U, I, k = 40, 30, 6
+    coo = synthetic.make_synthetic(U, I, 900, seed=2)
+    train, test = train_test_split(coo, 0.3, seed=1)
+    model = _model(U, I, rank=4, seed=7)
+    got = user_topk_metrics(model, test, train=train, k=k, batch=16)
+
+    P, Q = np.asarray(model.P), np.asarray(model.Q)
+    bu, bi, mu = np.asarray(model.bu), np.asarray(model.bi), float(model.mu)
+    full = P @ Q.T + bi[None, :] + bu[:, None] + mu
+    rec = prec = ndcg = ap = 0.0
+    users = np.unique(test.user)
+    for u in users:
+        T = set(np.unique(test.item[test.user == u]).tolist())
+        s = full[u].copy()
+        s[train.item[train.user == u]] = -np.inf
+        top = np.argsort(-s, kind="stable")[:k]
+        hits = [1.0 if i in T else 0.0 for i in top]
+        rec += sum(hits) / len(T)
+        prec += sum(hits) / k
+        dcg = sum(h / np.log2(p + 2.0) for p, h in enumerate(hits))
+        idcg = sum(1.0 / np.log2(p + 2.0) for p in range(min(k, len(T))))
+        ndcg += dcg / idcg
+        ap += sum(
+            h * sum(hits[: p + 1]) / (p + 1.0) for p, h in enumerate(hits)
+        ) / min(k, len(T))
+    n = len(users)
+    np.testing.assert_allclose(got["recall"], rec / n, atol=1e-6)
+    np.testing.assert_allclose(got["precision"], prec / n, atol=1e-6)
+    np.testing.assert_allclose(got["ndcg"], ndcg / n, atol=1e-6)
+    np.testing.assert_allclose(got["map"], ap / n, atol=1e-6)
+
+
 def test_topk_recommender_matches_bruteforce_and_excludes_seen():
     U, I, k = 50, 37, 6
     coo = synthetic.make_synthetic(U, I, 700, seed=5)
