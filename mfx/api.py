@@ -50,12 +50,14 @@ def evaluate(
     """Held-out metrics: RMSE/MAE (explicit; predictions clipped to the
     rating scale, matching the training driver) or sampled AUC (implicit).
 
-    ``ranking_k``: additionally report HR@K / NDCG@K / MRR@K at this K.
-    ``ranking_protocol``: 'sampled' (NCF-style, 100 drawn candidates per
-    positive — pass ``pos_keys`` built over train ∪ test to
-    ``hr_ndcg_at_k`` directly for the unbiased variant) or 'full' (rank
-    against the entire catalog — the bias-free protocol; give ``train``
-    so its interactions are excluded from the competitor set)."""
+    ``ranking_k``: additionally report ranking metrics at this K.
+    ``ranking_protocol``: 'sampled' (NCF-style HR/NDCG/MRR, 100 drawn
+    candidates per positive — pass ``pos_keys`` built over train ∪ test
+    to ``hr_ndcg_at_k`` directly for the unbiased variant), 'full'
+    (HR/NDCG/MRR against the entire catalog — the bias-free protocol;
+    give ``train`` so its interactions are excluded from the competitor
+    set), or 'user' (per-user multi-positive Recall/Precision/NDCG/MAP +
+    coverage/novelty over the served top-K lists)."""
     out = {}
     if implicit:
         out["auc"] = sampled_auc(model, coo)
@@ -66,12 +68,12 @@ def evaluate(
             r = full_hr_ndcg_at_k(model, coo, train=train, k=ranking_k)
         elif ranking_protocol == "sampled":
             r = hr_ndcg_at_k(model, coo, k=ranking_k)
+        elif ranking_protocol == "user":
+            r = user_topk_metrics(model, coo, train=train, k=ranking_k)
         else:
             raise ValueError(
-                "ranking_protocol must be 'sampled' or 'full', got "
-                f"{ranking_protocol!r}"
+                "ranking_protocol must be 'sampled', 'full', or 'user', "
+                f"got {ranking_protocol!r}"
             )
-        out[f"hr@{ranking_k}"] = r["hr"]
-        out[f"ndcg@{ranking_k}"] = r["ndcg"]
-        out[f"mrr@{ranking_k}"] = r["mrr"]
+        out.update({f"{name}@{ranking_k}": v for name, v in r.items()})
     return out

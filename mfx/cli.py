@@ -187,10 +187,13 @@ def main(argv=None) -> int:
                         "leave-one-out (the ranking-eval standard)")
     p.add_argument("--ranking-k", type=int, default=None,
                    help="also report HR/NDCG/MRR at this K")
-    p.add_argument("--ranking-protocol", choices=("sampled", "full"),
+    p.add_argument("--ranking-protocol",
+                   choices=("sampled", "full", "user"),
                    default="sampled",
-                   help="rank vs 100 sampled candidates (NCF-style) or "
-                        "the full catalog (bias-free)")
+                   help="rank vs 100 sampled candidates (NCF-style), "
+                        "the full catalog (bias-free), or per-user "
+                        "Recall/Precision/NDCG/MAP + coverage/novelty "
+                        "over the served top-K lists")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="measure updates/sec/chip")

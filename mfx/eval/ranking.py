@@ -166,6 +166,12 @@ def user_topk_metrics(
     precision = |hit|/K, NDCG uses binary gains with the ideal DCG at
     min(K, |T_u|), and MAP is average precision truncated at K.
 
+    Beyond-accuracy axes of the same lists: 'coverage' (fraction of the
+    catalog appearing in at least one list — degenerate popularity-only
+    recommenders score near K/num_items) and, when ``train`` is given,
+    'novelty' (mean self-information −log2 p(i) of recommended items
+    under the train interaction distribution — higher = less obvious).
+
     Runs the SERVING path (mfx.serve.TopKRecommender — one MXU catalog
     matmul + top_k per user batch), so it measures exactly what
     production would return; host work is O(users · K · log n) membership
@@ -203,12 +209,18 @@ def user_topk_metrics(
     # AP@K: mean over min(K, |T_u|) of precision@p at each hit position
     prec_at = np.cumsum(hit, axis=1) / ranks[None, :]
     ap = (prec_at * hit).sum(axis=1) / np.minimum(counts, k)
-    return {
+    out = {
         "recall": float(recall.mean()),
         "precision": float(precision.mean()),
         "ndcg": float(ndcg.mean()),
         "map": float(ap.mean()),
+        "coverage": float(np.unique(items).size / I),
     }
+    if train is not None and train.n_ratings:
+        pop = np.bincount(train.item, minlength=I).astype(np.float64)
+        p = np.maximum(pop, 1.0) / train.n_ratings  # floor: unseen items
+        out["novelty"] = float(-np.log2(p[items]).mean())
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -64,6 +64,19 @@ def test_cli_train_eval_roundtrip(tmp_path):
         assert 0.0 <= ev[m] <= 1.0
     assert ev["mrr@5"] <= ev["ndcg@5"] <= ev["hr@5"] + 1e-9
 
+    # per-user multi-positive protocol over the served lists
+    rc, out = _run_cli([
+        "eval", "--checkpoint", str(ckpt), "--dataset", "synthetic-small",
+        "--root", str(tmp_path),
+        "--ranking-k", "5", "--ranking-protocol", "user",
+    ])
+    assert rc == 0
+    ev = json.loads(out)
+    for m in ("recall@5", "precision@5", "ndcg@5", "map@5", "coverage@5",
+              "novelty@5"):
+        assert m in ev
+    assert 0.0 <= ev["recall@5"] <= 1.0 and ev["novelty@5"] > 0.0
+
 
 def test_model_npz_roundtrip(tmp_path):
     model = init_model(3, 17, 23, rank=4, global_mean=3.2)

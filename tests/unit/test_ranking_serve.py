@@ -137,6 +137,17 @@ def test_user_topk_metrics_matches_numpy_oracle():
     np.testing.assert_allclose(got["ndcg"], ndcg / n, atol=1e-6)
     np.testing.assert_allclose(got["map"], ap / n, atol=1e-6)
 
+    # beyond-accuracy axes off the same lists
+    items, _ = TopKRecommender(model, train=train, batch=16).recommend(
+        users, k=k
+    )
+    np.testing.assert_allclose(got["coverage"], np.unique(items).size / I)
+    pop = np.bincount(train.item, minlength=I).astype(np.float64)
+    p = np.maximum(pop, 1.0) / train.n_ratings
+    np.testing.assert_allclose(
+        got["novelty"], -np.log2(p[items]).mean(), atol=1e-9
+    )
+
 
 def test_topk_recommender_matches_bruteforce_and_excludes_seen():
     U, I, k = 50, 37, 6
