@@ -43,8 +43,13 @@ class ShardedTopKRecommender(TopKRecommender):
     -inf-bias rows so pads can never be recommended).
     """
 
-    def __init__(self, model, mesh: Mesh, train=None, batch: int = 256):
-        super().__init__(model, train=train, batch=batch)
+    def __init__(
+        self, model, mesh: Mesh, train=None, batch: int = 256,
+        table_dtype: str = "f32",
+    ):
+        super().__init__(
+            model, train=train, batch=batch, table_dtype=table_dtype
+        )
         self.mesh = mesh
         devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
         self._S = devs
@@ -57,8 +62,9 @@ class ShardedTopKRecommender(TopKRecommender):
         self._flat = flat
         rows = NamedSharding(flat, P("shard"))
         repl = NamedSharding(flat, P())
-        Qp = jnp.zeros((self._ipad, model.rank), model.Q.dtype)
-        Qp = Qp.at[:I].set(model.Q)
+        qdt = jnp.bfloat16 if table_dtype == "bf16" else model.Q.dtype
+        Qp = jnp.zeros((self._ipad, model.rank), qdt)
+        Qp = Qp.at[:I].set(jnp.asarray(model.Q, qdt))
         bip = jnp.full((self._ipad,), _NEG_INF, jnp.float32)
         bip = bip.at[:I].set(model.bi)
         self._Q = jax.device_put(Qp, rows)
@@ -93,7 +99,8 @@ class ShardedTopKRecommender(TopKRecommender):
         def shard_fn(pu, bu_b, mu, Q_loc, bi_loc, excl_rows, excl_items):
             s = jax.lax.axis_index("shard")
             scores = (
-                pu @ Q_loc.T + bi_loc[None, :] + bu_b[:, None] + mu
+                jnp.matmul(pu, Q_loc.T, preferred_element_type=jnp.float32)
+                + bi_loc[None, :] + bu_b[:, None] + mu
             )  # (B, iloc)
             # keep only this shard's slice of the exclusion pairs; out-of
             # -slice (and pad-sentinel) pairs fall out via mode='drop'
@@ -133,8 +140,16 @@ class ShardedTopKRecommender(TopKRecommender):
                 f"{self._ipad // self._S}; use fewer shards or smaller k"
             )
 
+    def _quantize_tables(self, model):
+        # the sharded variant quantizes its own padded Q copy (and the
+        # per-batch pu rows in _score_batch); the source user table is
+        # deliberately left alone — at configs[4] scale it may be host-
+        # resident or device-sharded, and a cast would relocate it
+        return model
+
     def _score_batch(self, ub, rows, items, k):
         pu, bu_b = self._user_rows(ub)
+        pu = jnp.asarray(pu, self._Q.dtype)
         return self._kernel(k)(
             pu, bu_b, self._mu, self._Q, self._bi,
             jnp.asarray(rows), jnp.asarray(items),

@@ -79,8 +79,10 @@ def similar_items(model, items, k: int = 10, batch: int = 256):
 @functools.partial(jax.jit, static_argnames=("k",))
 def _topk_batch(model, users, excl_rows, excl_items, k):
     pu = jnp.take(model.P, users, axis=0, mode="clip")  # (B, r)
+    # preferred_element_type: f32 MXU accumulation even when the factor
+    # tables are stored bf16 (table_dtype='bf16'); no-op for f32 tables
     scores = (
-        pu @ model.Q.T
+        jnp.matmul(pu, model.Q.T, preferred_element_type=jnp.float32)
         + model.bi[None, :]
         + jnp.take(model.bu, users, mode="clip")[:, None]
         + model.mu
@@ -106,16 +108,43 @@ class TopKRecommender:
     ``batch``: users per device dispatch. Each dispatch scores the full
     catalog — (batch, num_items) f32 in HBM; 256 × 1M items ≈ 1 GB, size
     accordingly for very large catalogs.
+
+    ``table_dtype``: 'f32' (default) or 'bf16' — store the factor tables
+    in bfloat16, halving serving HBM footprint AND the per-request
+    catalog-row stream (the serving matmul is HBM-bound on big
+    catalogs). Scores still accumulate in f32 on the MXU and biases stay
+    f32, so only the factor product quantizes (~3 decimal digits);
+    near-tie orderings inside the top-K can differ from f32 serving.
     """
 
-    def __init__(self, model, train=None, batch: int = 256):
+    def __init__(
+        self, model, train=None, batch: int = 256, table_dtype: str = "f32"
+    ):
         if batch < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
+        if table_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"table_dtype must be 'f32' or 'bf16', got {table_dtype!r}"
+            )
+        if table_dtype == "bf16":
+            model = self._quantize_tables(model)
+        self.table_dtype = table_dtype
         self.model = model
         self.batch = batch
         self._seen = (
             train.seen_csr() if train is not None
             else SeenCSR.empty(model.num_users)
+        )
+
+    def _quantize_tables(self, model):
+        """bf16-cast the tables this recommender actually streams. Hook:
+        the sharded variant quantizes its own padded Q copy instead."""
+        import dataclasses
+
+        return dataclasses.replace(
+            model,
+            P=jnp.asarray(model.P, jnp.bfloat16),
+            Q=jnp.asarray(model.Q, jnp.bfloat16),
         )
 
     def _exclusions(self, users: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -57,6 +57,27 @@ def test_sharded_topk_host_resident_user_table():
     assert (hi == di).all() or all(set(hi[u]) == set(di[u]) for u in range(U))
 
 
+def test_sharded_topk_bf16_matches_single_device_bf16():
+    """table_dtype='bf16': the per-shard bf16 matmul accumulates f32, so
+    sharded scores equal the single-device bf16 scores exactly."""
+    U, I, k = 30, 77, 6
+    coo = synthetic.make_synthetic(U, I, 600, seed=3)
+    model = init_model(2, U, I, rank=8, global_mean=3.5)
+    mesh = make_mesh(2, 4)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = TopKRecommender(
+        model, train=coo, batch=16, table_dtype="bf16"
+    ).recommend(users, k=k)
+    gi, gs = ShardedTopKRecommender(
+        model, mesh, train=coo, batch=16, table_dtype="bf16"
+    ).recommend(users, k=k)
+    np.testing.assert_allclose(gs, rs, rtol=1e-6, atol=1e-6)
+    for u in range(U):
+        if (gi[u] != ri[u]).any():
+            assert set(gi[u]) == set(ri[u])
+    assert (gi < I).all()
+
+
 def test_sharded_topk_k_exceeding_shard_slice_raises():
     model = init_model(0, 10, 16, rank=4, global_mean=3.0)
     mesh = make_mesh(1, 8)  # 2 items/shard

@@ -175,6 +175,37 @@ def test_topk_recommender_matches_bruteforce_and_excludes_seen():
     assert (np.diff(scores, axis=1) <= 1e-6).all()
 
 
+def test_topk_bf16_tables_preserve_serving_quality():
+    """table_dtype='bf16': every served item's TRUE (f32) score must sit
+    within bf16 quantization of the f32 serving's kth-best — the lists
+    may permute near-ties but never return a materially worse item."""
+    import pytest
+
+    U, I, k = 40, 60, 8
+    coo = synthetic.make_synthetic(U, I, 700, seed=1)
+    model = _model(U, I, rank=8, seed=2)
+    users = np.arange(U, dtype=np.int32)
+    i32, s32 = TopKRecommender(model, train=coo, batch=16).recommend(
+        users, k=k
+    )
+    i16, s16 = TopKRecommender(
+        model, train=coo, batch=16, table_dtype="bf16"
+    ).recommend(users, k=k)
+
+    P, Q = np.asarray(model.P, np.float64), np.asarray(model.Q, np.float64)
+    bu, bi, mu = np.asarray(model.bu), np.asarray(model.bi), float(model.mu)
+    full = P @ Q.T + bi[None, :] + bu[:, None] + mu
+    tol = 0.05  # generous vs bf16's ~0.4% relative input rounding
+    for u in range(U):
+        seen = coo.item[coo.user == u]
+        assert not np.isin(i16[u], seen).any()
+        assert (full[u][i16[u]] >= s32[u][-1] - tol).all()
+        # reported bf16 scores track the true scores
+        np.testing.assert_allclose(s16[u], full[u][i16[u]], atol=tol)
+    with pytest.raises(ValueError, match="table_dtype"):
+        TopKRecommender(model, table_dtype="fp8")
+
+
 def test_topk_recommender_no_train_and_validation():
     U, I = 10, 12
     model = _model(U, I, rank=4)
