@@ -41,6 +41,11 @@ def cmd_train(args) -> int:
         out["test_mae"] = result.test_mae
     if result.test_auc is not None:
         out["test_auc"] = result.test_auc
+    if result.test_ranking is not None:
+        out.update({
+            f"test_{n}@{cfg.ranking_k}": round(v, 5)
+            for n, v in result.test_ranking.items()
+        })
     print(json.dumps(out, sort_keys=True))
     return 0
 

@@ -383,6 +383,11 @@ class TrainConfig:
     bpr: BPRConfig = BPRConfig()
     parallel: ParallelConfig = ParallelConfig()
     eval_every: int = 1
+    # per-eval ranking metrics: HR/NDCG/MRR@K ('sampled' NCF-style or
+    # 'full' catalog) or per-user Recall/Precision/NDCG/MAP +
+    # coverage/novelty over the served lists ('user'); None disables.
+    ranking_k: int | None = None
+    ranking_protocol: str = "sampled"
     target_rmse: float | None = None
     clip_predictions: bool = True
     checkpoint_dir: str | None = None
@@ -509,6 +514,8 @@ PRESETS: dict[str, TrainConfig] = {
         bpr=BPRConfig(lr=0.05, reg=0.002, epochs=5, batch_size=1 << 17,
                       kernel="pallas"),
         parallel=ParallelConfig(mode="sharded", model_axis=32),
+        # implicit track: report sampled HR/NDCG/MRR@10 alongside AUC
+        ranking_k=10,
     ),
 }
 

@@ -36,6 +36,9 @@ class TrainResult:
     test_auc: float | None
     epochs_run: int
     updates_per_sec: float
+    # cfg.ranking_k metrics from the last eval (keyed 'hr', 'ndcg', ...
+    # per cfg.ranking_protocol); None when ranking eval is disabled
+    test_ranking: dict | None = None
 
 
 def _validate_parallel_sgd(cfg: TrainConfig) -> None:
@@ -287,6 +290,11 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
 
 
 def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
+    if cfg.ranking_protocol not in ("sampled", "full", "user"):
+        raise ValueError(
+            "ranking_protocol must be 'sampled', 'full', or 'user', got "
+            f"{cfg.ranking_protocol!r}"
+        )
     distributed_init()
     seed = cfg.data.seed
     coo = load_dataset(cfg.data.dataset, root=cfg.data.root)
@@ -376,11 +384,11 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     implicit = cfg.solver in ("bpr", "ials")
     n_chips = jax.device_count() if mesh is None else mesh.devices.size
 
-    # sampled-AUC negatives reject against ALL observed positives (train
-    # and held-out) — built once per run, only for implicit solvers
+    # sampled negatives (AUC and the 'sampled' ranking protocol) reject
+    # against ALL observed positives (train and held-out) — built once
     _auc_keys = None
 
-    def _auc(m):
+    def _keys():
         nonlocal _auc_keys
         if _auc_keys is None:
             import numpy as np
@@ -391,12 +399,32 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
                 [build_positive_index(train_coo), build_positive_index(test_coo)]
             )
             _auc_keys.sort()
-        return sampled_auc(m, test_coo, seed=seed, pos_keys=_auc_keys)
+        return _auc_keys
+
+    def _auc(m):
+        return sampled_auc(m, test_coo, seed=seed, pos_keys=_keys())
+
+    def _ranking(m):
+        from mfx.eval.ranking import (
+            full_hr_ndcg_at_k, hr_ndcg_at_k, user_topk_metrics,
+        )
+
+        k = cfg.ranking_k
+        if cfg.ranking_protocol == "sampled":
+            return hr_ndcg_at_k(m, test_coo, k=k, seed=seed, pos_keys=_keys())
+        if cfg.ranking_protocol == "full":
+            return full_hr_ndcg_at_k(m, test_coo, train=train_coo, k=k)
+        if cfg.ranking_protocol == "user":
+            return user_topk_metrics(m, test_coo, train=train_coo, k=k)
+        raise ValueError(
+            "ranking_protocol must be 'sampled', 'full', or 'user', got "
+            f"{cfg.ranking_protocol!r}"
+        )
 
     it = _make_epoch_iter(cfg, model, train_coo, seed, start_epoch, mesh)
     epochs_run = 0
     last_ups = 0.0
-    test_rmse = test_mae = test_auc = None
+    test_rmse = test_mae = test_auc = test_ranking = None
     t_prev = time.time()
     with maybe_trace(cfg.profile_dir):
         for epoch, model, train_metric in it:
@@ -423,6 +451,12 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
                     test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
                     rec["test_rmse"] = round(test_rmse, 5)
                     rec["test_mae"] = round(test_mae, 5)
+                if cfg.ranking_k:
+                    test_ranking = _ranking(model)
+                    rec.update({
+                        f"test_{n}@{cfg.ranking_k}": round(v, 5)
+                        for n, v in test_ranking.items()
+                    })
             log.log(**rec)
             if cfg.checkpoint_dir and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
@@ -452,6 +486,8 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
         test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
     if implicit and test_auc is None:
         test_auc = _auc(model)
+    if cfg.ranking_k and test_ranking is None:
+        test_ranking = _ranking(model)
     log.close()
     return TrainResult(
         model=model,
@@ -461,4 +497,5 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
         test_auc=test_auc,
         epochs_run=epochs_run,
         updates_per_sec=last_ups,
+        test_ranking=test_ranking,
     )

@@ -78,6 +78,24 @@ def test_cli_train_eval_roundtrip(tmp_path):
     assert 0.0 <= ev["recall@5"] <= 1.0 and ev["novelty@5"] > 0.0
 
 
+def test_driver_ranking_cadence(tmp_path):
+    """cfg.ranking_k: ranking metrics ride the eval cadence into the
+    JSONL history and the result; bad protocol fails fast."""
+    cfg = apply_overrides(preset("ml100k_rank16"), [
+        "sgd.epochs=2", "sgd.batch_size=4096", "sgd.partitioner=fixed",
+        "data.dataset=synthetic-small", f"data.root={tmp_path}",
+        "ranking_k=5", "ranking_protocol=user",
+    ])
+    res = train(cfg)
+    assert res.test_ranking is not None
+    assert set(res.test_ranking) >= {"recall", "precision", "ndcg", "map"}
+    assert any("test_recall@5" in r for r in res.history)
+
+    bad = apply_overrides(cfg, ["ranking_protocol=nope"])
+    with pytest.raises(ValueError, match="ranking_protocol"):
+        train(bad)
+
+
 def test_model_npz_roundtrip(tmp_path):
     model = init_model(3, 17, 23, rank=4, global_mean=3.2)
     p = tmp_path / "m.npz"
