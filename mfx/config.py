@@ -41,6 +41,21 @@ class ModelConfig:
     init_scale: float | None = None  # None -> 1/sqrt(rank)
     dtype: str = "float32"  # factor-table dtype
     seed: int = 0
+    # bias initialization (use_bias=True only):
+    # 'zero'     — zeros; SGD learns the biases from scratch
+    # 'baseline' — damped per-item/per-user mean residuals (Koren's
+    #              baseline predictor: b_i = Σ(r−μ)/(λ+n_i), then
+    #              b_u over the b_i-corrected residual) — starts every
+    #              epoch-0 prediction at the classic baseline estimate
+    bias_init: str = "zero"
+    bias_damping: float = 10.0  # the λ above
+
+    def __post_init__(self):
+        if self.bias_init not in ("zero", "baseline"):
+            raise ValueError(
+                "model.bias_init must be 'zero' or 'baseline', got "
+                f"{self.bias_init!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-__all__ = ["MFModel", "init_model"]
+__all__ = ["MFModel", "init_model", "baseline_biases"]
 
 
 @jax.tree_util.register_dataclass
@@ -122,3 +122,35 @@ def init_model(
         bi=jnp.zeros((num_items,), dtype),
         mu=jnp.asarray(global_mean, dtype),
     )
+
+
+def baseline_biases(
+    coo, mu: float | None = None, damping: float = 10.0
+) -> tuple[jax.Array, jax.Array]:
+    """Damped-mean bias initialization (Koren's baseline predictor,
+    "Factorization Meets the Neighborhood" §2.1): item biases are the
+    damped mean residual against the global mean, user biases the damped
+    mean of the item-corrected residual —
+
+        b_i = Σ_{u∈R(i)} (r_ui − μ) / (λ + |R(i)|)
+        b_u = Σ_{i∈R(u)} (r_ui − μ − b_i) / (λ + |R(u)|)
+
+    Two scatter-adds on device — O(n) with no host loop. Starting SGD
+    from these instead of zeros makes epoch-0 predictions the classic
+    baseline estimate; the bias rows of rarely-rated users/items shrink
+    toward 0 (the damping λ), exactly the regularized fixed point SGD
+    would otherwise spend early epochs approaching. Returns (bu, bi) as
+    float32; wire via ModelConfig.bias_init='baseline'.
+    """
+    u = jnp.asarray(coo.user)
+    i = jnp.asarray(coo.item)
+    r = jnp.asarray(coo.rating, jnp.float32)
+    mu = float(coo.global_mean) if mu is None else float(mu)
+    res = r - mu
+    f = jnp.float32
+    cnt_i = jnp.zeros((coo.num_items,), f).at[i].add(1.0)
+    bi = jnp.zeros((coo.num_items,), f).at[i].add(res) / (damping + cnt_i)
+    res_u = res - jnp.take(bi, i)
+    cnt_u = jnp.zeros((coo.num_users,), f).at[u].add(1.0)
+    bu = jnp.zeros((coo.num_users,), f).at[u].add(res_u) / (damping + cnt_u)
+    return bu, bi

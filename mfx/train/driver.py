@@ -378,6 +378,17 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             init_scale=cfg.model.init_scale,
             dtype=dtype,
         )
+        if cfg.model.bias_init == "baseline" and cfg.model.use_bias:
+            # fresh runs only (a resumed checkpoint carries trained
+            # biases): start from the damped-mean baseline predictor
+            from mfx.models.mf import baseline_biases
+
+            bu0, bi0 = baseline_biases(
+                train_coo, damping=cfg.model.bias_damping
+            )
+            model = dataclasses.replace(
+                model, bu=bu0.astype(dtype), bi=bi0.astype(dtype)
+            )
 
     log = MetricsLogger(cfg.log_path)
     clip = (0.5, 5.0) if cfg.clip_predictions else None
