@@ -128,14 +128,23 @@ def cmd_similar(args) -> int:
     from mfx.train.checkpoint import load_checkpoint
 
     model, _epoch, _seed = load_checkpoint(args.checkpoint)
+    raw_ids = None
+    if args.dataset is not None:
+        from mfx.api import load_dataset
+
+        raw_ids = load_dataset(args.dataset, root=args.root).item_raw_ids
     items = np.array([int(i) for i in args.items.split(",")], np.int32)
     nbrs, cos = similar_items(model, items, k=args.k, batch=args.batch)
     for q, it, sc in zip(items, nbrs, cos):
-        print(json.dumps({
+        out = {
             "item": int(q),
             "similar": it.tolist(),
             "cosine": [float(s) for s in sc],
-        }))
+        }
+        if raw_ids is not None:
+            out["raw_item"] = int(raw_ids[q])
+            out["raw_similar"] = [int(raw_ids[i]) for i in it]
+        print(json.dumps(out))
     return 0
 
 
@@ -229,6 +238,9 @@ def main(argv=None) -> int:
                    help="comma-separated dense item ids")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--dataset", default=None,
+                   help="dataset whose raw item-id map is reported")
+    p.add_argument("--root", default=None, help="dataset root directory")
     p.set_defaults(fn=cmd_similar)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")

@@ -3,13 +3,14 @@ plus cold-start fold-in of new user/item histories (explicit LS and
 implicit iALS-style solves)."""
 
 from mfx.serve.topk import TopKRecommender, similar_items
-from mfx.serve.sharded import ShardedTopKRecommender
+from mfx.serve.sharded import ShardedTopKRecommender, similar_items_sharded
 from mfx.serve.foldin import fold_in, fold_in_batch, fold_in_implicit
 
 __all__ = [
     "TopKRecommender",
     "ShardedTopKRecommender",
     "similar_items",
+    "similar_items_sharded",
     "fold_in",
     "fold_in_batch",
     "fold_in_implicit",

@@ -27,9 +27,91 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mfx.serve.topk import TopKRecommender
 
-__all__ = ["ShardedTopKRecommender"]
+__all__ = ["ShardedTopKRecommender", "similar_items_sharded"]
 
 _NEG_INF = float("-inf")
+
+
+def similar_items_sharded(
+    model, mesh: Mesh, items, k: int = 10, batch: int = 256
+):
+    """Related-items serving with the item table row-sharded over a mesh
+    (the configs[4]-scale variant of ``mfx.serve.similar_items``): each
+    shard scores its catalog slice against the query batch (one MXU
+    matmul over the row-normalized local block), takes a local top-K,
+    and the S·K candidates meet in one tiny ``all_gather`` — catalog
+    rows never move. Exact: the global top-K is a subset of the
+    per-shard top-Ks. Returns (items (n, k) int32, cosines (n, k) f32).
+    """
+    items = np.asarray(items, np.int32).reshape(-1)
+    I = model.num_items
+    if k < 1 or k > I - 1:
+        raise ValueError(f"k must be in [1, num_items-1={I - 1}], got {k}")
+    if np.any((items < 0) | (items >= I)):
+        raise ValueError("item id out of range")
+    flat = Mesh(np.asarray(mesh.devices).reshape(-1), ("shard",))
+    S = flat.devices.size
+    ipad = -(-I // S) * S
+    iloc = ipad // S
+    if k > iloc:
+        raise ValueError(
+            f"k={k} exceeds the per-shard catalog slice {iloc}; use "
+            "fewer shards or smaller k"
+        )
+    rows = NamedSharding(flat, P("shard"))
+    norm = jnp.linalg.norm(model.Q, axis=1, keepdims=True)
+    Qn = jnp.zeros((ipad, model.rank), jnp.float32)
+    Qn = Qn.at[:I].set(model.Q / jnp.maximum(norm, 1e-12))
+    Qn = jax.device_put(Qn, rows)
+    # pad rows (zero vectors) score 0 against any query — mask them (and
+    # later the query itself) with a -inf additive bias
+    bmask = jnp.where(jnp.arange(ipad) < I, 0.0, _NEG_INF)
+    bmask = jax.device_put(bmask.astype(jnp.float32), rows)
+
+    def shard_fn(qrows, qids, Qn_loc, bm_loc):
+        s = jax.lax.axis_index("shard")
+        scores = (
+            jnp.matmul(qrows, Qn_loc.T, preferred_element_type=jnp.float32)
+            + bm_loc[None, :]
+        )  # (B, iloc)
+        # exclude the query from its own list — only on its OWNING shard:
+        # a negative li would WRAP (numpy index semantics; mode='drop'
+        # only drops true out-of-bounds), so out-of-slice queries must be
+        # invalidated through the row index instead
+        li = qids - s * iloc
+        rowi = jnp.where(
+            (li >= 0) & (li < iloc),
+            jnp.arange(qids.shape[0]), qids.shape[0],
+        )
+        scores = scores.at[rowi, li].set(_NEG_INF, mode="drop")
+        ls, lidx = jax.lax.top_k(scores, k)
+        gidx = lidx + s * iloc
+        cs = jax.lax.all_gather(ls, "shard", axis=1, tiled=True)
+        ci = jax.lax.all_gather(gidx, "shard", axis=1, tiled=True)
+        gs, sel = jax.lax.top_k(cs, k)
+        return jnp.take_along_axis(ci, sel, axis=1), gs
+
+    kern = jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=flat,
+        in_specs=(P(), P(), P("shard"), P("shard")),
+        out_specs=(P(), P()),
+        check_vma=False,  # outputs replicated by construction (see topk)
+    ))
+
+    n = items.shape[0]
+    out_i = np.empty((n, k), np.int32)
+    out_s = np.empty((n, k), np.float32)
+    for start in range(0, n, batch):
+        stop = min(start + batch, n)
+        qb = np.zeros(batch, np.int32)
+        qb[: stop - start] = items[start:stop]
+        qd = jnp.asarray(qb)
+        qrows = jnp.take(Qn, qd, axis=0, mode="clip")  # cross-shard gather
+        i_, s_ = kern(qrows, qd, Qn, bmask)
+        out_i[start:stop] = np.asarray(i_)[: stop - start]
+        out_s[start:stop] = np.asarray(s_)[: stop - start]
+    return out_i, out_s
 
 
 class ShardedTopKRecommender(TopKRecommender):
@@ -139,6 +221,9 @@ class ShardedTopKRecommender(TopKRecommender):
                 f"k={k} exceeds the per-shard catalog slice "
                 f"{self._ipad // self._S}; use fewer shards or smaller k"
             )
+
+    def _score_cols(self) -> int:
+        return self._ipad // self._S  # per-shard slice per dispatch
 
     def _quantize_tables(self, model):
         # the sharded variant quantizes its own padded Q copy (and the

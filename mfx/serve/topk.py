@@ -168,17 +168,25 @@ class TopKRecommender:
         )
         return i, s
 
+    def _score_cols(self) -> int:
+        """Columns of one dispatch's score block (the sharded variant
+        scores only its per-shard slice) — sizes the auto batch cap."""
+        return self.model.num_items
+
     def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Top-``k`` unseen items per user: (items (n, k) int32,
         scores (n, k) f32), both sorted by descending score."""
         users = np.asarray(users, np.int32).reshape(-1)
         self._validate(users, k)
+        # cap each dispatch's (batch, cols) f32 score block at ~1 GB so
+        # configs[4]-class catalogs can't RESOURCE_EXHAUST with defaults
+        bsz = max(1, min(self.batch, (1 << 28) // max(1, self._score_cols())))
         n = users.shape[0]
         out_i = np.empty((n, k), np.int32)
         out_s = np.empty((n, k), np.float32)
-        for start in range(0, n, self.batch):
-            stop = min(start + self.batch, n)
-            ub = np.zeros(self.batch, np.int32)
+        for start in range(0, n, bsz):
+            stop = min(start + bsz, n)
+            ub = np.zeros(bsz, np.int32)
             ub[: stop - start] = users[start:stop]
             rows, items = self._exclusions(ub[: stop - start])
             i_, s_ = self._score_batch(ub, rows, items, k)

@@ -78,6 +78,31 @@ def test_sharded_topk_bf16_matches_single_device_bf16():
     assert (gi < I).all()
 
 
+def test_sharded_similar_items_matches_single_device():
+    """Row-sharded related-items == the single-device cosine path; pad
+    rows and the query itself never surface."""
+    from mfx.serve import similar_items
+    from mfx.serve.sharded import similar_items_sharded
+
+    I, k = 93, 6  # not a multiple of 8 shards
+    model = init_model(5, 20, I, rank=8, global_mean=3.5)
+    mesh = make_mesh(2, 4)
+    queries = np.arange(I, dtype=np.int32)
+    ri, rs = similar_items(model, queries, k=k, batch=16)
+    gi, gs = similar_items_sharded(model, mesh, queries, k=k, batch=16)
+    np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-6)
+    for q in range(I):
+        assert q not in gi[q]
+        if (gi[q] != ri[q]).any():
+            assert set(gi[q]) == set(ri[q])
+    assert (gi < I).all()
+
+    with pytest.raises(ValueError, match="per-shard"):
+        similar_items_sharded(model, make_mesh(1, 8), [0], k=13)
+    with pytest.raises(ValueError, match="out of range"):
+        similar_items_sharded(model, mesh, [I], k=2)
+
+
 def test_sharded_topk_k_exceeding_shard_slice_raises():
     model = init_model(0, 10, 16, rank=4, global_mean=3.0)
     mesh = make_mesh(1, 8)  # 2 items/shard
