@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mfx.serve.topk import TopKRecommender
+from mfx.serve.topk import TopKRecommender, _select_k
 
 __all__ = ["ShardedTopKRecommender", "similar_items_sharded"]
 
@@ -127,10 +127,11 @@ class ShardedTopKRecommender(TopKRecommender):
 
     def __init__(
         self, model, mesh: Mesh, train=None, batch: int = 256,
-        table_dtype: str = "f32",
+        table_dtype: str = "f32", recall_target: float | None = None,
     ):
         super().__init__(
-            model, train=train, batch=batch, table_dtype=table_dtype
+            model, train=train, batch=batch, table_dtype=table_dtype,
+            recall_target=recall_target,
         )
         self.mesh = mesh
         devs = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
@@ -191,7 +192,9 @@ class ShardedTopKRecommender(TopKRecommender):
                 (li >= 0) & (li < iloc), excl_rows, scores.shape[0]
             )
             scores = scores.at[rows, li].set(_NEG_INF, mode="drop")
-            ls, lidx = jax.lax.top_k(scores, k)  # (B, k) local candidates
+            # local candidate selection honors recall_target (approx on
+            # TPU); the final merge over S*k candidates stays exact
+            ls, lidx = _select_k(scores, k, self.recall_target)
             gidx = lidx + s * iloc
             cs = jax.lax.all_gather(ls, "shard", axis=1, tiled=True)
             ci = jax.lax.all_gather(gidx, "shard", axis=1, tiled=True)

@@ -76,8 +76,18 @@ def similar_items(model, items, k: int = 10, batch: int = 256):
     return out_i, out_s
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _topk_batch(model, users, excl_rows, excl_items, k):
+def _select_k(scores, k: int, recall_target: float | None):
+    """Exact ``lax.top_k``, or TPU's partial-reduce ``approx_max_k`` when
+    a recall target is set (aggregate_to_topk keeps the output exactly
+    sorted over the approximate candidate set; non-TPU backends lower it
+    to the exact op)."""
+    if recall_target is None:
+        return jax.lax.top_k(scores, k)
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def _topk_batch(model, users, excl_rows, excl_items, k, recall_target=None):
     pu = jnp.take(model.P, users, axis=0, mode="clip")  # (B, r)
     # preferred_element_type: f32 MXU accumulation even when the factor
     # tables are stored bf16 (table_dtype='bf16'); no-op for f32 tables
@@ -92,7 +102,7 @@ def _topk_batch(model, users, excl_rows, excl_items, k):
     # duplicate (row, item) pairs are possible (raw COO may repeat a
     # rating); scatter-set to a constant is insensitive to them
     scores = scores.at[excl_rows, excl_items].set(_NEG_INF, mode="drop")
-    return jax.lax.top_k(scores, k)
+    return _select_k(scores, k, recall_target)
 
 
 class TopKRecommender:
@@ -115,10 +125,18 @@ class TopKRecommender:
     catalogs). Scores still accumulate in f32 on the MXU and biases stay
     f32, so only the factor product quantizes (~3 decimal digits);
     near-tie orderings inside the top-K can differ from f32 serving.
+
+    ``recall_target``: None (default) serves the exact top-K via
+    ``lax.top_k``; a float in (0, 1] switches to TPU's partial-reduce
+    ``jax.lax.approx_max_k`` with that per-item recall guarantee — the
+    hardware-accelerated MIPS path for very large catalogs, where the
+    exact full-sort reduction dominates the scoring matmul. Non-TPU
+    backends lower it to the exact op.
     """
 
     def __init__(
-        self, model, train=None, batch: int = 256, table_dtype: str = "f32"
+        self, model, train=None, batch: int = 256, table_dtype: str = "f32",
+        recall_target: float | None = None,
     ):
         if batch < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
@@ -126,6 +144,11 @@ class TopKRecommender:
             raise ValueError(
                 f"table_dtype must be 'f32' or 'bf16', got {table_dtype!r}"
             )
+        if recall_target is not None and not 0.0 < recall_target <= 1.0:
+            raise ValueError(
+                f"recall_target must be in (0, 1], got {recall_target}"
+            )
+        self.recall_target = recall_target
         if table_dtype == "bf16":
             model = self._quantize_tables(model)
         self.table_dtype = table_dtype
@@ -164,7 +187,8 @@ class TopKRecommender:
         """Score one padded user batch. Hook for subclasses; ALWAYS
         returns (items, scores) in that order."""
         s, i = _topk_batch(
-            self.model, ub, jnp.asarray(rows), jnp.asarray(items), k
+            self.model, ub, jnp.asarray(rows), jnp.asarray(items), k,
+            self.recall_target,
         )
         return i, s
 

@@ -206,6 +206,27 @@ def test_topk_bf16_tables_preserve_serving_quality():
         TopKRecommender(model, table_dtype="fp8")
 
 
+def test_topk_recall_target_api():
+    """recall_target: approx candidate selection — exact on non-TPU
+    backends (approx_max_k lowers to the exact op here), so CPU asserts
+    full parity; the recall/latency trade is measured on chip."""
+    import pytest
+
+    U, I, k = 30, 50, 7
+    coo = synthetic.make_synthetic(U, I, 500, seed=6)
+    model = _model(U, I, rank=4, seed=3)
+    users = np.arange(U, dtype=np.int32)
+    ei, es = TopKRecommender(model, train=coo, batch=16).recommend(users, k)
+    ai, as_ = TopKRecommender(
+        model, train=coo, batch=16, recall_target=0.95
+    ).recommend(users, k)
+    np.testing.assert_allclose(as_, es, rtol=1e-6)
+    for u in range(U):
+        assert set(ai[u]) == set(ei[u])
+    with pytest.raises(ValueError, match="recall_target"):
+        TopKRecommender(model, recall_target=0.0)
+
+
 def test_topk_recommender_no_train_and_validation():
     U, I = 10, 12
     model = _model(U, I, rank=4)
