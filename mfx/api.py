@@ -24,6 +24,7 @@ from mfx.models.svdpp import SVDppModel, init_svdpp
 from mfx.serve import ShardedTopKRecommender, TopKRecommender
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
+from mfx.tune import SweepResult, sweep_sgd
 
 __all__ = [
     "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "SVDPPConfig",
@@ -35,6 +36,7 @@ __all__ = [
     "MFModel", "init_model", "SVDppModel", "init_svdpp",
     "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
+    "SweepResult", "sweep_sgd",
 ]
 
 

@@ -148,6 +148,32 @@ def cmd_similar(args) -> int:
     return 0
 
 
+def cmd_tune(args) -> int:
+    """Batched hyperparameter sweep: every (lr, reg) grid point trains
+    simultaneously in ONE vmapped program (mfx.tune). Prints one JSON
+    line per point plus the winner."""
+    from mfx.api import load_dataset, train_test_split
+    from mfx.tune import sweep_sgd
+
+    cfg = _build_config(args)
+    coo = load_dataset(cfg.data.dataset, root=cfg.data.root)
+    train, test = train_test_split(
+        coo, test_frac=cfg.data.test_frac, seed=cfg.data.seed
+    )
+    lrs = [float(x) for x in args.lrs.split(",")]
+    regs = [float(x) for x in args.regs.split(",")]
+    clip = (0.5, 5.0) if cfg.clip_predictions else None
+    res = sweep_sgd(
+        train, test, cfg.sgd, rank=cfg.model.rank, lrs=lrs, regs=regs,
+        use_bias=cfg.model.use_bias, seed=cfg.model.seed, clip=clip,
+    )
+    for h, p in enumerate(res.points):
+        print(json.dumps({**p, "best": h == res.best_index}, sort_keys=True))
+    if args.out is not None:
+        res.model.save_npz(args.out)
+    return 0
+
+
 def cmd_export(args) -> int:
     """Checkpoint -> portable .npz model artifact (orbax-free serving)."""
     from mfx.train.checkpoint import load_checkpoint
@@ -242,6 +268,16 @@ def main(argv=None) -> int:
                    help="dataset whose raw item-id map is reported")
     p.add_argument("--root", default=None, help="dataset root directory")
     p.set_defaults(fn=cmd_similar)
+
+    p = sub.add_parser("tune", help="batched lr/reg grid search (vmap)")
+    _add_config_args(p)
+    p.add_argument("--lrs", required=True,
+                   help="comma-separated learning rates")
+    p.add_argument("--regs", required=True,
+                   help="comma-separated L2 strengths")
+    p.add_argument("--out", default=None,
+                   help="save the winning model as .npz")
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")
     p.add_argument("--checkpoint", required=True)

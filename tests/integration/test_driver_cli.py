@@ -230,3 +230,27 @@ def test_cli_bench_smoke(tmp_path):
     assert r["unit"] == "updates/sec/chip"
     assert r["value"] > 0
     assert "vs_baseline" in r
+
+
+def test_cli_tune_smoke(tmp_path):
+    """Batched lr/reg grid via the CLI: one JSON line per point, exactly
+    one flagged best, winning model exported."""
+    out_npz = tmp_path / "best.npz"
+    rc, out = _run_cli([
+        "tune", "--preset", "ml100k_rank16",
+        "--set", "sgd.epochs=2",
+        "--set", "sgd.batch_size=4096",
+        "--set", "data.dataset=synthetic-small",
+        "--set", f"data.root={tmp_path}",
+        "--lrs", "0.01,0.03", "--regs", "0.02",
+        "--out", str(out_npz),
+    ])
+    assert rc == 0
+    rows = [json.loads(line) for line in out.splitlines()]
+    assert len(rows) == 2
+    assert sum(r["best"] for r in rows) == 1
+    assert all(np.isfinite(r["test_rmse"]) for r in rows)
+    from mfx.models.mf import MFModel
+
+    best = MFModel.load_npz(out_npz)
+    assert best.rank == 16
