@@ -407,6 +407,11 @@ class TrainConfig:
     clip_predictions: bool = True
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # epochs; 0 disables
+    # async saves: snapshot to host, write in the background so the disk
+    # write overlaps the next epoch's device work; train() flushes before
+    # returning (and the final checkpoint always blocks), so callers see
+    # complete checkpoints either way
+    checkpoint_async: bool = True
     log_path: str | None = None  # JSONL sink
     profile_dir: str | None = None  # jax.profiler trace output
 

@@ -19,7 +19,10 @@ import numpy as np
 
 from mfx.models.mf import MFModel
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint", "load_checkpoint", "latest_step",
+    "wait_for_checkpoints",
+]
 
 try:
     import orbax.checkpoint as ocp
@@ -27,6 +30,26 @@ try:
     _HAVE_ORBAX = True
 except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
+
+# one long-lived checkpointer so async saves can outlive the call that
+# scheduled them (Orbax's StandardCheckpointer is an AsyncCheckpointer:
+# save() snapshots device arrays to host synchronously, then writes in a
+# background thread — so donated/overwritten buffers in the next epoch
+# can't race the write)
+_CKPTR = None
+
+
+def _checkpointer():
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async save scheduled so far is durably on disk."""
+    if _HAVE_ORBAX and _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def _state_dict(model: MFModel, epoch: int, seed: int) -> dict:
@@ -41,15 +64,24 @@ def _state_dict(model: MFModel, epoch: int, seed: int) -> dict:
     }
 
 
-def save_checkpoint(ckpt_dir, step: int, model: MFModel, seed: int = 0) -> str:
+def save_checkpoint(
+    ckpt_dir, step: int, model: MFModel, seed: int = 0, block: bool = True
+) -> str:
+    """``block=False`` schedules an async save and returns as soon as the
+    arrays are snapshotted to host — the disk write overlaps the next
+    epoch's device work (the host is often the slow side here). Call
+    :func:`wait_for_checkpoints` before relying on the files; the training
+    driver flushes at the end of train()."""
     ckpt_dir = Path(ckpt_dir).absolute()
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = ckpt_dir / f"{step}"
     state = _state_dict(model, step, seed)
     if _HAVE_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = _checkpointer()
+        ckptr.wait_until_finished()  # serialize with any in-flight save
         ckptr.save(path, state, force=True)
-        ckptr.wait_until_finished()
+        if block:
+            ckptr.wait_until_finished()
     else:  # pragma: no cover
         np.savez(str(path) + ".npz", **{k: np.asarray(v) for k, v in state.items()})
     return str(path)
@@ -80,6 +112,7 @@ def load_checkpoint(
     Sharding | None`` — to restore onto a different topology than the one
     that saved (restoring without it replays the SAVED shardings, which
     Orbax cannot rebuild on a different device count)."""
+    wait_for_checkpoints()  # never read a checkpoint mid-write
     ckpt_dir = Path(ckpt_dir).absolute()
     if step is None:
         step = latest_step(ckpt_dir)

@@ -472,7 +472,8 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             if cfg.checkpoint_dir and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
             ):
-                save_checkpoint(cfg.checkpoint_dir, epoch, model, seed)
+                save_checkpoint(cfg.checkpoint_dir, epoch, model, seed,
+                                block=not cfg.checkpoint_async)
             epochs_run = epoch + 1
             if (
                 cfg.target_rmse is not None

@@ -254,3 +254,33 @@ def test_cli_tune_smoke(tmp_path):
 
     best = MFModel.load_npz(out_npz)
     assert best.rank == 16
+
+
+def test_checkpoint_async_matches_sync(tmp_path):
+    """Async per-epoch saves (checkpoint_async=True, the default) must
+    leave byte-identical model state to blocking saves — including on the
+    blocked path, whose donated epoch buffers make a deferred device read
+    unsafe (Orbax snapshots to host before save() returns)."""
+    base = [
+        "sgd.epochs=2", "sgd.batch_size=4096",
+        "sgd.partitioner=blocked", "sgd.kernel=blocked_jnp",
+        "data.dataset=synthetic-small", f"data.root={tmp_path}",
+        "checkpoint_every=1",
+    ]
+    cfg_a = apply_overrides(
+        preset("ml100k_rank16"),
+        base + [f"checkpoint_dir={tmp_path/'async'}", "checkpoint_async=true"],
+    )
+    cfg_s = apply_overrides(
+        preset("ml100k_rank16"),
+        base + [f"checkpoint_dir={tmp_path/'sync'}", "checkpoint_async=false"],
+    )
+    train(cfg_a)
+    train(cfg_s)
+    for step in (0, 1):
+        ma, ea, _ = load_checkpoint(tmp_path / "async", step=step)
+        ms, es, _ = load_checkpoint(tmp_path / "sync", step=step)
+        assert ea == es == step
+        np.testing.assert_array_equal(np.asarray(ma.P), np.asarray(ms.P))
+        np.testing.assert_array_equal(np.asarray(ma.Q), np.asarray(ms.Q))
+        np.testing.assert_array_equal(np.asarray(ma.bu), np.asarray(ms.bu))
