@@ -52,7 +52,8 @@ def cmd_train(args) -> int:
 
 def cmd_eval(args) -> int:
     from mfx.api import (
-        evaluate, leave_one_out_split, load_dataset, train_test_split,
+        chronological_split, evaluate, leave_one_out_split, load_dataset,
+        train_test_split,
     )
     from mfx.train.checkpoint import load_checkpoint
 
@@ -60,6 +61,10 @@ def cmd_eval(args) -> int:
     coo = load_dataset(args.dataset, root=args.root)
     if args.split == "loo":
         tr, test = leave_one_out_split(coo, seed=seed)
+    elif args.split == "loo-time":
+        tr, test = leave_one_out_split(coo, by="time")
+    elif args.split == "time":
+        tr, test = chronological_split(coo, test_frac=args.test_frac)
     else:
         tr, test = train_test_split(coo, test_frac=args.test_frac, seed=seed)
     print(json.dumps(
@@ -222,9 +227,13 @@ def main(argv=None) -> int:
     p.add_argument("--root", default=None, help="dataset root directory")
     p.add_argument("--test-frac", type=float, default=0.1)
     p.add_argument("--implicit", action="store_true")
-    p.add_argument("--split", choices=("uniform", "loo"), default="uniform",
-                   help="held-out protocol: uniform fraction or "
-                        "leave-one-out (the ranking-eval standard)")
+    p.add_argument("--split", choices=("uniform", "loo", "time", "loo-time"),
+                   default="uniform",
+                   help="held-out protocol: uniform fraction, "
+                        "leave-one-out (the ranking-eval standard), "
+                        "chronological cut (train past / test future), or "
+                        "per-user latest-item leave-one-out (needs a "
+                        "dataset with timestamps)")
     p.add_argument("--ranking-k", type=int, default=None,
                    help="also report HR/NDCG/MRR at this K")
     p.add_argument("--ranking-protocol",

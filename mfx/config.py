@@ -32,6 +32,16 @@ class DataConfig:
     root: str | None = None  # defaults to $MFX_DATA_ROOT
     test_frac: float = 0.1
     seed: int = 0
+    # held-out protocol: 'random' — seeded uniform split; 'time' —
+    # chronological cut (train on the past, test on the future; needs a
+    # dataset whose source files carry timestamps)
+    split: str = "random"
+
+    def __post_init__(self):
+        if self.split not in ("random", "time"):
+            raise ValueError(
+                f"data.split must be 'random' or 'time', got {self.split!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

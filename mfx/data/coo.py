@@ -36,6 +36,11 @@ class RatingsCOO:
         clusters into the first item windows — the layout the dense-
         stratum fast path needs (mfx/kernels/dense_pallas.py); this map
         is how predictions translate back to catalog ids.
+      timestamp: optional int64 [n] per-rating event times in the
+        dataset's native unit (seconds for MovieLens, days for Netflix
+        dates) — only the ORDERING is contractual. Enables the
+        chronological split protocols (mfx.data.split); None when the
+        source carried no time column.
     """
 
     user: np.ndarray
@@ -45,6 +50,7 @@ class RatingsCOO:
     num_items: int
     synthetic: bool = False
     item_raw_ids: np.ndarray | None = None
+    timestamp: np.ndarray | None = None
 
     def __post_init__(self):
         self.user = np.asarray(self.user, dtype=np.int32)
@@ -57,6 +63,13 @@ class RatingsCOO:
             )
         if self.user.ndim != 1:
             raise ValueError("COO arrays must be 1-D")
+        if self.timestamp is not None:
+            self.timestamp = np.asarray(self.timestamp, dtype=np.int64)
+            if self.timestamp.shape != self.user.shape:
+                raise ValueError(
+                    f"timestamp shape {self.timestamp.shape} != COO shape "
+                    f"{self.user.shape}"
+                )
 
     @property
     def n_ratings(self) -> int:
@@ -99,11 +112,13 @@ class RatingsCOO:
             num_items=self.num_items,
             synthetic=self.synthetic,
             item_raw_ids=self.item_raw_ids,
+            timestamp=None if self.timestamp is None else self.timestamp[idx],
         )
 
     def concat(self, other: "RatingsCOO") -> "RatingsCOO":
         if (other.num_users, other.num_items) != (self.num_users, self.num_items):
             raise ValueError("cannot concat COOs with different table shapes")
+        both_ts = self.timestamp is not None and other.timestamp is not None
         return RatingsCOO(
             user=np.concatenate([self.user, other.user]),
             item=np.concatenate([self.item, other.item]),
@@ -112,6 +127,12 @@ class RatingsCOO:
             num_items=self.num_items,
             synthetic=self.synthetic or other.synthetic,
             item_raw_ids=self.item_raw_ids,
+            # one side without times would poison a chronological cut:
+            # the merged COO keeps timestamps only when BOTH sides have them
+            timestamp=(
+                np.concatenate([self.timestamp, other.timestamp])
+                if both_ts else None
+            ),
         )
 
     # ---- derived indexes ----------------------------------------------
@@ -133,6 +154,8 @@ class RatingsCOO:
         extra = {}
         if self.item_raw_ids is not None:
             extra["item_raw_ids"] = np.asarray(self.item_raw_ids, np.int64)
+        if self.timestamp is not None:
+            extra["timestamp"] = self.timestamp
         np.savez(
             path,
             user=self.user,
@@ -157,6 +180,7 @@ class RatingsCOO:
                 item_raw_ids=(
                     z["item_raw_ids"] if "item_raw_ids" in z else None
                 ),
+                timestamp=z["timestamp"] if "timestamp" in z else None,
             )
 
 

@@ -45,7 +45,12 @@ DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser(
 GENERATOR_VERSION = 4
 
 
-def _densify(raw_u: np.ndarray, raw_i: np.ndarray, ratings: np.ndarray) -> RatingsCOO:
+def _densify(
+    raw_u: np.ndarray,
+    raw_i: np.ndarray,
+    ratings: np.ndarray,
+    timestamps: np.ndarray | None = None,
+) -> RatingsCOO:
     """Remap arbitrary raw ids to dense contiguous ids.
 
     Items are relabeled by DESCENDING rating frequency (dense item 0 = the
@@ -68,12 +73,18 @@ def _densify(raw_u: np.ndarray, raw_i: np.ndarray, ratings: np.ndarray) -> Ratin
         num_users=len(uniq_u),
         num_items=len(uniq_i),
         item_raw_ids=uniq_i[order].astype(np.int64),
+        timestamp=timestamps,
     )
 
 
 def parse_triples(path, sep: str | None = None, skip_header: bool = False) -> RatingsCOO:
-    """Generic ``user<sep>item<sep>rating[<sep>timestamp]`` parser."""
-    rows_u, rows_i, rows_r = [], [], []
+    """Generic ``user<sep>item<sep>rating[<sep>timestamp]`` parser.
+
+    A 4th column, when present on every row, is kept as the per-rating
+    timestamp (``RatingsCOO.timestamp``, int64 dataset-native units) —
+    the chronological split protocols need it; rows without it yield a
+    timestamp-free COO."""
+    rows_u, rows_i, rows_r, rows_t = [], [], [], []
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         if skip_header:
             next(f, None)
@@ -85,10 +96,15 @@ def parse_triples(path, sep: str | None = None, skip_header: bool = False) -> Ra
             rows_u.append(int(parts[0]))
             rows_i.append(int(parts[1]))
             rows_r.append(float(parts[2]))
+            if rows_t is not None and len(parts) > 3:
+                rows_t.append(int(float(parts[3])))
+            else:
+                rows_t = None
     return _densify(
         np.asarray(rows_u, np.int64),
         np.asarray(rows_i, np.int64),
         np.asarray(rows_r, np.float32),
+        None if rows_t is None else np.asarray(rows_t, np.int64),
     )
 
 
@@ -105,9 +121,13 @@ def parse_ml1m(root) -> RatingsCOO:
 def parse_ml25m(root) -> RatingsCOO:
     """MovieLens-25M ``ratings.csv``: ``userId,movieId,rating,timestamp``."""
     path = Path(root) / "ratings.csv"
-    data = np.loadtxt(path, delimiter=",", skiprows=1, usecols=(0, 1, 2))
+    data = np.loadtxt(path, delimiter=",", skiprows=1, usecols=(0, 1, 2, 3))
     return _densify(
-        data[:, 0].astype(np.int64), data[:, 1].astype(np.int64), data[:, 2]
+        data[:, 0].astype(np.int64),
+        data[:, 1].astype(np.int64),
+        data[:, 2],
+        # unix seconds ≈ 1.7e9 — exact in float64, exact back to int64
+        data[:, 3].astype(np.int64),
     )
 
 
@@ -120,7 +140,7 @@ def parse_netflix(root) -> RatingsCOO:
     files = sorted((root / "training_set").glob("mv_*.txt"))
     if not files:
         files = sorted(root.glob("mv_*.txt"))
-    rows_u, rows_i, rows_r = [], [], []
+    rows_u, rows_i, rows_r, rows_t = [], [], [], []
     for fp in files:
         with open(fp, "r") as f:
             movie = int(f.readline().strip().rstrip(":"))
@@ -131,10 +151,19 @@ def parse_netflix(root) -> RatingsCOO:
                 rows_u.append(int(parts[0]))
                 rows_i.append(movie)
                 rows_r.append(float(parts[1]))
+                if rows_t is not None and len(parts) > 2:
+                    # 'YYYY-MM-DD' -> days since unix epoch (ordering is
+                    # all the chronological protocols use)
+                    rows_t.append(
+                        int(np.datetime64(parts[2], "D").astype(np.int64))
+                    )
+                else:
+                    rows_t = None
     return _densify(
         np.asarray(rows_u, np.int64),
         np.asarray(rows_i, np.int64),
         np.asarray(rows_r, np.float32),
+        None if rows_t is None else np.asarray(rows_t, np.int64),
     )
 
 

@@ -14,7 +14,12 @@ import numpy as np
 
 from mfx.data.coo import RatingsCOO
 
-__all__ = ["train_test_split", "leave_one_out_split", "epoch_permutation"]
+__all__ = [
+    "train_test_split",
+    "chronological_split",
+    "leave_one_out_split",
+    "epoch_permutation",
+]
 
 
 def train_test_split(
@@ -32,24 +37,61 @@ def train_test_split(
     return coo.select(train_idx), coo.select(test_idx)
 
 
-def leave_one_out_split(
-    coo: RatingsCOO, seed: int = 0
+def chronological_split(
+    coo: RatingsCOO, test_frac: float = 0.1
 ) -> tuple[RatingsCOO, RatingsCOO]:
-    """Leave-one-out split: ONE seeded-random held-out item per user —
-    the canonical protocol for sampled ranking evaluation (NCF style;
-    pairs with ``mfx.eval.ranking.hr_ndcg_at_k``, which ranks each
-    held-out positive against sampled candidates).
+    """Global time cut: train on the past, test on the future — the
+    leakage-free evaluation protocol for production serving (a random
+    split lets the model peek at events that happen AFTER the ones it
+    is scored on). Requires ``coo.timestamp`` (kept by the loaders when
+    the source data carries a time column). Deterministic: the cut
+    orders by (timestamp, original row position), so ties never make
+    the split ambiguous. Returns (train, test)."""
+    if coo.timestamp is None:
+        raise ValueError(
+            "chronological_split needs coo.timestamp; this dataset was "
+            "loaded without a time column (use train_test_split, or "
+            "reload from source files that include timestamps)"
+        )
+    if not 0.0 <= test_frac < 1.0:
+        raise ValueError(f"test_frac must be in [0, 1), got {test_frac}")
+    n = coo.n_ratings
+    n_test = int(round(n * test_frac))
+    order = np.argsort(coo.timestamp, kind="stable")
+    train_idx = np.sort(order[: n - n_test])
+    test_idx = np.sort(order[n - n_test:])
+    return coo.select(train_idx), coo.select(test_idx)
 
-    Duplicate-safe: the pick is uniform over each user's UNIQUE items,
-    and every duplicate copy of the held-out (user, item) pair is
-    removed from train (raw COOs may repeat pairs — a surviving copy
-    would train on the exact pair being ranked and inflate HR/NDCG).
-    Users with fewer than two unique items stay entirely in train
-    (holding their only item out would leave an untrainable row).
-    RatingsCOO carries no timestamps, so the held-out item is
-    seeded-random per user rather than the latest; the draw is
-    reproducible for a given (seed, coo). Cost: one O(n log n) key sort
-    (built once per run). Returns (train, test)."""
+
+def leave_one_out_split(
+    coo: RatingsCOO, seed: int = 0, by: str = "random"
+) -> tuple[RatingsCOO, RatingsCOO]:
+    """Leave-one-out split: ONE held-out item per user — the canonical
+    protocol for sampled ranking evaluation (NCF style; pairs with
+    ``mfx.eval.ranking.hr_ndcg_at_k``, which ranks each held-out
+    positive against sampled candidates).
+
+    ``by='random'`` picks uniformly over each user's unique items
+    (seeded, reproducible for a given (seed, coo)); ``by='time'`` holds
+    out each user's LATEST unique item — the NCF paper's actual
+    protocol — where a pair's recency is the max timestamp over its
+    duplicate copies (requires ``coo.timestamp``; ties break toward the
+    later pair in item-key order, deterministically, no RNG).
+
+    Duplicate-safe: every duplicate copy of the held-out (user, item)
+    pair is removed from train (raw COOs may repeat pairs — a surviving
+    copy would train on the exact pair being ranked and inflate
+    HR/NDCG). Users with fewer than two unique items stay entirely in
+    train (holding their only item out would leave an untrainable row).
+    Cost: one O(n log n) key sort (built once per run).
+    Returns (train, test)."""
+    if by not in ("random", "time"):
+        raise ValueError(f"by must be 'random' or 'time', got {by!r}")
+    if by == "time" and coo.timestamp is None:
+        raise ValueError(
+            "leave_one_out_split(by='time') needs coo.timestamp; this "
+            "dataset was loaded without a time column"
+        )
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0x100]))
     n = coo.n_ratings
     num_items = coo.num_items
@@ -66,9 +108,21 @@ def leave_one_out_split(
     )
     u_uniq = cf0[starts[1:]] - cf0[starts[:-1]]
     active = np.flatnonzero(u_uniq >= 2)
-    # uniform pick among each active user's unique items
     uniq_pos = np.flatnonzero(first)
-    pick_rank = cf0[starts[:-1]][active] + rng.integers(0, u_uniq[active])
+    if by == "time":
+        # a pair's recency = max timestamp over its duplicate copies
+        # (copies are contiguous in key-sorted order)
+        pair_ts = np.maximum.reduceat(coo.timestamp[order], uniq_pos)
+        pair_user = ks[uniq_pos] // num_items
+        # per-user argmax over pair recency: lexsort pairs by
+        # (user, recency, pair rank); each user's segment in the sorted
+        # order is [cf0[starts[u]], cf0[starts[u+1]]) and its LAST entry
+        # is the latest pair
+        ord2 = np.lexsort((np.arange(len(uniq_pos)), pair_ts, pair_user))
+        pick_rank = ord2[cf0[starts[1:]][active] - 1]
+    else:
+        # uniform pick among each active user's unique items
+        pick_rank = cf0[starts[:-1]][active] + rng.integers(0, u_uniq[active])
     p = uniq_pos[pick_rank]  # first copy of the picked pair
     run_end = np.searchsorted(ks, ks[p], side="right")
     # drop ALL copies of each picked pair from train; test keeps one

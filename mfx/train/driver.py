@@ -16,7 +16,7 @@ import jax
 
 from mfx.config import TrainConfig
 from mfx.data.loaders import load_dataset
-from mfx.data.split import train_test_split
+from mfx.data.split import chronological_split, train_test_split
 from mfx.eval.metrics import rmse_mae, sampled_auc
 from mfx.models.mf import MFModel, init_model
 from mfx.runtime.mesh import make_mesh, distributed_init
@@ -298,7 +298,12 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     distributed_init()
     seed = cfg.data.seed
     coo = load_dataset(cfg.data.dataset, root=cfg.data.root)
-    train_coo, test_coo = train_test_split(coo, cfg.data.test_frac, seed=seed)
+    if cfg.data.split == "time":
+        train_coo, test_coo = chronological_split(coo, cfg.data.test_frac)
+    else:
+        train_coo, test_coo = train_test_split(
+            coo, cfg.data.test_frac, seed=seed
+        )
 
     mesh = None
     if cfg.parallel.mode != "single":
