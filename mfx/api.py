@@ -8,9 +8,9 @@
 from __future__ import annotations
 
 from mfx.config import (
-    TrainConfig, DataConfig, ModelConfig, SGDConfig, SVDPPConfig, ALSConfig,
-    NMFConfig, IALSConfig, BPRConfig, ParallelConfig, preset,
-    apply_overrides, PRESETS,
+    TrainConfig, DataConfig, ModelConfig, SGDConfig, SVDPPConfig,
+    TimeSVDConfig, ALSConfig, NMFConfig, IALSConfig, BPRConfig,
+    ParallelConfig, preset, apply_overrides, PRESETS,
 )
 from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
@@ -23,6 +23,7 @@ from mfx.eval.ranking import (
 )
 from mfx.models.mf import MFModel, init_model
 from mfx.models.svdpp import SVDppModel, init_svdpp
+from mfx.models.timesvd import TimeSVDModel, init_timesvd, fit_time_features
 from mfx.serve import ShardedTopKRecommender, TopKRecommender
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
@@ -30,13 +31,14 @@ from mfx.tune import SweepResult, sweep_sgd
 
 __all__ = [
     "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "SVDPPConfig",
-    "ALSConfig", "NMFConfig", "IALSConfig", "BPRConfig", "ParallelConfig",
-    "preset", "apply_overrides", "PRESETS",
+    "TimeSVDConfig", "ALSConfig", "NMFConfig", "IALSConfig", "BPRConfig",
+    "ParallelConfig", "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
     "chronological_split", "leave_one_out_split",
     "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "full_hr_ndcg_at_k",
     "user_topk_metrics", "evaluate",
     "MFModel", "init_model", "SVDppModel", "init_svdpp",
+    "TimeSVDModel", "init_timesvd", "fit_time_features",
     "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
     "SweepResult", "sweep_sgd",

@@ -14,6 +14,7 @@ __all__ = [
     "ModelConfig",
     "SGDConfig",
     "SVDPPConfig",
+    "TimeSVDConfig",
     "ALSConfig",
     "NMFConfig",
     "IALSConfig",
@@ -265,6 +266,40 @@ class SVDPPConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class TimeSVDConfig:
+    """Temporal-dynamics MF (mfx/solvers/timesvd.py): Koren's KDD-2009
+    bias-level model — time-binned item biases + a learned per-user
+    drift coefficient against a smooth deviation curve — on top of
+    biased MF. Needs a dataset with timestamps (RatingsCOO.timestamp)."""
+
+    lr: float = 0.007
+    reg: float = 0.02
+    lr_decay: float = 0.95
+    epochs: int = 20
+    batch_size: int = 8192
+    n_bins: int = 30  # item-bias time bins (equal-count over train)
+    beta: float = 0.4  # dev_u(t) = sign(Δ)·|Δ/span|^beta
+    lr_t: float | None = None  # bin-bias rate; None -> lr
+    reg_t: float | None = None  # bin-bias L2; None -> reg
+    lr_alpha: float | None = None  # drift rate; None -> lr
+    # drift L2; None -> 10*reg (dev is normalized to |Δ/span|^beta <= ~1,
+    # so alpha needs stronger damping than the raw biases — Koren used
+    # reg_alpha 25x the bias reg at day-unit dev scale)
+    reg_alpha: float | None = None
+    partitioner: str = "fixed"  # 'fixed' | 'conflict_free'
+    dup_trust: float = 0.0  # hot-key trust scaling (as SGDConfig)
+
+    def __post_init__(self):
+        if self.partitioner not in ("fixed", "conflict_free"):
+            raise ValueError(
+                "timesvd.partitioner must be 'fixed' or 'conflict_free', "
+                f"got {self.partitioner!r}"
+            )
+        if self.n_bins < 1:
+            raise ValueError(f"timesvd.n_bins must be >= 1, got {self.n_bins}")
+
+
+@dataclasses.dataclass(frozen=True)
 class ALSConfig:
     reg: float = 0.05
     sweeps: int = 10
@@ -397,11 +432,13 @@ class ParallelConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     name: str = "default"
-    solver: str = "sgd"  # 'sgd' | 'svdpp' | 'als' | 'nmf' | 'ials' | 'bpr'
+    # 'sgd' | 'svdpp' | 'timesvd' | 'als' | 'nmf' | 'ials' | 'bpr'
+    solver: str = "sgd"
     data: DataConfig = DataConfig()
     model: ModelConfig = ModelConfig()
     sgd: SGDConfig = SGDConfig()
     svdpp: SVDPPConfig = SVDPPConfig()
+    timesvd: TimeSVDConfig = TimeSVDConfig()
     als: ALSConfig = ALSConfig()
     nmf: NMFConfig = NMFConfig()
     ials: IALSConfig = IALSConfig()

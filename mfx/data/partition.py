@@ -55,6 +55,7 @@ def pad_to_batches(
     batch_size: int,
     num_users: int | None = None,
     num_items: int | None = None,
+    extras: dict[str, np.ndarray] | None = None,
 ) -> dict[str, np.ndarray]:
     """Materialize padded ``[num_batches, B]`` epoch tensors.
 
@@ -64,6 +65,10 @@ def pad_to_batches(
     ``weights`` (1.0 real, 0.0 padding). When ``num_users``/``num_items``
     are given, padded slots carry unique out-of-range sentinel ids
     (``num_rows + slot``) instead of 0, keeping batches duplicate-free.
+    ``extras`` adds further per-rating columns (same length as ``user``),
+    batched in the same order with zero-valued padding and their dtype
+    preserved — e.g. the temporal model's per-rating bin/deviation features
+    (mfx.solvers.timesvd).
     """
     if isinstance(order, np.ndarray):
         n = len(order)
@@ -84,6 +89,15 @@ def pad_to_batches(
         items = np.full((nb, batch_size), PAD_ID, np.int32)
     ratings = np.zeros((nb, batch_size), np.float32)
     weights = np.zeros((nb, batch_size), np.float32)
+    out = {"users": users, "items": items, "ratings": ratings, "weights": weights}
+    for name, col in (extras or {}).items():
+        if name in out:
+            raise ValueError(f"extras key {name!r} collides with a core column")
+        if len(col) != len(user):
+            raise ValueError(
+                f"extras[{name!r}] has length {len(col)} != {len(user)} ratings"
+            )
+        out[name] = np.zeros((nb, batch_size), col.dtype)
     for b, idx in enumerate(batches):
         m = len(idx)
         if m > batch_size:
@@ -92,7 +106,9 @@ def pad_to_batches(
         items[b, :m] = item[idx]
         ratings[b, :m] = rating[idx]
         weights[b, :m] = 1.0
-    return {"users": users, "items": items, "ratings": ratings, "weights": weights}
+        for name, col in (extras or {}).items():
+            out[name][b, :m] = col[idx]
+    return out
 
 
 def partition_fixed(n: int, batch_size: int, perm: np.ndarray) -> np.ndarray:

@@ -59,9 +59,13 @@ def _bucket(nb: int) -> int:
 
 
 def plan_epoch(
-    coo: RatingsCOO, cfg: SGDConfig, seed: int, epoch: int, bucket: bool = True
+    coo: RatingsCOO, cfg, seed: int, epoch: int, bucket: bool = True,
+    extras: dict[str, np.ndarray] | None = None,
 ) -> EpochPlan:
-    """Partition one epoch of ratings into padded device batches."""
+    """Partition one epoch of ratings into padded device batches.
+
+    ``extras``: additional per-rating columns batched in the same order
+    (zero-padded) — e.g. the temporal model's bin/deviation features."""
     perm = epoch_permutation(coo.n_ratings, seed, epoch)
     if cfg.partitioner == "fixed":
         order: np.ndarray | list[np.ndarray] = perm
@@ -74,14 +78,15 @@ def plan_epoch(
         )
     arrays = part.pad_to_batches(
         coo.user, coo.item, coo.rating, order, cfg.batch_size,
-        num_users=coo.num_users, num_items=coo.num_items,
+        num_users=coo.num_users, num_items=coo.num_items, extras=extras,
     )
     nb = arrays["users"].shape[0]
     if bucket and cfg.partitioner == "conflict_free":
         nb_pad = _bucket(nb)
         if nb_pad != nb:
             # filler batches replicate the sentinel pad pattern (unique
-            # out-of-range ids, weight 0) so unique_indices stays honest
+            # out-of-range ids, weight 0) so unique_indices stays honest;
+            # extras fill with zeros (their padded slots carry weight 0)
             slot = np.arange(cfg.batch_size, dtype=np.int32)
             fill = {
                 "users": np.int32(coo.num_users) + slot,
@@ -91,7 +96,8 @@ def plan_epoch(
             }
             for k, a in arrays.items():
                 padded = np.broadcast_to(
-                    fill[k], (nb_pad,) + a.shape[1:]
+                    fill.get(k, np.zeros(cfg.batch_size, a.dtype)),
+                    (nb_pad,) + a.shape[1:],
                 ).astype(a.dtype).copy()
                 padded[:nb] = a
                 arrays[k] = padded

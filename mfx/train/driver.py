@@ -85,7 +85,8 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
         )
 
 
-def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh):
+def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch,
+                     mesh, feats=None):
     use_bias = cfg.model.use_bias
     if cfg.solver == "sgd":
         mode = cfg.parallel.mode
@@ -155,6 +156,21 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch, mesh
         return train_epochs_svdpp(
             model, train_coo, cfg.svdpp, use_bias, seed=seed,
             start_epoch=start_epoch,
+        )
+    if cfg.solver == "timesvd":
+        # temporal-dynamics MF: the bias-level time streams ride the jnp
+        # snapshot-minibatch path; eval/serving consume the as_mf view
+        # (the driver evaluates time-aware via rmse_mae_time)
+        if cfg.parallel.mode != "single":
+            raise ValueError(
+                "solver='timesvd' runs single-device; use solver='sgd' "
+                "for the data-parallel / row-sharded paths"
+            )
+        from mfx.solvers.timesvd import train_epochs_timesvd
+
+        return train_epochs_timesvd(
+            model, train_coo, cfg.timesvd, use_bias, seed=seed,
+            start_epoch=start_epoch, feats=feats,
         )
     if cfg.solver == "als":
         if cfg.parallel.mode == "sharded":
@@ -400,6 +416,32 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     implicit = cfg.solver in ("bpr", "ials")
     n_chips = jax.device_count() if mesh is None else mesh.devices.size
 
+    feats = None
+    if cfg.solver == "timesvd":
+        # host time featurizer, shared by the trainer and the time-aware
+        # eval (deterministic from the train split — rebuilt, not saved)
+        from mfx.models.timesvd import fit_time_features
+
+        feats = fit_time_features(
+            train_coo, n_bins=cfg.timesvd.n_bins, beta=cfg.timesvd.beta
+        )
+
+    def _mf(m):
+        # temporal models fold their time terms at the end of the train
+        # window for the MF-only consumers (AUC, ranking, checkpoints,
+        # the returned model); everything else passes through unchanged
+        if feats is not None and hasattr(m, "as_mf"):
+            return m.as_mf(feats)
+        return m
+
+    def _rmse_eval(m):
+        if feats is not None and test_coo.timestamp is not None:
+            from mfx.solvers.timesvd import rmse_mae_time
+
+            # each held-out rating predicted at its OWN timestamp
+            return rmse_mae_time(m, feats, test_coo, clip=clip)
+        return rmse_mae(_mf(m), test_coo, clip=clip)
+
     # sampled negatives (AUC and the 'sampled' ranking protocol) reject
     # against ALL observed positives (train and held-out) — built once
     _auc_keys = None
@@ -418,13 +460,14 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
         return _auc_keys
 
     def _auc(m):
-        return sampled_auc(m, test_coo, seed=seed, pos_keys=_keys())
+        return sampled_auc(_mf(m), test_coo, seed=seed, pos_keys=_keys())
 
     def _ranking(m):
         from mfx.eval.ranking import (
             full_hr_ndcg_at_k, hr_ndcg_at_k, user_topk_metrics,
         )
 
+        m = _mf(m)
         k = cfg.ranking_k
         if cfg.ranking_protocol == "sampled":
             return hr_ndcg_at_k(m, test_coo, k=k, seed=seed, pos_keys=_keys())
@@ -437,7 +480,8 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             f"{cfg.ranking_protocol!r}"
         )
 
-    it = _make_epoch_iter(cfg, model, train_coo, seed, start_epoch, mesh)
+    it = _make_epoch_iter(cfg, model, train_coo, seed, start_epoch, mesh,
+                          feats=feats)
     epochs_run = 0
     last_ups = 0.0
     test_rmse = test_mae = test_auc = test_ranking = None
@@ -464,7 +508,7 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
                     test_auc = _auc(model)
                     rec["test_auc"] = round(test_auc, 5)
                 else:
-                    test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
+                    test_rmse, test_mae = _rmse_eval(model)
                     rec["test_rmse"] = round(test_rmse, 5)
                     rec["test_mae"] = round(test_mae, 5)
                 if cfg.ranking_k:
@@ -477,7 +521,7 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             if cfg.checkpoint_dir and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0
             ):
-                save_checkpoint(cfg.checkpoint_dir, epoch, model, seed,
+                save_checkpoint(cfg.checkpoint_dir, epoch, _mf(model), seed,
                                 block=not cfg.checkpoint_async)
             epochs_run = epoch + 1
             if (
@@ -492,7 +536,8 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     if hasattr(model, "materialize"):
         model = model.materialize()  # lazy packed view -> MFModel pytree
     if cfg.checkpoint_dir:
-        save_checkpoint(cfg.checkpoint_dir, max(0, epochs_run - 1), model, seed)
+        save_checkpoint(cfg.checkpoint_dir, max(0, epochs_run - 1),
+                        _mf(model), seed)
     # padded sharded-mode models: slice back to the real rows for the result
     if cfg.solver == "sgd" and cfg.parallel.mode in ("sharded", "hybrid"):
         from mfx.parallel.sharded import unshard_model
@@ -500,11 +545,14 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
         model = unshard_model(model, coo.num_users, coo.num_items)
     # final eval if none happened yet
     if test_rmse is None and not implicit:
-        test_rmse, test_mae = rmse_mae(model, test_coo, clip=clip)
+        test_rmse, test_mae = _rmse_eval(model)
     if implicit and test_auc is None:
         test_auc = _auc(model)
     if cfg.ranking_k and test_ranking is None:
         test_ranking = _ranking(model)
+    # the result carries the MF view (full temporal state is available
+    # via mfx.solvers.timesvd / TimeSVDModel.save_npz)
+    model = _mf(model)
     log.close()
     return TrainResult(
         model=model,
