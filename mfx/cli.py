@@ -110,7 +110,10 @@ def cmd_recommend(args) -> int:
             exclude = coo
         raw_ids = coo.item_raw_ids
     users = np.array([int(u) for u in args.users.split(",")], np.int32)
-    rec = TopKRecommender(model, train=exclude, batch=args.batch)
+    rec = TopKRecommender(
+        model, train=exclude, batch=args.batch,
+        table_dtype=args.table_dtype, recall_target=args.recall_target,
+    )
     items, scores = rec.recommend(users, k=args.k)
     for u, it, sc in zip(users, items, scores):
         out = {
@@ -265,6 +268,14 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--no-exclude", action="store_true",
                    help="keep already-seen items in the results")
+    p.add_argument("--table-dtype", choices=("f32", "bf16", "int8"),
+                   default="f32",
+                   help="serving-table precision: bf16 halves / int8 "
+                        "quarters the tables' HBM footprint (quality "
+                        "bounds tested; see docs/SERVING.md)")
+    p.add_argument("--recall-target", type=float, default=None,
+                   help="approximate top-K via TPU approx_max_k with "
+                        "this per-item recall (e.g. 0.95); default exact")
     p.set_defaults(fn=cmd_recommend)
 
     p = sub.add_parser("similar", help="related items from a checkpoint")

@@ -145,9 +145,21 @@ class ShardedTopKRecommender(TopKRecommender):
         self._flat = flat
         rows = NamedSharding(flat, P("shard"))
         repl = NamedSharding(flat, P())
-        qdt = jnp.bfloat16 if table_dtype == "bf16" else model.Q.dtype
-        Qp = jnp.zeros((self._ipad, model.rank), qdt)
-        Qp = Qp.at[:I].set(jnp.asarray(model.Q, qdt))
+        self._qscale = None
+        if table_dtype == "int8":
+            # per-row symmetric int8 catalog + sharded f32 scales; pad
+            # rows quantize to 0 with scale 1 and their -inf bias below
+            # keeps them unservable either way
+            from mfx.serve.topk import _quantize_rows
+
+            Q8, qs = _quantize_rows(model.Q)
+            Qp = jnp.zeros((self._ipad, model.rank), jnp.int8).at[:I].set(Q8)
+            qsp = jnp.ones((self._ipad,), jnp.float32).at[:I].set(qs)
+            self._qscale = jax.device_put(qsp, rows)
+        else:
+            qdt = jnp.bfloat16 if table_dtype == "bf16" else model.Q.dtype
+            Qp = jnp.zeros((self._ipad, model.rank), qdt)
+            Qp = Qp.at[:I].set(jnp.asarray(model.Q, qdt))
         bip = jnp.full((self._ipad,), _NEG_INF, jnp.float32)
         bip = bip.at[:I].set(model.bi)
         self._Q = jax.device_put(Qp, rows)
@@ -178,13 +190,9 @@ class ShardedTopKRecommender(TopKRecommender):
             return self._kern[k]
         S, iloc = self._S, self._ipad // self._S
         flat = self._flat
+        int8 = self.table_dtype == "int8"
 
-        def shard_fn(pu, bu_b, mu, Q_loc, bi_loc, excl_rows, excl_items):
-            s = jax.lax.axis_index("shard")
-            scores = (
-                jnp.matmul(pu, Q_loc.T, preferred_element_type=jnp.float32)
-                + bi_loc[None, :] + bu_b[:, None] + mu
-            )  # (B, iloc)
+        def tail(scores, s, excl_rows, excl_items):
             # keep only this shard's slice of the exclusion pairs; out-of
             # -slice (and pad-sentinel) pairs fall out via mode='drop'
             li = excl_items - s * iloc
@@ -202,12 +210,42 @@ class ShardedTopKRecommender(TopKRecommender):
             gi = jnp.take_along_axis(ci, sel, axis=1)
             return gi, gs
 
+        if int8:
+
+            def shard_fn(pu8, ps_b, bu_b, mu, Q_loc, qs_loc, bi_loc,
+                         excl_rows, excl_items):
+                s = jax.lax.axis_index("shard")
+                # int8×int8 → int32 on the MXU; scale back per (user, item)
+                raw = jnp.matmul(
+                    pu8, Q_loc.T, preferred_element_type=jnp.int32
+                )
+                scores = (
+                    raw.astype(jnp.float32)
+                    * ps_b[:, None] * qs_loc[None, :]
+                    + bi_loc[None, :] + bu_b[:, None] + mu
+                )  # (B, iloc)
+                return tail(scores, s, excl_rows, excl_items)
+
+            in_specs = (
+                P(), P(), P(), P(), P("shard"), P("shard"), P("shard"),
+                P(), P(),
+            )
+        else:
+
+            def shard_fn(pu, bu_b, mu, Q_loc, bi_loc, excl_rows, excl_items):
+                s = jax.lax.axis_index("shard")
+                scores = (
+                    jnp.matmul(pu, Q_loc.T, preferred_element_type=jnp.float32)
+                    + bi_loc[None, :] + bu_b[:, None] + mu
+                )  # (B, iloc)
+                return tail(scores, s, excl_rows, excl_items)
+
+            in_specs = (P(), P(), P(), P("shard"), P("shard"), P(), P())
+
         fn = jax.shard_map(
             shard_fn,
             mesh=flat,
-            in_specs=(
-                P(), P(), P(), P("shard"), P("shard"), P(), P(),
-            ),
+            in_specs=in_specs,
             out_specs=(P(), P()),
             # outputs ARE replicated (the all_gather + identical final
             # top_k run on every shard) but inference can't prove it
@@ -237,6 +275,17 @@ class ShardedTopKRecommender(TopKRecommender):
 
     def _score_batch(self, ub, rows, items, k):
         pu, bu_b = self._user_rows(ub)
+        if self.table_dtype == "int8":
+            from mfx.serve.topk import _quantize_rows
+
+            # the batch's user rows quantize on the fly (B rows — cheap);
+            # the catalog side streams the persistent int8 table
+            pu8, ps_b = _quantize_rows(jnp.asarray(pu, jnp.float32))
+            return self._kernel(k)(
+                pu8, ps_b, jnp.asarray(bu_b, jnp.float32), self._mu,
+                self._Q, self._qscale, self._bi,
+                jnp.asarray(rows), jnp.asarray(items),
+            )
         pu = jnp.asarray(pu, self._Q.dtype)
         return self._kernel(k)(
             pu, bu_b, self._mu, self._Q, self._bi,

@@ -78,6 +78,30 @@ def test_sharded_topk_bf16_matches_single_device_bf16():
     assert (gi < I).all()
 
 
+def test_sharded_topk_int8_matches_single_device_int8():
+    """table_dtype='int8': both variants quantize Q per row with the same
+    formula and accumulate int32 on the matmul, so sharded int8 scores
+    equal single-device int8 scores exactly."""
+    U, I, k = 30, 77, 6
+    coo = synthetic.make_synthetic(U, I, 600, seed=5)
+    model = init_model(3, U, I, rank=8, global_mean=3.5)
+    mesh = make_mesh(2, 4)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = TopKRecommender(
+        model, train=coo, batch=16, table_dtype="int8"
+    ).recommend(users, k=k)
+    gi, gs = ShardedTopKRecommender(
+        model, mesh, train=coo, batch=16, table_dtype="int8"
+    ).recommend(users, k=k)
+    np.testing.assert_allclose(gs, rs, rtol=1e-6, atol=1e-6)
+    for u in range(U):
+        if (gi[u] != ri[u]).any():
+            assert set(gi[u]) == set(ri[u])
+        seen = coo.item[coo.user == u]
+        assert not np.isin(gi[u], seen).any()
+    assert (gi < I).all()  # pad rows (77 -> 80) never surface
+
+
 def test_sharded_similar_items_matches_single_device():
     """Row-sharded related-items == the single-device cosine path; pad
     rows and the query itself never surface."""

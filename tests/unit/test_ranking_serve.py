@@ -206,6 +206,35 @@ def test_topk_bf16_tables_preserve_serving_quality():
         TopKRecommender(model, table_dtype="fp8")
 
 
+def test_topk_int8_tables_preserve_serving_quality():
+    """table_dtype='int8' (per-row symmetric quantization, int32 MXU
+    accumulation): every served item's TRUE (f32) score must sit within
+    the quantization tolerance of the f32 serving's kth-best, and the
+    reported scores must track the true scores."""
+    U, I, k = 40, 60, 8
+    coo = synthetic.make_synthetic(U, I, 600, seed=11)
+    model = _model(U, I, rank=8, seed=6)
+    users = np.arange(U, dtype=np.int32)
+    _, s32 = TopKRecommender(model, train=coo, batch=16).recommend(
+        users, k=k
+    )
+    i8, s8 = TopKRecommender(
+        model, train=coo, batch=16, table_dtype="int8"
+    ).recommend(users, k=k)
+
+    P, Q = np.asarray(model.P, np.float64), np.asarray(model.Q, np.float64)
+    bu, bi, mu = np.asarray(model.bu), np.asarray(model.bi), float(model.mu)
+    full = P @ Q.T + bi[None, :] + bu[:, None] + mu
+    # per-row symmetric int8: relative row error <= 0.5/127 per side; on
+    # these O(1)-norm factors the dot error stays well under this bound
+    tol = 0.05
+    for u in range(U):
+        seen = coo.item[coo.user == u]
+        assert not np.isin(i8[u], seen).any()
+        assert (full[u][i8[u]] >= s32[u][-1] - tol).all()
+        np.testing.assert_allclose(s8[u], full[u][i8[u]], atol=tol)
+
+
 def test_topk_recall_target_api():
     """recall_target: approx candidate selection — exact on non-TPU
     backends (approx_max_k lowers to the exact op here), so CPU asserts
