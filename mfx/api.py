@@ -24,7 +24,9 @@ from mfx.eval.ranking import (
 from mfx.models.mf import MFModel, init_model
 from mfx.models.svdpp import SVDppModel, init_svdpp
 from mfx.models.timesvd import TimeSVDModel, init_timesvd, fit_time_features
-from mfx.serve import ShardedTopKRecommender, TopKRecommender
+from mfx.serve import (
+    FusedTopKRecommender, ShardedTopKRecommender, TopKRecommender,
+)
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
 from mfx.tune import SweepResult, sweep_sgd
@@ -41,6 +43,7 @@ __all__ = [
     "TimeSVDModel", "init_timesvd", "fit_time_features",
     "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
+    "FusedTopKRecommender",
     "SweepResult", "sweep_sgd",
 ]
 

@@ -1,0 +1,123 @@
+"""Fused serving selection kernel — score-block-free top-K candidates.
+
+The stock serving path (mfx/serve/topk.py) materializes a
+``(batch, catalog)`` f32 score block in HBM per dispatch and reduces it
+with ``top_k`` / ``approx_max_k``: at a 1M-item catalog that block is
+~1 GB — 4x the f32 factor table itself — and the measured latency is
+bound by writing + re-reading it, not by the table stream (docs/
+SERVING.md "latency notes"). This kernel removes the block entirely:
+
+  grid over catalog tiles; per step one MXU matmul
+  ``P_aug (B, 128) @ Q_aug_tile (tile, 128)^T`` scores the tile IN VMEM,
+  and only each tile's TOP-2 (value, lane) survive to HBM — the kernel's
+  whole output is four ``(B, n_tiles)`` arrays (~100x smaller than the
+  score block).
+
+The bias trick keeps the kernel bias-aware with zero extra streams:
+``P_aug = [p, 1, 0...]``, ``Q_aug = [q, b_i, 0...]`` so the matmul carries
+``p·q + b_i``; ``b_u + mu`` are per-ROW constants that cannot change a
+row's ranking and are added at finalize (mfx/serve/fused.py). Catalog pad
+rows carry ``b_i = -1e30`` and never win a tile.
+
+Top-2 per tile (not top-1) is what makes the downstream exclusion and
+final top-K accurate: a seen item that wins its tile falls back to the
+tile's runner-up, and two top-K items sharing a tile both surface. The
+recall contract vs exact serving is pinned in tests
+(tests/unit/test_fused_serve.py) and measured on chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["tile_topk2", "AUG_LANES"]
+
+AUG_LANES = 128  # P_aug/Q_aug lane width: rank + bias lane, zero-padded
+
+
+def _kernel(tn, p_ref, q_ref, m1_ref, a1_ref, m2_ref, a2_ref):
+    # 2-D grid (groups, 128): step (g, tl) scores catalog tile
+    # t = g*128 + tl. The output block (B, 128) is indexed by g alone, so
+    # it stays VMEM-resident across the 128 inner steps while each step
+    # masked-writes its own lane column (Mosaic cannot store at a dynamic
+    # lane offset, and a full-width resident output block measured 5x
+    # slower — the RMW traffic scales with the block width).
+    tl = pl.program_id(1)
+    t = pl.program_id(0) * 128 + tl
+
+    @pl.when(t < tn)
+    def _():
+        p = p_ref[:]
+        q = q_ref[:]
+        scores = jax.lax.dot_general(
+            p, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, tile)
+        lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        big = jnp.int32(scores.shape[1])
+        m1 = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
+        a1 = jnp.min(
+            jnp.where(scores >= m1, lane, big), axis=1, keepdims=True
+        )
+        s2 = jnp.where(lane == a1, -jnp.inf, scores)
+        m2 = jnp.max(s2, axis=1, keepdims=True)
+        a2 = jnp.min(jnp.where(s2 >= m2, lane, big), axis=1, keepdims=True)
+        hit = jax.lax.broadcasted_iota(jnp.int32, m1_ref.shape, 1) == tl
+        m1_ref[:] = jnp.where(hit, m1, m1_ref[:])
+        a1_ref[:] = jnp.where(hit, a1, a1_ref[:])
+        m2_ref[:] = jnp.where(hit, m2, m2_ref[:])
+        a2_ref[:] = jnp.where(hit, a2, a2_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def tile_topk2(P_aug, Q_aug, tile: int = 1024, interpret: bool = False):
+    """Per-tile top-2 candidates of ``P_aug @ Q_augᵀ``.
+
+    P_aug: (B, 128) — factor rows with the bias-carry lane ([p, 1, 0…]).
+    Q_aug: (I_pad, 128) — catalog, I_pad a multiple of ``tile``, pad rows
+           with bias lane -1e30 ([q, b_i, 0…]).
+    Returns (m1, a1, m2, a2), each (B, n_tiles): the tile's best/second
+    score and their LOCAL lane ids (global item = t*tile + lane).
+    Dtypes: scores f32 (f32 MXU accumulation even for bf16 tables).
+    """
+    B = P_aug.shape[0]
+    ipad, lanes = Q_aug.shape
+    if lanes != AUG_LANES or P_aug.shape[1] != AUG_LANES:
+        raise ValueError(f"augmented tables must have {AUG_LANES} lanes")
+    if ipad % tile != 0:
+        raise ValueError(f"catalog pad {ipad} not a multiple of tile {tile}")
+    tn = ipad // tile
+    # lane-pad the (B, tn) outputs to the vreg width; callers slice [:tn]
+    tn_hi = -(-tn // 128)
+    tn_pad = tn_hi * 128
+
+    def q_map(g, tl):
+        return (jnp.minimum(g * 128 + tl, tn - 1), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, tn),
+        grid=(tn_hi, 128),
+        in_specs=[
+            pl.BlockSpec((B, AUG_LANES), lambda g, tl: (0, 0)),
+            pl.BlockSpec((tile, AUG_LANES), q_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
+            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
+            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
+            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, tn_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, tn_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B, tn_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, tn_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(P_aug, Q_aug)
+    m1, a1, m2, a2 = out
+    return m1[:, :tn], a1[:, :tn], m2[:, :tn], a2[:, :tn]
