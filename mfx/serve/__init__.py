@@ -4,13 +4,14 @@ implicit iALS-style solves)."""
 
 from mfx.serve.topk import TopKRecommender, similar_items
 from mfx.serve.sharded import ShardedTopKRecommender, similar_items_sharded
-from mfx.serve.fused import FusedTopKRecommender
+from mfx.serve.fused import FusedShardedTopKRecommender, FusedTopKRecommender
 from mfx.serve.foldin import fold_in, fold_in_batch, fold_in_implicit
 
 __all__ = [
     "TopKRecommender",
     "ShardedTopKRecommender",
     "FusedTopKRecommender",
+    "FusedShardedTopKRecommender",
     "similar_items",
     "similar_items_sharded",
     "fold_in",

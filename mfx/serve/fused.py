@@ -31,9 +31,25 @@ import numpy as np
 from mfx.kernels.serve_pallas import AUG_LANES, tile_topk2
 from mfx.serve.topk import TopKRecommender
 
-__all__ = ["FusedTopKRecommender"]
+__all__ = ["FusedTopKRecommender", "FusedShardedTopKRecommender"]
 
 _PAD_BIAS = -1e30  # catalog pad rows: can never win a tile
+
+
+def _seen_matrix(csr, users, batch: int, sentinel: int) -> np.ndarray:
+    """Per-row seen-item matrix for a user batch (padded to a pow-2
+    column bucket with an out-of-range sentinel) — the fused exclusion
+    input; row order within a row is irrelevant (broadcast membership)."""
+    starts = csr.offsets[users]
+    stops = csr.offsets[np.asarray(users) + 1]
+    counts = (stops - starts).astype(np.int64)
+    cmax = int(counts.max()) if counts.size else 0
+    emax = max(8, 1 << int(np.ceil(np.log2(max(cmax, 1)))))
+    mat = np.full((batch, emax), sentinel, np.int32)
+    for b in np.flatnonzero(counts):
+        c = int(counts[b])
+        mat[b, :c] = csr.items[starts[b]:starts[b] + c]
+    return mat
 
 
 def _member(seenmat, cand):
@@ -139,23 +155,10 @@ class FusedTopKRecommender(TopKRecommender):
             )
 
     def _exclusions(self, users):
-        """Per-row seen-item matrix (padded to a pow-2 column bucket
-        with the out-of-range sentinel ``ipad``) — the fused finalize
-        tests candidate membership against it (broadcast compare; order
-        within a row is irrelevant); the stock (rows, items) scatter
-        pairs are useless without a score block."""
-        csr = self._seen
-        items = csr.items
-        starts = csr.offsets[users]
-        stops = csr.offsets[np.asarray(users) + 1]
-        counts = (stops - starts).astype(np.int64)
-        cmax = int(counts.max()) if counts.size else 0
-        emax = max(8, 1 << int(np.ceil(np.log2(max(cmax, 1)))))
-        mat = np.full((self.batch, emax), self._ipad, np.int32)
-        for b in np.flatnonzero(counts):
-            c = int(counts[b])
-            mat[b, :c] = items[starts[b]:starts[b] + c]
-        return None, mat
+        """Per-row seen-item matrix — the fused finalize tests candidate
+        membership against it; the stock (rows, items) scatter pairs are
+        useless without a score block."""
+        return None, _seen_matrix(self._seen, users, self.batch, self._ipad)
 
     def _score_batch(self, ub, rows, seenmat, k):
         del rows  # fused exclusion uses the per-row sorted matrix
@@ -163,4 +166,147 @@ class FusedTopKRecommender(TopKRecommender):
             self._P_aug, self._Q_aug, self._bu, self._mu,
             jnp.asarray(ub), jnp.asarray(seenmat),
             k, self.tile, self.interpret,
+        )
+
+
+class FusedShardedTopKRecommender(TopKRecommender):
+    """Score-block-free serving with the catalog row-sharded over a mesh
+    — the configs[4]-scale composition of :class:`FusedTopKRecommender`
+    and :class:`mfx.serve.ShardedTopKRecommender`.
+
+    Each shard runs the Pallas per-tile top-2 kernel on its local
+    augmented catalog slice, excludes seen candidates, takes a LOCAL
+    top-K over its ~2·tiles/shard pool, and the S·K candidates meet in
+    one tiny ``all_gather``; the final merge is an exact top-K over the
+    union of the per-shard pools, so the result is IDENTICAL to the
+    single-device fused recommender (tested — tiles never span shards).
+    The user table is never replicated: only the batch's (B, rank) rows
+    travel, augmented on device.
+    """
+
+    def __init__(
+        self, model, mesh, train=None, batch: int = 256,
+        table_dtype: str = "f32", tile: int = 1024,
+        interpret: bool | None = None,
+    ):
+        if table_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                "FusedShardedTopKRecommender supports table_dtype 'f32' "
+                f"or 'bf16', got {table_dtype!r}"
+            )
+        if tile < 128 or tile % 128:
+            raise ValueError(f"tile must be a multiple of 128, got {tile}")
+        if model.rank >= AUG_LANES:
+            raise ValueError(
+                f"fused serving supports rank < {AUG_LANES}, got {model.rank}"
+            )
+        super().__init__(model, train=train, batch=batch, table_dtype="f32")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        self.table_dtype = table_dtype
+        self.tile = tile
+        self.interpret = (
+            jax.default_backend() != "tpu" if interpret is None else interpret
+        )
+        flat = Mesh(np.asarray(mesh.devices).reshape(-1), ("shard",))
+        self._flat = flat
+        S = flat.devices.size
+        self._S = S
+        dt = jnp.bfloat16 if table_dtype == "bf16" else jnp.float32
+        r = model.rank
+        I = model.num_items
+        # catalog pad: a multiple of S*tile so every shard holds whole tiles
+        self._ipad = -(-I // (S * tile)) * (S * tile)
+        self._tn_loc = self._ipad // S // tile
+        rows = NamedSharding(flat, P("shard"))
+        Q_aug = jnp.zeros((self._ipad, AUG_LANES), dt)
+        Q_aug = Q_aug.at[:I, :r].set(jnp.asarray(model.Q, dt))
+        bias_lane = jnp.full((self._ipad,), _PAD_BIAS, dt)
+        bias_lane = bias_lane.at[:I].set(jnp.asarray(model.bi, dt))
+        Q_aug = Q_aug.at[:, r].set(bias_lane)
+        self._Q_aug = jax.device_put(Q_aug, rows)
+        # user tables stay wherever they live (host numpy or device);
+        # only the batch's rows travel, augmented inside the program
+        self._P_src = model.P
+        self._bu_src = model.bu
+        self._host_u = isinstance(model.P, np.ndarray)
+        self._mu = jnp.asarray(model.mu, jnp.float32)
+        self._rank = r
+        self._dt = dt
+        self._kern = {}
+
+    def _score_cols(self) -> int:
+        return 1  # no score block — no auto batch cap
+
+    def _validate(self, users, k):
+        super()._validate(users, k)
+        if k > 2 * self._tn_loc:
+            raise ValueError(
+                f"k={k} exceeds the per-shard fused pool 2*tiles/shard="
+                f"{2 * self._tn_loc}; lower tile or shard count"
+            )
+
+    def _exclusions(self, users):
+        return None, _seen_matrix(self._seen, users, self.batch, self._ipad)
+
+    def _kernel(self, k: int):
+        if k in self._kern:
+            return self._kern[k]
+        from jax.sharding import PartitionSpec as P
+
+        tile, tn_loc, S = self.tile, self._tn_loc, self._S
+        iloc = tn_loc * tile
+        r, dt, interpret = self._rank, self._dt, self.interpret
+
+        def shard_fn(pu, bu_b, mu, seenmat, Q_loc):
+            s = jax.lax.axis_index("shard")
+            pu_aug = jnp.zeros((pu.shape[0], AUG_LANES), dt)
+            pu_aug = pu_aug.at[:, :r].set(pu.astype(dt))
+            pu_aug = pu_aug.at[:, r].set(1.0)
+            m1, a1, m2, a2 = tile_topk2(
+                pu_aug, Q_loc, tile=tile, interpret=interpret
+            )
+            base = (jnp.arange(tn_loc, dtype=jnp.int32) * tile)[None, :]
+            g1 = a1 + base + s * iloc
+            g2 = a2 + base + s * iloc
+            v1 = jnp.where(_member(seenmat, g1), -jnp.inf, m1)
+            v2 = jnp.where(_member(seenmat, g2), -jnp.inf, m2)
+            vals = jnp.concatenate([v1, v2], axis=1)
+            ids = jnp.concatenate([g1, g2], axis=1)
+            ls, sel = jax.lax.top_k(vals, k)
+            li = jnp.take_along_axis(ids, sel, axis=1)
+            cs = jax.lax.all_gather(ls, "shard", axis=1, tiled=True)
+            ci = jax.lax.all_gather(li, "shard", axis=1, tiled=True)
+            gs, sel2 = jax.lax.top_k(cs, k)  # over S*k candidates — exact
+            gi = jnp.take_along_axis(ci, sel2, axis=1)
+            return gi, gs + bu_b[:, None] + mu
+
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=self._flat,
+            in_specs=(P(), P(), P(), P(), P("shard")),
+            out_specs=(P(), P()),
+            # outputs ARE replicated (all_gather + identical final top_k
+            # on every shard) but inference can't prove it
+            check_vma=False,
+        )
+        jitted = jax.jit(fn)
+        self._kern[k] = jitted
+        return jitted
+
+    def _user_rows(self, ub):
+        if self._host_u:
+            return self._P_src[ub], self._bu_src[ub]
+        idx = jnp.asarray(ub)
+        return (
+            jnp.take(self._P_src, idx, axis=0, mode="clip"),
+            jnp.take(self._bu_src, idx, mode="clip"),
+        )
+
+    def _score_batch(self, ub, rows, seenmat, k):
+        del rows
+        pu, bu_b = self._user_rows(ub)
+        return self._kernel(k)(
+            jnp.asarray(pu, jnp.float32), jnp.asarray(bu_b, jnp.float32),
+            self._mu, jnp.asarray(seenmat), self._Q_aug,
         )

@@ -102,6 +102,39 @@ def test_sharded_topk_int8_matches_single_device_int8():
     assert (gi < I).all()  # pad rows (77 -> 80) never surface
 
 
+def test_fused_sharded_matches_single_device_fused():
+    """FusedShardedTopKRecommender == FusedTopKRecommender exactly: the
+    per-tile top-2 pools are identical (tiles never span shards) and the
+    S·K merge is exact over the union of per-shard top-Ks."""
+    from mfx.serve import FusedShardedTopKRecommender, FusedTopKRecommender
+
+    U, I, k = 30, 3000, 6  # 24 tiles at tile=128, 3 per shard on 8 shards
+    coo = synthetic.make_synthetic(U, I, 800, seed=9)
+    model = init_model(7, U, I, rank=8, global_mean=3.5)
+    mesh = make_mesh(2, 4)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = FusedTopKRecommender(
+        model, train=coo, batch=16, tile=128
+    ).recommend(users, k=k)
+    gi, gs = FusedShardedTopKRecommender(
+        model, mesh, train=coo, batch=16, tile=128
+    ).recommend(users, k=k)
+    np.testing.assert_allclose(gs, rs, rtol=1e-6, atol=1e-6)
+    for u in range(U):
+        if (gi[u] != ri[u]).any():
+            assert set(gi[u]) == set(ri[u])  # equal-score permutation
+        seen = coo.item[coo.user == u]
+        assert not np.isin(gi[u], seen).any()
+    assert (gi < I).all()
+
+    # per-shard pool cap validated
+    import pytest as _pytest
+
+    small = FusedShardedTopKRecommender(model, mesh, tile=128)
+    with _pytest.raises(ValueError, match="per-shard"):
+        small.recommend([0], k=2 * small._tn_loc + 1)
+
+
 def test_sharded_similar_items_matches_single_device():
     """Row-sharded related-items == the single-device cosine path; pad
     rows and the query itself never surface."""
