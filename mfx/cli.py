@@ -110,10 +110,23 @@ def cmd_recommend(args) -> int:
             exclude = coo
         raw_ids = coo.item_raw_ids
     users = np.array([int(u) for u in args.users.split(",")], np.int32)
-    rec = TopKRecommender(
-        model, train=exclude, batch=args.batch,
-        table_dtype=args.table_dtype, recall_target=args.recall_target,
-    )
+    if args.fused:
+        from mfx.serve import FusedTopKRecommender
+
+        if args.table_dtype == "int8" or args.recall_target is not None:
+            raise SystemExit(
+                "--fused supports table-dtype f32/bf16 and has its own "
+                "selection scheme (drop --recall-target)"
+            )
+        rec = FusedTopKRecommender(
+            model, train=exclude, batch=args.batch,
+            table_dtype=args.table_dtype, tile=args.tile,
+        )
+    else:
+        rec = TopKRecommender(
+            model, train=exclude, batch=args.batch,
+            table_dtype=args.table_dtype, recall_target=args.recall_target,
+        )
     items, scores = rec.recommend(users, k=args.k)
     for u, it, sc in zip(users, items, scores):
         out = {
@@ -142,7 +155,14 @@ def cmd_similar(args) -> int:
 
         raw_ids = load_dataset(args.dataset, root=args.root).item_raw_ids
     items = np.array([int(i) for i in args.items.split(",")], np.int32)
-    nbrs, cos = similar_items(model, items, k=args.k, batch=args.batch)
+    if args.fused:
+        from mfx.serve import similar_items_fused
+
+        nbrs, cos = similar_items_fused(
+            model, items, k=args.k, batch=args.batch
+        )
+    else:
+        nbrs, cos = similar_items(model, items, k=args.k, batch=args.batch)
     for q, it, sc in zip(items, nbrs, cos):
         out = {
             "item": int(q),
@@ -276,6 +296,12 @@ def main(argv=None) -> int:
     p.add_argument("--recall-target", type=float, default=None,
                    help="approximate top-K via TPU approx_max_k with "
                         "this per-item recall (e.g. 0.95); default exact")
+    p.add_argument("--fused", action="store_true",
+                   help="score-block-free Pallas serving (chip-measured "
+                        "28.9x vs exact at a 1M-item catalog, ~0.998 "
+                        "recall@100; see docs/SERVING.md)")
+    p.add_argument("--tile", type=int, default=1024,
+                   help="fused path: catalog items per kernel step")
     p.set_defaults(fn=cmd_recommend)
 
     p = sub.add_parser("similar", help="related items from a checkpoint")
@@ -287,6 +313,8 @@ def main(argv=None) -> int:
     p.add_argument("--dataset", default=None,
                    help="dataset whose raw item-id map is reported")
     p.add_argument("--root", default=None, help="dataset root directory")
+    p.add_argument("--fused", action="store_true",
+                   help="score-block-free Pallas related-items path")
     p.set_defaults(fn=cmd_similar)
 
     p = sub.add_parser("tune", help="batched lr/reg grid search (vmap)")

@@ -4,7 +4,9 @@ implicit iALS-style solves)."""
 
 from mfx.serve.topk import TopKRecommender, similar_items
 from mfx.serve.sharded import ShardedTopKRecommender, similar_items_sharded
-from mfx.serve.fused import FusedShardedTopKRecommender, FusedTopKRecommender
+from mfx.serve.fused import (
+    FusedShardedTopKRecommender, FusedTopKRecommender, similar_items_fused,
+)
 from mfx.serve.foldin import fold_in, fold_in_batch, fold_in_implicit
 
 __all__ = [
@@ -13,6 +15,7 @@ __all__ = [
     "FusedTopKRecommender",
     "FusedShardedTopKRecommender",
     "similar_items",
+    "similar_items_fused",
     "similar_items_sharded",
     "fold_in",
     "fold_in_batch",

@@ -31,7 +31,10 @@ import numpy as np
 from mfx.kernels.serve_pallas import AUG_LANES, tile_topk2
 from mfx.serve.topk import TopKRecommender
 
-__all__ = ["FusedTopKRecommender", "FusedShardedTopKRecommender"]
+__all__ = [
+    "FusedTopKRecommender", "FusedShardedTopKRecommender",
+    "similar_items_fused",
+]
 
 _PAD_BIAS = -1e30  # catalog pad rows: can never win a tile
 
@@ -310,3 +313,71 @@ class FusedShardedTopKRecommender(TopKRecommender):
             jnp.asarray(pu, jnp.float32), jnp.asarray(bu_b, jnp.float32),
             self._mu, jnp.asarray(seenmat), self._Q_aug,
         )
+
+
+def similar_items_fused(
+    model, items, k: int = 10, batch: int = 256, tile: int = 1024,
+    table_dtype: str = "f32", interpret: bool | None = None,
+):
+    """Score-block-free related-items serving: top-``k`` item neighbors
+    by factor cosine via the SAME per-tile top-2 kernel and single
+    dispatch as :class:`FusedTopKRecommender` — the query rows ride the
+    "user" side ([q̂, 1, 0…]), the row-normalized catalog rides the
+    augmented table with a zero bias lane, and the per-row exclusion
+    matrix holds just the query item itself. Approximate like the fused
+    recommender (top-2 per tile survive). Returns
+    (items (n, k) int32, cosines (n, k) f32)."""
+    if table_dtype not in ("f32", "bf16"):
+        raise ValueError(
+            f"table_dtype must be 'f32' or 'bf16', got {table_dtype!r}"
+        )
+    if tile < 128 or tile % 128:
+        raise ValueError(f"tile must be a multiple of 128, got {tile}")
+    if model.rank >= AUG_LANES:
+        raise ValueError(
+            f"fused serving supports rank < {AUG_LANES}, got {model.rank}"
+        )
+    items = np.asarray(items, np.int32).reshape(-1)
+    I = model.num_items
+    ipad = -(-I // tile) * tile
+    tn = ipad // tile
+    if k < 1 or k > min(I - 1, 2 * tn):
+        raise ValueError(
+            f"k must be in [1, min(num_items-1, 2*n_tiles)="
+            f"{min(I - 1, 2 * tn)}], got {k}"
+        )
+    if np.any((items < 0) | (items >= I)):
+        raise ValueError("item id out of range")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dt = jnp.bfloat16 if table_dtype == "bf16" else jnp.float32
+    r = model.rank
+    Q = jnp.asarray(model.Q, jnp.float32)
+    Qn = Q / jnp.maximum(jnp.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # query side: [q̂, 1, 0…]; catalog side: [q̂, bias, 0…] with bias 0
+    # for real rows and -1e30 for pads (they can never win a tile)
+    P_aug = jnp.zeros((I, AUG_LANES), dt).at[:, :r].set(Qn.astype(dt))
+    P_aug = P_aug.at[:, r].set(1.0)
+    Q_aug = jnp.zeros((ipad, AUG_LANES), dt).at[:I, :r].set(Qn.astype(dt))
+    Q_aug = Q_aug.at[I:, r].set(_PAD_BIAS)
+    zeros_bu = jnp.zeros((I,), jnp.float32)
+    mu = jnp.asarray(0.0, jnp.float32)
+
+    n = items.shape[0]
+    out_i = np.empty((n, k), np.int32)
+    out_s = np.empty((n, k), np.float32)
+    for start in range(0, n, batch):
+        stop = min(start + batch, n)
+        qb = np.zeros(batch, np.int32)
+        qb[: stop - start] = items[start:stop]
+        # exclusion: each row's own query id (padded rows exclude query 0
+        # too — their outputs are discarded)
+        seen = np.full((batch, 8), ipad, np.int32)
+        seen[:, 0] = qb
+        i_, s_ = _serve(
+            P_aug, Q_aug, zeros_bu, mu, jnp.asarray(qb),
+            jnp.asarray(seen), k, tile, interpret,
+        )
+        out_i[start:stop] = np.asarray(i_)[: stop - start]
+        out_s[start:stop] = np.asarray(s_)[: stop - start]
+    return out_i, out_s

@@ -135,6 +135,33 @@ def test_fused_bf16_tables():
         np.testing.assert_allclose(fs[u], full[u][fi[u]], atol=tol)
 
 
+def test_similar_items_fused_matches_exact():
+    """Fused related-items vs the exact cosine path: near-perfect
+    overlap, self-exclusion, no pad rows, true cosines reported."""
+    from mfx.serve import similar_items, similar_items_fused
+
+    I, k = 4096, 5
+    model = init_model(5, 20, I, rank=8, global_mean=3.5)
+    queries = np.arange(0, I, 37, dtype=np.int32)
+    ri, rs = similar_items(model, queries, k=k, batch=32)
+    fi, fs = similar_items_fused(model, queries, k=k, batch=32, tile=128)
+    Q = np.asarray(model.Q, np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    cos = Qn @ Qn.T
+    overlap = 0
+    for n, q in enumerate(queries):
+        assert q not in fi[n]
+        assert (fi[n] < I).all()
+        np.testing.assert_allclose(fs[n], cos[q][fi[n]], rtol=1e-4, atol=1e-4)
+        overlap += len(set(fi[n]) & set(ri[n]))
+    assert overlap / (len(queries) * k) >= 0.97
+
+    with pytest.raises(ValueError, match="out of range"):
+        similar_items_fused(model, [I], k=2)
+    with pytest.raises(ValueError, match="k must"):
+        similar_items_fused(model, [0], k=0)
+
+
 def test_fused_validation():
     model = init_model(0, 8, 64, rank=4, global_mean=3.0)
     with pytest.raises(ValueError, match="table_dtype"):
