@@ -9,8 +9,8 @@ from __future__ import annotations
 
 from mfx.config import (
     TrainConfig, DataConfig, ModelConfig, SGDConfig, SVDPPConfig,
-    TimeSVDConfig, ALSConfig, NMFConfig, IALSConfig, BPRConfig,
-    ParallelConfig, preset, apply_overrides, PRESETS,
+    TimeSVDConfig, TimeSVDPPConfig, ALSConfig, NMFConfig, IALSConfig,
+    BPRConfig, ParallelConfig, preset, apply_overrides, PRESETS,
 )
 from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
@@ -33,7 +33,8 @@ from mfx.tune import SweepResult, sweep_sgd
 
 __all__ = [
     "TrainConfig", "DataConfig", "ModelConfig", "SGDConfig", "SVDPPConfig",
-    "TimeSVDConfig", "ALSConfig", "NMFConfig", "IALSConfig", "BPRConfig",
+    "TimeSVDConfig", "TimeSVDPPConfig", "ALSConfig", "NMFConfig",
+    "IALSConfig", "BPRConfig",
     "ParallelConfig", "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
     "chronological_split", "leave_one_out_split",

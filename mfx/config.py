@@ -15,6 +15,7 @@ __all__ = [
     "SGDConfig",
     "SVDPPConfig",
     "TimeSVDConfig",
+    "TimeSVDPPConfig",
     "ALSConfig",
     "NMFConfig",
     "IALSConfig",
@@ -300,6 +301,43 @@ class TimeSVDConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class TimeSVDPPConfig:
+    """timeSVD++ (mfx/solvers/timesvdpp.py): the temporal bias model of
+    TimeSVDConfig COMBINED with SVD++'s implicit item factors — the
+    Netflix-Prize-era flagship of this family. Needs timestamps."""
+
+    lr: float = 0.007
+    reg: float = 0.02
+    lr_decay: float = 0.95
+    epochs: int = 20
+    batch_size: int = 8192
+    # temporal terms (as TimeSVDConfig)
+    n_bins: int = 30
+    beta: float = 0.4
+    lr_t: float | None = None
+    reg_t: float | None = None
+    lr_alpha: float | None = None
+    reg_alpha: float | None = None  # None -> 10*reg
+    # implicit term (as SVDPPConfig)
+    lr_y: float | None = None
+    reg_y: float | None = None
+    y_trust: float = 16.0
+    partitioner: str = "fixed"  # 'fixed' | 'conflict_free'
+    dup_trust: float = 0.0
+
+    def __post_init__(self):
+        if self.partitioner not in ("fixed", "conflict_free"):
+            raise ValueError(
+                "timesvdpp.partitioner must be 'fixed' or "
+                f"'conflict_free', got {self.partitioner!r}"
+            )
+        if self.n_bins < 1:
+            raise ValueError(
+                f"timesvdpp.n_bins must be >= 1, got {self.n_bins}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
 class ALSConfig:
     reg: float = 0.05
     sweeps: int = 10
@@ -432,13 +470,15 @@ class ParallelConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     name: str = "default"
-    # 'sgd' | 'svdpp' | 'timesvd' | 'als' | 'nmf' | 'ials' | 'bpr'
+    # 'sgd' | 'svdpp' | 'timesvd' | 'timesvdpp' | 'als' | 'nmf' |
+    # 'ials' | 'bpr'
     solver: str = "sgd"
     data: DataConfig = DataConfig()
     model: ModelConfig = ModelConfig()
     sgd: SGDConfig = SGDConfig()
     svdpp: SVDPPConfig = SVDPPConfig()
     timesvd: TimeSVDConfig = TimeSVDConfig()
+    timesvdpp: TimeSVDPPConfig = TimeSVDPPConfig()
     als: ALSConfig = ALSConfig()
     nmf: NMFConfig = NMFConfig()
     ials: IALSConfig = IALSConfig()

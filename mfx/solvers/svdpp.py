@@ -108,10 +108,13 @@ def _coo_chunks(train: RatingsCOO, chunk: int) -> dict[str, jax.Array]:
     return {k: jnp.asarray(v) for k, v in arrays.items()}
 
 
-def svdpp_run_constants(model: MFModel, train: RatingsCOO, cfg: SVDPPConfig,
-                        chunk: int):
-    """Degree-derived run constants shared by the single-device and DP
-    trainers: (user_dev, item_dev, nu, deg_i, y_scale, chunks)."""
+def svdpp_run_constants(model: MFModel, train: RatingsCOO, cfg,
+                        chunk: int | None):
+    """Degree-derived run constants shared by the single-device, DP, and
+    timesvdpp trainers: (user_dev, item_dev, nu, deg_i, y_scale, chunks).
+    ``cfg`` needs only a ``y_trust`` field; ``chunk=None`` skips building
+    the padded COO chunk tensors (timesvdpp builds its own with the
+    temporal extra columns)."""
     user_dev = jnp.asarray(train.user)
     item_dev = jnp.asarray(train.item)
     from mfx.models.svdpp import implicit_scale
@@ -137,7 +140,10 @@ def svdpp_run_constants(model: MFModel, train: RatingsCOO, cfg: SVDPPConfig,
         y_scale = y_scale.astype(model.P.dtype)
     else:
         y_scale = jnp.ones((train.num_items,), model.P.dtype)
-    chunks = _coo_chunks(train, min(chunk, max(1024, train.n_ratings)))
+    chunks = (
+        None if chunk is None
+        else _coo_chunks(train, min(chunk, max(1024, train.n_ratings)))
+    )
     return user_dev, item_dev, nu, deg_i, y_scale, chunks
 
 

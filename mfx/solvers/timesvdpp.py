@@ -1,0 +1,218 @@
+"""timeSVD++ trainer (solver='timesvdpp') — temporal dynamics + implicit
+feedback on one model.
+
+Koren's timeSVD++ (KDD 2009) — the Netflix-Prize-era flagship of the MF
+family — combines the two quality axes this framework already builds:
+
+    r_hat(u,i,t) = mu + b_u + alpha_u*dev_u(t) + b_i + b_{i,Bin(t)}
+                      + q_i . (p_u + nu_u * sum_{j in N(u)} y_j)
+
+The TPU-native restructure composes the two solvers' machinery directly:
+
+1. refresh ``S_u = nu_u * sum_j y_j`` once per epoch (one segment_sum —
+   mfx/solvers/svdpp.py's epoch-frozen implicit sums);
+2. one TEMPORAL SGD epoch over the equivalent timeSVD model with
+   ``X = P + S`` (mfx/solvers/timesvd.py's fused scan — d/dp == d/dx, so
+   updating X updates P; the bin/drift streams ride the same batches);
+3. one exact full-batch gradient step on Y at the epoch-end snapshot
+   with the TIME-AWARE residual (the svdpp Y step whose prediction
+   carries the temporal biases), trust-capped per item.
+
+With ``lr_y = 0`` the trajectory is bitwise the timesvd trainer's; with
+``lr_t = lr_alpha = 0`` it is bitwise the svdpp trainer's (both tested —
+the family strictly contains both parents, which in turn contain biased
+MF). Needs timestamps (RatingsCOO.timestamp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfx.config import TimeSVDPPConfig
+from mfx.data import partition as part
+from mfx.data.coo import RatingsCOO
+from mfx.models.mf import MFModel
+from mfx.models.svdpp import implicit_sums
+from mfx.models.timesvd import TimeFeatures, TimeSVDModel, fit_time_features
+from mfx.solvers.svdpp import svdpp_run_constants
+from mfx.solvers.timesvd import _epoch_scan
+from mfx.solvers.sgd import plan_epoch
+
+__all__ = ["train_epochs_timesvdpp", "y_gradient_step_t", "TimeSVDppState"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeSVDppState:
+    """Full trainer state for warm starts (the TimeSVDModel view alone
+    cannot resume — Y would be lost). Host-side container, npz-backed."""
+
+    P: np.ndarray
+    Q: np.ndarray
+    Y: np.ndarray
+    bu: np.ndarray
+    bi: np.ndarray
+    mu: np.ndarray
+    bt: np.ndarray
+    alpha: np.ndarray
+    nu: np.ndarray
+
+    def save_npz(self, path) -> None:
+        np.savez_compressed(
+            path, **{f.name: np.asarray(getattr(self, f.name))
+                     for f in dataclasses.fields(self)}
+        )
+
+    @staticmethod
+    def load_npz(path) -> "TimeSVDppState":
+        with np.load(path) as z:
+            return TimeSVDppState(**{k: z[k] for k in z.files})
+
+
+@jax.jit
+def y_gradient_step_t(
+    Y, X, Q, bu, bi, mu, bt, alpha, nu, deg_i, y_scale, batches, lr_y, reg_y
+):
+    """One full-batch gradient step on Y at frozen (X, Q, biases, bt,
+    alpha) with the TIME-AWARE residual — the temporal generalization of
+    mfx.solvers.svdpp.y_gradient_step (same two streaming passes; the
+    chunk tensors additionally carry tbins/devs). Exact gradient with
+    all-ones ``y_scale`` (tested vs jax.grad); the trainer passes the
+    ``min(1, y_trust / c_j)`` hot-item trust cap."""
+    num_users = X.shape[0]
+    n_bins = bt.shape[-1]
+    bt_flat = bt.reshape(-1)
+
+    def resid_body(A, b):
+        pu = jnp.take(X, b["users"], axis=0, mode="clip")
+        qi = jnp.take(Q, b["items"], axis=0, mode="clip")
+        pred = jnp.sum(pu * qi, axis=-1) + mu
+        pred = pred + jnp.take(bu, b["users"], mode="clip")
+        pred = pred + jnp.take(bi, b["items"], mode="clip")
+        flat = b["items"] * n_bins + b["tbins"]
+        pred = pred + jnp.take(bt_flat, flat, mode="clip")
+        pred = pred + jnp.take(alpha, b["users"], mode="clip") * b["devs"]
+        e = (b["ratings"] - pred) * b["weights"]
+        A = A + jax.ops.segment_sum(
+            e[:, None] * qi, b["users"], num_segments=num_users,
+            indices_are_sorted=False, unique_indices=False,
+        )
+        return A, jnp.sum(e * e)
+
+    A0 = jnp.zeros_like(X)
+    A, sqs = jax.lax.scan(resid_body, A0, batches)
+    contrib_u = A * nu[:, None]
+
+    def scatter_body(G, b):
+        c = jnp.take(contrib_u, b["users"], axis=0, mode="clip")
+        c = c * b["weights"][:, None]
+        G = G.at[b["items"]].add(c, mode="drop")
+        return G, None
+
+    G, _ = jax.lax.scan(scatter_body, jnp.zeros_like(Y), batches)
+    Ynew = Y + lr_y * (y_scale[:, None] * G - reg_y * deg_i[:, None] * Y)
+    return Ynew, jnp.sum(sqs)
+
+
+def _coo_chunks_t(
+    train: RatingsCOO, chunk: int, tbins: np.ndarray, devs: np.ndarray
+) -> dict[str, jax.Array]:
+    """The whole COO + time features as padded [nc, C] chunk tensors."""
+    order = np.arange(train.n_ratings, dtype=np.int64)
+    arrays = part.pad_to_batches(
+        train.user, train.item, train.rating, order, chunk,
+        num_users=train.num_users, num_items=train.num_items,
+        extras={"tbins": tbins, "devs": devs},
+    )
+    return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+
+def train_epochs_timesvdpp(
+    model: MFModel,
+    train: RatingsCOO,
+    cfg: TimeSVDPPConfig,
+    use_bias: bool = True,
+    seed: int = 0,
+    start_epoch: int = 0,
+    feats: TimeFeatures | None = None,
+    chunk: int = 1 << 22,
+) -> Iterator[tuple[int, TimeSVDModel, float]]:
+    """Generator yielding ``(epoch, timesvd_view, train_rmse)``.
+
+    The yielded model is the post-epoch TimeSVDModel view over
+    ``X = P + S`` (S refreshed after the Y step) — the driver's
+    time-aware eval and ``as_mf`` serving consume it exactly like the
+    plain timesvd solver's output. Resuming needs the full state (Y):
+    use :class:`TimeSVDppState`, not the MF-view checkpoint."""
+    if not use_bias:
+        raise ValueError(
+            "solver='timesvdpp' is the temporal+implicit extension of "
+            "BIASED MF; set model.use_bias=true"
+        )
+    if start_epoch != 0:
+        raise ValueError(
+            "timesvdpp cannot resume from a view checkpoint (Y/bt/alpha "
+            "are not all in it); persist TimeSVDppState.save_npz for "
+            "warm starts, or rerun from epoch 0"
+        )
+    if feats is None:
+        feats = fit_time_features(train, n_bins=cfg.n_bins, beta=cfg.beta)
+    tbins, devs = feats.features(train.user, train.timestamp)
+    extras = {"tbins": tbins, "devs": devs}
+    user_dev, item_dev, nu, deg_i, y_scale, _ = svdpp_run_constants(
+        model, train, cfg, chunk=None  # chunks built below with extras
+    )
+    chunks = _coo_chunks_t(
+        train, min(chunk, max(1024, train.n_ratings)), tbins, devs
+    )
+
+    f32 = model.P.dtype
+    Y = jnp.zeros_like(model.Q)
+    P, Q = model.P, model.Q
+    bu, bi, mu = model.bu, model.bi, model.mu
+    bt = jnp.zeros((model.num_items, feats.n_bins), f32)
+    alpha = jnp.zeros((model.num_users,), f32)
+
+    lr_t0 = cfg.lr if cfg.lr_t is None else cfg.lr_t
+    lr_a0 = cfg.lr if cfg.lr_alpha is None else cfg.lr_alpha
+    reg_t = cfg.reg if cfg.reg_t is None else cfg.reg_t
+    reg_a = 10.0 * cfg.reg if cfg.reg_alpha is None else cfg.reg_alpha
+    lr_y0 = cfg.lr if cfg.lr_y is None else cfg.lr_y
+    reg_y = cfg.reg if cfg.reg_y is None else cfg.reg_y
+    unique_rows = cfg.partitioner == "conflict_free"
+
+    S = implicit_sums(Y, user_dev, item_dev, nu)  # zeros at init
+    for epoch in range(cfg.epochs):
+        decay = cfg.lr_decay**epoch
+        plan = plan_epoch(train, cfg, seed, epoch, extras=extras)
+        ts = TimeSVDModel(P=P + S, Q=Q, bu=bu, bi=bi, mu=mu, bt=bt,
+                          alpha=alpha)
+        ts, sse = _epoch_scan(
+            ts, plan.batches,
+            jnp.asarray(cfg.lr * decay, f32),
+            jnp.asarray(lr_t0 * decay, f32),
+            jnp.asarray(lr_a0 * decay, f32),
+            jnp.asarray(cfg.reg, f32),
+            jnp.asarray(reg_t, f32),
+            jnp.asarray(reg_a, f32),
+            unique_rows, cfg.dup_trust,
+        )
+        Y, _ = y_gradient_step_t(
+            Y, ts.P, ts.Q, ts.bu, ts.bi, ts.mu, ts.bt, ts.alpha,
+            nu, deg_i, y_scale, chunks,
+            jnp.asarray(lr_y0 * decay, f32), jnp.asarray(reg_y, f32),
+        )
+        P, Q = ts.P - S, ts.Q
+        bu, bi, bt, alpha = ts.bu, ts.bi, ts.bt, ts.alpha
+        # refresh S with the new Y: the next epoch's starting point AND
+        # the eval-consistent view of this epoch's model
+        S = implicit_sums(Y, user_dev, item_dev, nu)
+        train_rmse = float(jnp.sqrt(sse / max(1, plan.n_real)))
+        yield epoch, TimeSVDModel(
+            P=P + S, Q=Q, bu=bu, bi=bi, mu=mu, bt=bt, alpha=alpha
+        ), train_rmse

@@ -172,6 +172,21 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch,
             model, train_coo, cfg.timesvd, use_bias, seed=seed,
             start_epoch=start_epoch, feats=feats,
         )
+    if cfg.solver == "timesvdpp":
+        # temporal biases + implicit item factors (timeSVD++); yields
+        # TimeSVDModel views over X = P + S — same eval/serving path as
+        # solver='timesvd'
+        if cfg.parallel.mode != "single":
+            raise ValueError(
+                "solver='timesvdpp' runs single-device; use solver='sgd' "
+                "for the data-parallel / row-sharded paths"
+            )
+        from mfx.solvers.timesvdpp import train_epochs_timesvdpp
+
+        return train_epochs_timesvdpp(
+            model, train_coo, cfg.timesvdpp, use_bias, seed=seed,
+            start_epoch=start_epoch, feats=feats,
+        )
     if cfg.solver == "als":
         if cfg.parallel.mode == "sharded":
             from mfx.parallel.als_ring import train_sweeps_als_ring
@@ -417,14 +432,13 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     n_chips = jax.device_count() if mesh is None else mesh.devices.size
 
     feats = None
-    if cfg.solver == "timesvd":
+    if cfg.solver in ("timesvd", "timesvdpp"):
         # host time featurizer, shared by the trainer and the time-aware
         # eval (deterministic from the train split — rebuilt, not saved)
         from mfx.models.timesvd import fit_time_features
 
-        feats = fit_time_features(
-            train_coo, n_bins=cfg.timesvd.n_bins, beta=cfg.timesvd.beta
-        )
+        tc = cfg.timesvd if cfg.solver == "timesvd" else cfg.timesvdpp
+        feats = fit_time_features(train_coo, n_bins=tc.n_bins, beta=tc.beta)
 
     def _mf(m):
         # temporal models fold their time terms at the end of the train
