@@ -42,7 +42,11 @@ DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser(
 # (ML-25M half-stars, ML-100K/1M + Netflix whole stars) — faithful to the
 # real data's label quantization and lossless under the int4 dense
 # rating stream.
-GENERATOR_VERSION = 4
+# v5: parsers keep the source timestamp column (RatingsCOO.timestamp) —
+# a v4 real-data cache would silently lack timestamps and block the
+# chronological protocols forever. Synthetic v5 content equals v4 (the
+# generator is unchanged and emits no time column).
+GENERATOR_VERSION = 5
 
 
 def _densify(

@@ -4,9 +4,9 @@
 ``(batch, catalog)`` score block (the measured latency bound at 1M+ item
 catalogs — docs/SERVING.md) with the Pallas per-tile top-2 kernel
 (mfx/kernels/serve_pallas.py): only ~``2·catalog/tile`` candidates per
-user ever reach HBM, and the finalize stage (one jitted XLA program)
-applies seen-item exclusion on the CANDIDATES (a per-row sorted-array
-membership test), falls back to a tile's runner-up when its winner is
+user ever reach HBM, and the finalize stage (the same single jitted
+program) applies seen-item exclusion on the CANDIDATES (broadcast
+membership), falls back to a tile's runner-up when its winner is
 excluded, takes the final exact top-K over the surviving pool, and adds
 the per-user constants ``b_u + mu`` back to the reported scores (they
 cannot change a within-user ranking, so the kernel never needs them).
@@ -16,8 +16,10 @@ serving — a user's true top-K item is missed only when ≥3 of their
 top candidates (or 2 plus a seen tile-winner) land in the same catalog
 tile. At the default tile=1024 on a 1M-item catalog that is a ≲1% effect
 (bound pinned in tests/unit/test_fused_serve.py and measured on chip).
-Use :class:`mfx.serve.TopKRecommender` when exactness matters more than
-latency.
+If exclusions ever EXHAUST the candidate pool (k close to 2·n_tiles with
+heavy per-user exclusions), serving raises instead of silently returning
+seen/pad items. Use :class:`mfx.serve.TopKRecommender` when exactness
+matters more than latency.
 """
 
 from __future__ import annotations
@@ -39,20 +41,52 @@ __all__ = [
 _PAD_BIAS = -1e30  # catalog pad rows: can never win a tile
 
 
-def _seen_matrix(csr, users, batch: int, sentinel: int) -> np.ndarray:
-    """Per-row seen-item matrix for a user batch (padded to a pow-2
-    column bucket with an out-of-range sentinel) — the fused exclusion
-    input; row order within a row is irrelevant (broadcast membership)."""
-    starts = csr.offsets[users]
-    stops = csr.offsets[np.asarray(users) + 1]
-    counts = (stops - starts).astype(np.int64)
-    cmax = int(counts.max()) if counts.size else 0
-    emax = max(8, 1 << int(np.ceil(np.log2(max(cmax, 1)))))
-    mat = np.full((batch, emax), sentinel, np.int32)
-    for b in np.flatnonzero(counts):
-        c = int(counts[b])
-        mat[b, :c] = csr.items[starts[b]:starts[b] + c]
-    return mat
+def _validate_fused(table_dtype: str, tile: int, rank: int) -> None:
+    """Shared constructor validation of the fused serving family."""
+    if table_dtype not in ("f32", "bf16"):
+        raise ValueError(
+            "fused serving supports table_dtype 'f32' or 'bf16', got "
+            f"{table_dtype!r}"
+        )
+    if tile < 128 or tile % 128:
+        raise ValueError(f"tile must be a multiple of 128, got {tile}")
+    if rank >= AUG_LANES:
+        raise ValueError(
+            f"fused serving supports rank < {AUG_LANES}, got {rank}"
+        )
+
+
+def _augment_catalog(Q, bias, ipad: int, dt) -> jax.Array:
+    """The augmented catalog table [q, bias, 0…] padded to ``ipad`` rows;
+    pad rows carry bias ``_PAD_BIAS`` so they can never win a tile."""
+    I, r = Q.shape
+    Q_aug = jnp.zeros((ipad, AUG_LANES), dt)
+    Q_aug = Q_aug.at[:I, :r].set(jnp.asarray(Q, dt))
+    bias_lane = jnp.full((ipad,), _PAD_BIAS, dt)
+    bias_lane = bias_lane.at[:I].set(jnp.asarray(bias, dt))
+    return Q_aug.at[:, r].set(bias_lane)
+
+
+def _augment_rows(pu, dt):
+    """The batch's augmented user rows [p, 1, 0…] — built inside the
+    jitted program so the full user table is never copied or widened."""
+    B, r = pu.shape
+    pu_aug = jnp.zeros((B, AUG_LANES), dt)
+    pu_aug = pu_aug.at[:, :r].set(jnp.asarray(pu, dt))
+    return pu_aug.at[:, r].set(1.0)
+
+
+def _check_served(items, scores, num_items: int) -> None:
+    """Loud failure when exclusions exhausted the fused candidate pool —
+    the served slots would otherwise carry seen items (score -inf) or
+    catalog pad rows (id >= num_items)."""
+    if np.isneginf(scores).any() or (items >= num_items).any():
+        raise ValueError(
+            "fused serving: the per-tile candidate pool was exhausted by "
+            "exclusions for at least one user (k too close to the pool "
+            "size) — use a smaller tile (more tiles => more candidates) "
+            "or the exact TopKRecommender"
+        )
 
 
 def _member(seenmat, cand):
@@ -67,14 +101,15 @@ def _member(seenmat, cand):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
-def _serve(P_aug, Q_aug, bu, mu, ub, seenmat, k, tile, interpret=False):
-    """The whole fused dispatch as ONE device program: gather the batch's
-    augmented user rows, run the per-tile top-2 kernel, exclude seen
-    candidates (runner-up fallback), exact top-K over the pool, add the
-    per-user constants back. One round-trip per batch — per-dispatch
+def _serve(pu, Q_aug, bu_b, mu, seenmat, k, tile, interpret=False):
+    """The whole fused dispatch as ONE device program: augment the
+    batch's (B, rank) user rows, run the per-tile top-2 kernel, exclude
+    seen candidates (runner-up fallback), exact top-K over the pool, add
+    the per-user constants back. One round-trip per batch — per-dispatch
     latency is a measured cost on serving paths."""
-    pu = jnp.take(P_aug, ub, axis=0, mode="clip")
-    m1, a1, m2, a2 = tile_topk2(pu, Q_aug, tile=tile, interpret=interpret)
+    pu_aug = _augment_rows(pu, Q_aug.dtype)
+    m1, a1, m2, a2 = tile_topk2(pu_aug, Q_aug, tile=tile,
+                                interpret=interpret)
     tn = m1.shape[1]
     base = (jnp.arange(tn, dtype=jnp.int32) * tile)[None, :]
     g1 = a1 + base
@@ -85,7 +120,6 @@ def _serve(P_aug, Q_aug, bu, mu, ub, seenmat, k, tile, interpret=False):
     ids = jnp.concatenate([g1, g2], axis=1)
     top, sel = jax.lax.top_k(vals, k)
     items = jnp.take_along_axis(ids, sel, axis=1)
-    bu_b = jnp.take(bu, ub, mode="clip")
     return items, top + bu_b[:, None] + mu
 
 
@@ -96,30 +130,23 @@ class FusedTopKRecommender(TopKRecommender):
     >>> items, scores = rec.recommend(users, k=100)
 
     ``table_dtype``: 'f32' or 'bf16' — bf16 halves the augmented catalog
-    stream, WHICH IS the fused path's bottleneck (unlike the stock path,
-    where the score block dominates). In bf16 mode the item biases ride
-    the bias-carry lane in bf16 too (~0.4% relative rounding).
+    stream and footprint. In bf16 mode the item biases ride the
+    bias-carry lane in bf16 too (~0.4% relative rounding).
 
     ``tile``: catalog items scored per kernel step (multiple of 128).
     Larger tiles stream faster but raise the chance that several of a
     user's top items share a tile (only the top-2 per tile survive).
+
+    The user table is never copied or lane-widened: it stays wherever it
+    lives (host numpy or device) and only the batch's (B, rank) rows
+    travel, augmented inside the jitted program.
     """
 
     def __init__(
         self, model, train=None, batch: int = 256, table_dtype: str = "f32",
         tile: int = 1024, interpret: bool | None = None,
     ):
-        if table_dtype not in ("f32", "bf16"):
-            raise ValueError(
-                "FusedTopKRecommender supports table_dtype 'f32' or "
-                f"'bf16', got {table_dtype!r}"
-            )
-        if tile < 128 or tile % 128:
-            raise ValueError(f"tile must be a multiple of 128, got {tile}")
-        if model.rank >= AUG_LANES:
-            raise ValueError(
-                f"fused serving supports rank < {AUG_LANES}, got {model.rank}"
-            )
+        _validate_fused(table_dtype, tile, model.rank)
         # base init wires the seen CSR / batch plumbing; table quantization
         # is ours (augmented layout), so the base stays on the f32 path
         super().__init__(model, train=train, batch=batch, table_dtype="f32")
@@ -129,21 +156,13 @@ class FusedTopKRecommender(TopKRecommender):
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
         dt = jnp.bfloat16 if table_dtype == "bf16" else jnp.float32
-        r = model.rank
-        U, I = model.num_users, model.num_items
+        I = model.num_items
         self._ipad = -(-I // tile) * tile
         self._tn = self._ipad // tile
-        P_aug = jnp.zeros((U, AUG_LANES), dt)
-        P_aug = P_aug.at[:, :r].set(jnp.asarray(model.P, dt))
-        P_aug = P_aug.at[:, r].set(1.0)
-        Q_aug = jnp.zeros((self._ipad, AUG_LANES), dt)
-        Q_aug = Q_aug.at[:I, :r].set(jnp.asarray(model.Q, dt))
-        bias_lane = jnp.full((self._ipad,), _PAD_BIAS, dt)
-        bias_lane = bias_lane.at[:I].set(jnp.asarray(model.bi, dt))
-        Q_aug = Q_aug.at[:, r].set(bias_lane)
-        self._P_aug = P_aug
-        self._Q_aug = Q_aug
-        self._bu = jnp.asarray(model.bu, jnp.float32)
+        self._Q_aug = _augment_catalog(model.Q, model.bi, self._ipad, dt)
+        self._P_src = model.P
+        self._bu_src = model.bu
+        self._host_u = isinstance(model.P, np.ndarray)
         self._mu = jnp.asarray(model.mu, jnp.float32)
 
     def _score_cols(self) -> int:
@@ -163,13 +182,28 @@ class FusedTopKRecommender(TopKRecommender):
         useless without a score block."""
         return None, _seen_matrix(self._seen, users, self.batch, self._ipad)
 
-    def _score_batch(self, ub, rows, seenmat, k):
-        del rows  # fused exclusion uses the per-row sorted matrix
-        return _serve(
-            self._P_aug, self._Q_aug, self._bu, self._mu,
-            jnp.asarray(ub), jnp.asarray(seenmat),
-            k, self.tile, self.interpret,
+    def _user_rows(self, ub):
+        if self._host_u:
+            return self._P_src[ub], self._bu_src[ub]
+        idx = jnp.asarray(ub)
+        return (
+            jnp.take(self._P_src, idx, axis=0, mode="clip"),
+            jnp.take(self._bu_src, idx, mode="clip"),
         )
+
+    def _score_batch(self, ub, rows, seenmat, k):
+        del rows  # fused exclusion uses the per-row seen matrix
+        pu, bu_b = self._user_rows(ub)
+        return _serve(
+            jnp.asarray(pu, jnp.float32), self._Q_aug,
+            jnp.asarray(bu_b, jnp.float32), self._mu,
+            jnp.asarray(seenmat), k, self.tile, self.interpret,
+        )
+
+    def recommend(self, users, k: int = 10):
+        items, scores = super().recommend(users, k=k)
+        _check_served(items, scores, self.model.num_items)
+        return items, scores
 
 
 class FusedShardedTopKRecommender(TopKRecommender):
@@ -192,17 +226,7 @@ class FusedShardedTopKRecommender(TopKRecommender):
         table_dtype: str = "f32", tile: int = 1024,
         interpret: bool | None = None,
     ):
-        if table_dtype not in ("f32", "bf16"):
-            raise ValueError(
-                "FusedShardedTopKRecommender supports table_dtype 'f32' "
-                f"or 'bf16', got {table_dtype!r}"
-            )
-        if tile < 128 or tile % 128:
-            raise ValueError(f"tile must be a multiple of 128, got {tile}")
-        if model.rank >= AUG_LANES:
-            raise ValueError(
-                f"fused serving supports rank < {AUG_LANES}, got {model.rank}"
-            )
+        _validate_fused(table_dtype, tile, model.rank)
         super().__init__(model, train=train, batch=batch, table_dtype="f32")
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -216,25 +240,20 @@ class FusedShardedTopKRecommender(TopKRecommender):
         S = flat.devices.size
         self._S = S
         dt = jnp.bfloat16 if table_dtype == "bf16" else jnp.float32
-        r = model.rank
         I = model.num_items
         # catalog pad: a multiple of S*tile so every shard holds whole tiles
         self._ipad = -(-I // (S * tile)) * (S * tile)
         self._tn_loc = self._ipad // S // tile
         rows = NamedSharding(flat, P("shard"))
-        Q_aug = jnp.zeros((self._ipad, AUG_LANES), dt)
-        Q_aug = Q_aug.at[:I, :r].set(jnp.asarray(model.Q, dt))
-        bias_lane = jnp.full((self._ipad,), _PAD_BIAS, dt)
-        bias_lane = bias_lane.at[:I].set(jnp.asarray(model.bi, dt))
-        Q_aug = Q_aug.at[:, r].set(bias_lane)
-        self._Q_aug = jax.device_put(Q_aug, rows)
+        self._Q_aug = jax.device_put(
+            _augment_catalog(model.Q, model.bi, self._ipad, dt), rows
+        )
         # user tables stay wherever they live (host numpy or device);
         # only the batch's rows travel, augmented inside the program
         self._P_src = model.P
         self._bu_src = model.bu
         self._host_u = isinstance(model.P, np.ndarray)
         self._mu = jnp.asarray(model.mu, jnp.float32)
-        self._rank = r
         self._dt = dt
         self._kern = {}
 
@@ -257,15 +276,13 @@ class FusedShardedTopKRecommender(TopKRecommender):
             return self._kern[k]
         from jax.sharding import PartitionSpec as P
 
-        tile, tn_loc, S = self.tile, self._tn_loc, self._S
+        tile, tn_loc = self.tile, self._tn_loc
         iloc = tn_loc * tile
-        r, dt, interpret = self._rank, self._dt, self.interpret
+        dt, interpret = self._dt, self.interpret
 
         def shard_fn(pu, bu_b, mu, seenmat, Q_loc):
             s = jax.lax.axis_index("shard")
-            pu_aug = jnp.zeros((pu.shape[0], AUG_LANES), dt)
-            pu_aug = pu_aug.at[:, :r].set(pu.astype(dt))
-            pu_aug = pu_aug.at[:, r].set(1.0)
+            pu_aug = _augment_rows(pu, dt)
             m1, a1, m2, a2 = tile_topk2(
                 pu_aug, Q_loc, tile=tile, interpret=interpret
             )
@@ -314,6 +331,27 @@ class FusedShardedTopKRecommender(TopKRecommender):
             self._mu, jnp.asarray(seenmat), self._Q_aug,
         )
 
+    def recommend(self, users, k: int = 10):
+        items, scores = super().recommend(users, k=k)
+        _check_served(items, scores, self.model.num_items)
+        return items, scores
+
+
+def _seen_matrix(csr, users, batch: int, sentinel: int) -> np.ndarray:
+    """Per-row seen-item matrix for a user batch (padded to a pow-2
+    column bucket with an out-of-range sentinel) — the fused exclusion
+    input; order within a row is irrelevant (broadcast membership)."""
+    starts = csr.offsets[users]
+    stops = csr.offsets[np.asarray(users) + 1]
+    counts = (stops - starts).astype(np.int64)
+    cmax = int(counts.max()) if counts.size else 0
+    emax = max(8, 1 << int(np.ceil(np.log2(max(cmax, 1)))))
+    mat = np.full((batch, emax), sentinel, np.int32)
+    for b in np.flatnonzero(counts):
+        c = int(counts[b])
+        mat[b, :c] = csr.items[starts[b]:starts[b] + c]
+    return mat
+
 
 def similar_items_fused(
     model, items, k: int = 10, batch: int = 256, tile: int = 1024,
@@ -322,21 +360,12 @@ def similar_items_fused(
     """Score-block-free related-items serving: top-``k`` item neighbors
     by factor cosine via the SAME per-tile top-2 kernel and single
     dispatch as :class:`FusedTopKRecommender` — the query rows ride the
-    "user" side ([q̂, 1, 0…]), the row-normalized catalog rides the
-    augmented table with a zero bias lane, and the per-row exclusion
-    matrix holds just the query item itself. Approximate like the fused
-    recommender (top-2 per tile survive). Returns
-    (items (n, k) int32, cosines (n, k) f32)."""
-    if table_dtype not in ("f32", "bf16"):
-        raise ValueError(
-            f"table_dtype must be 'f32' or 'bf16', got {table_dtype!r}"
-        )
-    if tile < 128 or tile % 128:
-        raise ValueError(f"tile must be a multiple of 128, got {tile}")
-    if model.rank >= AUG_LANES:
-        raise ValueError(
-            f"fused serving supports rank < {AUG_LANES}, got {model.rank}"
-        )
+    "user" side, the row-normalized catalog rides the augmented table
+    with a zero bias lane, and the per-row exclusion matrix holds just
+    the query item itself. Approximate like the fused recommender (top-2
+    per tile survive). Returns (items (n, k) int32, cosines (n, k) f32).
+    """
+    _validate_fused(table_dtype, tile, model.rank)
     items = np.asarray(items, np.int32).reshape(-1)
     I = model.num_items
     ipad = -(-I // tile) * tile
@@ -351,16 +380,12 @@ def similar_items_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dt = jnp.bfloat16 if table_dtype == "bf16" else jnp.float32
-    r = model.rank
     Q = jnp.asarray(model.Q, jnp.float32)
     Qn = Q / jnp.maximum(jnp.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    # query side: [q̂, 1, 0…]; catalog side: [q̂, bias, 0…] with bias 0
-    # for real rows and -1e30 for pads (they can never win a tile)
-    P_aug = jnp.zeros((I, AUG_LANES), dt).at[:, :r].set(Qn.astype(dt))
-    P_aug = P_aug.at[:, r].set(1.0)
-    Q_aug = jnp.zeros((ipad, AUG_LANES), dt).at[:I, :r].set(Qn.astype(dt))
-    Q_aug = Q_aug.at[I:, r].set(_PAD_BIAS)
-    zeros_bu = jnp.zeros((I,), jnp.float32)
+    # catalog side: [q̂, 0, 0…] with pad bias -1e30; query rows gather
+    # from Qn per batch and augment inside _serve
+    Q_aug = _augment_catalog(Qn, jnp.zeros((I,), jnp.float32), ipad, dt)
+    zeros_bu = jnp.zeros((batch,), jnp.float32)
     mu = jnp.asarray(0.0, jnp.float32)
 
     n = items.shape[0]
@@ -374,10 +399,12 @@ def similar_items_fused(
         # too — their outputs are discarded)
         seen = np.full((batch, 8), ipad, np.int32)
         seen[:, 0] = qb
+        pu = jnp.take(Qn, jnp.asarray(qb), axis=0, mode="clip")
         i_, s_ = _serve(
-            P_aug, Q_aug, zeros_bu, mu, jnp.asarray(qb),
-            jnp.asarray(seen), k, tile, interpret,
+            pu, Q_aug, zeros_bu, mu, jnp.asarray(seen), k, tile, interpret,
         )
-        out_i[start:stop] = np.asarray(i_)[: stop - start]
-        out_s[start:stop] = np.asarray(s_)[: stop - start]
+        m = stop - start
+        _check_served(np.asarray(i_)[:m], np.asarray(s_)[:m], I)
+        out_i[start:stop] = np.asarray(i_)[:m]
+        out_s[start:stop] = np.asarray(s_)[:m]
     return out_i, out_s

@@ -162,6 +162,39 @@ def test_similar_items_fused_matches_exact():
         similar_items_fused(model, [0], k=0)
 
 
+def test_fused_pool_exhaustion_raises():
+    """When exclusions eat the whole candidate pool, serving must FAIL
+    LOUDLY instead of returning seen items (score -inf) or pad rows —
+    catalog I=200, tile=256 (one tile), the user has rated the tile's
+    top-2 items, k=1."""
+    import dataclasses
+
+    from mfx.data.coo import RatingsCOO
+
+    U, I, r = 4, 200, 4
+    model = init_model(0, U, I, rank=r, global_mean=0.0)
+    P = np.zeros((U, r), np.float32)
+    P[0, 0] = 1.0
+    Q = np.zeros((I, r), np.float32)
+    Q[7, 0] = 10.0
+    Q[9, 0] = 9.0
+    Q[50, 0] = 5.0
+    model = dataclasses.replace(
+        model, P=jnp.asarray(P), Q=jnp.asarray(Q),
+        bu=jnp.zeros(U), bi=jnp.zeros(I), mu=jnp.asarray(0.0),
+    )
+    seen = RatingsCOO(
+        np.array([0, 0], np.int32), np.array([7, 9], np.int32),
+        np.array([5.0, 4.0], np.float32), U, I,
+    )
+    rec = FusedTopKRecommender(model, train=seen, batch=4, tile=256)
+    with pytest.raises(ValueError, match="exhausted"):
+        rec.recommend([0], k=1)
+    # an unexcluded user of the same batch-shape serves fine
+    items, scores = rec.recommend([1], k=1)
+    assert items[0, 0] < I and np.isfinite(scores[0, 0])
+
+
 def test_fused_validation():
     model = init_model(0, 8, 64, rank=4, global_mean=3.0)
     with pytest.raises(ValueError, match="table_dtype"):
