@@ -202,6 +202,53 @@ def cmd_tune(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the HTTP serving endpoint (mfx/serve/server.py) over a
+    checkpoint: POST /recommend, POST /similar, GET /healthz."""
+    import functools
+
+    from mfx.serve import (
+        TopKRecommender, similar_items, similar_items_fused,
+    )
+    from mfx.serve.server import RecServer
+    from mfx.train.checkpoint import load_checkpoint
+
+    model, _epoch, _seed = load_checkpoint(args.checkpoint)
+    exclude = raw_ids = None
+    if args.dataset is not None:
+        from mfx.api import load_dataset
+
+        coo = load_dataset(args.dataset, root=args.root)
+        if not args.no_exclude:
+            exclude = coo
+        raw_ids = coo.item_raw_ids
+    if args.fused:
+        from mfx.serve import FusedTopKRecommender
+
+        rec = FusedTopKRecommender(
+            model, train=exclude, batch=args.batch,
+            table_dtype=args.table_dtype, tile=args.tile,
+        )
+        sim = functools.partial(similar_items_fused, model, tile=args.tile)
+    else:
+        rec = TopKRecommender(
+            model, train=exclude, batch=args.batch,
+            table_dtype=args.table_dtype, recall_target=args.recall_target,
+        )
+        sim = functools.partial(similar_items, model)
+    srv = RecServer(
+        rec, similar=lambda q, k: sim(q, k=k), raw_item_ids=raw_ids,
+        host=args.host, port=args.port,
+    )
+    print(json.dumps({
+        "serving": f"http://{args.host}:{srv.port}",
+        "recommender": type(rec).__name__,
+        "num_users": model.num_users, "num_items": model.num_items,
+    }), flush=True)
+    srv.serve_forever()
+    return 0
+
+
 def cmd_export(args) -> int:
     """Checkpoint -> portable .npz model artifact (orbax-free serving)."""
     from mfx.train.checkpoint import load_checkpoint
@@ -326,6 +373,24 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="save the winning model as .npz")
     p.set_defaults(fn=cmd_tune)
+
+    p = sub.add_parser("serve", help="HTTP serving endpoint over a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--dataset", default=None,
+                   help="dataset whose interactions are excluded from "
+                        "results (and whose raw item-id map is reported)")
+    p.add_argument("--root", default=None, help="dataset root directory")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--no-exclude", action="store_true")
+    p.add_argument("--table-dtype", choices=("f32", "bf16", "int8"),
+                   default="f32")
+    p.add_argument("--recall-target", type=float, default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="score-block-free Pallas serving path")
+    p.add_argument("--tile", type=int, default=1024)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")
     p.add_argument("--checkpoint", required=True)

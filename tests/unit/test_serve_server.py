@@ -1,0 +1,101 @@
+"""HTTP serving endpoint (mfx/serve/server.py) — request/response
+contract over a live in-process server."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mfx.data import synthetic
+from mfx.models.mf import init_model
+from mfx.serve import TopKRecommender, similar_items
+from mfx.serve.server import RecServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    U, I = 20, 40
+    coo = synthetic.make_synthetic(U, I, 300, seed=1)
+    model = init_model(0, U, I, rank=4, global_mean=3.5)
+    rec = TopKRecommender(model, train=coo, batch=8)
+    raw = np.arange(I, dtype=np.int64) * 100  # fake raw-id map
+    srv = RecServer(
+        rec, similar=lambda q, k: similar_items(model, q, k=k),
+        raw_item_ids=raw, port=0,  # OS-assigned free port
+    )
+    srv.start()
+    yield srv, coo, model
+    srv.stop()
+
+
+def _post(srv, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    srv, _, model = server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+    ) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["num_users"] == model.num_users
+    assert h["rank"] == model.rank
+
+
+def test_recommend_endpoint(server):
+    srv, coo, model = server
+    out = _post(srv, "/recommend", {"users": [0, 3], "k": 5})
+    assert out["users"] == [0, 3]
+    assert len(out["items"]) == 2 and len(out["items"][0]) == 5
+    # scores descending, seen excluded, raw-id map applied
+    for row, u in zip(out["scores"], (0, 3)):
+        assert all(a >= b - 1e-6 for a, b in zip(row, row[1:]))
+    seen0 = set(coo.item[coo.user == 0].tolist())
+    assert not (set(out["items"][0]) & seen0)
+    assert out["raw_items"][0] == [i * 100 for i in out["items"][0]]
+
+
+def test_similar_endpoint(server):
+    srv, _, _ = server
+    out = _post(srv, "/similar", {"items": [2], "k": 3})
+    assert out["items"] == [2]
+    assert 2 not in out["similar"][0]
+    assert len(out["cosine"][0]) == 3
+
+
+def test_error_paths(server):
+    srv, _, _ = server
+    # bad k
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/recommend", {"users": [0], "k": 0})
+    assert e.value.code == 400
+    # out-of-range user id surfaces as a 400 with the message
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/recommend", {"users": [9999], "k": 2})
+    assert e.value.code == 400
+    assert "out of range" in json.loads(e.value.read())["error"]
+    # missing users list
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/recommend", {"k": 2})
+    assert e.value.code == 400
+    # unknown path
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/nope", {})
+    assert e.value.code == 404
+    # malformed body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/recommend", data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
