@@ -8,9 +8,14 @@ in docs/SERVING.md).
 
 Responses are JSON: ``items``/``scores`` per user (plus ``raw_items``
 when the loader relabeled the catalog), or ``similar``/``cosine`` per
-query item. One request at a time hits the device (a lock serializes
-scoring — a single chip is a serial resource; run one process per chip
-and load-balance above). Start from the CLI:
+query item. Concurrent /recommend requests are MICRO-BATCHED: requests
+arriving within ``batch_window_ms`` (or queued while the device is
+busy) merge into one device dispatch — the scoring program is batched
+over users anyway, so QPS scales with device batch capacity instead of
+per-dispatch latency; a request that poisons a merged dispatch (id
+range, fused pool exhaustion) is isolated by solo retry so the others
+still answer. One process serves one chip; load-balance above. Start
+from the CLI:
 
     python -m mfx.cli serve --checkpoint ckpt/ --port 8080 \
         --dataset ml-25m --fused
@@ -23,6 +28,7 @@ family.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -44,7 +50,7 @@ class RecServer:
     def __init__(
         self, recommender, similar=None, raw_item_ids=None,
         host: str = "127.0.0.1", port: int = 8080, max_k: int = 1000,
-        max_batch: int = 4096,
+        max_batch: int = 4096, batch_window_ms: float = 2.0,
     ):
         self._rec = recommender
         self._sim = similar
@@ -52,6 +58,13 @@ class RecServer:
         self._lock = threading.Lock()
         self._max_k = max_k
         self._max_batch = max_batch
+        # cross-request micro-batching: concurrent /recommend requests
+        # that arrive within the window ride ONE device dispatch (the
+        # scoring matmul is batched over users anyway — QPS then scales
+        # with device batch capacity, not per-dispatch latency)
+        self._window = max(0.0, batch_window_ms) / 1e3
+        self._q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._batcher: threading.Thread | None = None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -120,8 +133,7 @@ class RecServer:
 
     def _recommend(self, req, k: int) -> dict:
         users = self._ids(req, "users")
-        with self._lock:
-            items, scores = self._rec.recommend(users, k=k)
+        items, scores = self._submit(users, k)
         out = {
             "users": [int(u) for u in users],
             "items": items.tolist(),
@@ -133,6 +145,67 @@ class RecServer:
             ]
         return out
 
+    # ---- cross-request micro-batching --------------------------------
+
+    def _submit(self, users: np.ndarray, k: int):
+        """Enqueue a request for the batcher and wait for its slice."""
+        box: dict = {}
+        done = threading.Event()
+        self._q.put((users, k, box, done))
+        done.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["items"], box["scores"]
+
+    def _drain(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            # collect whatever else arrives within the window (or is
+            # already queued because the device was busy)
+            if self._window > 0:
+                deadline = self._window
+                while len(batch) < 64:
+                    try:
+                        nxt = self._q.get(timeout=deadline)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._q.put(None)  # re-arm shutdown
+                        break
+                    batch.append(nxt)
+            # group by k (one compiled program per k)
+            groups: dict[int, list] = {}
+            for item in batch:
+                groups.setdefault(item[1], []).append(item)
+            for k, grp in groups.items():
+                users_cat = np.concatenate([g[0] for g in grp])
+                try:
+                    with self._lock:
+                        items, scores = self._rec.recommend(users_cat, k=k)
+                    off = 0
+                    for users, _, box, done in grp:
+                        n = len(users)
+                        box["items"] = items[off:off + n]
+                        box["scores"] = scores[off:off + n]
+                        off += n
+                        done.set()
+                except ValueError:
+                    # one request's data can poison a merged dispatch
+                    # (e.g. fused pool exhaustion) — isolate by retrying
+                    # each request alone so innocents still get results
+                    for users, _, box, done in grp:
+                        try:
+                            with self._lock:
+                                box["items"], box["scores"] = (
+                                    self._rec.recommend(users, k=k)
+                                )
+                        except ValueError as e:
+                            box["error"] = e
+                        done.set()
+
     def _similar(self, req, k: int) -> dict:
         queries = self._ids(req, "items")
         with self._lock:
@@ -143,13 +216,20 @@ class RecServer:
             "cosine": [[float(s) for s in row] for row in cos],
         }
 
+    def _start_batcher(self) -> None:
+        if self._batcher is None:
+            self._batcher = threading.Thread(target=self._drain, daemon=True)
+            self._batcher.start()
+
     def start(self) -> None:
+        self._start_batcher()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
         self._thread.start()
 
     def serve_forever(self) -> None:
+        self._start_batcher()
         self._httpd.serve_forever()
 
     def stop(self) -> None:
@@ -157,3 +237,7 @@ class RecServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._batcher is not None:
+            self._q.put(None)
+            self._batcher.join(timeout=5)
+            self._batcher = None

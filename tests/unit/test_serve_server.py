@@ -72,6 +72,77 @@ def test_similar_endpoint(server):
     assert len(out["cosine"][0]) == 3
 
 
+def test_concurrent_requests_micro_batch(server):
+    """Concurrent /recommend requests merge into fewer device dispatches
+    than requests, and each gets its own correct slice."""
+    import threading
+
+    srv, _, _ = server
+    calls = []
+    orig = srv._rec.recommend
+
+    def counting(users, k=10):
+        calls.append(len(users))
+        return orig(users, k=k)
+
+    srv._rec.recommend = counting
+    srv._window = 0.2  # widen the window so the test is deterministic
+    try:
+        results = {}
+
+        def go(u):
+            results[u] = _post(srv, "/recommend", {"users": [u], "k": 4})
+
+        threads = [threading.Thread(target=go, args=(u,)) for u in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # every request answered with its own user's list
+        solo = {u: _post(srv, "/recommend", {"users": [u], "k": 4})
+                for u in range(8)}
+        for u in range(8):
+            assert results[u]["users"] == [u]
+            assert results[u]["items"][0] == solo[u]["items"][0]
+        # batched: strictly fewer dispatches than requests (8 concurrent
+        # + 8 solo probes; the concurrent ones must have merged)
+        assert len(calls) < 8 + 8
+        assert max(calls) > 1
+    finally:
+        srv._rec.recommend = orig
+        srv._window = 2e-3
+
+
+def test_batched_error_isolated(server):
+    """An out-of-range request merged with a good one must 400 alone."""
+    import threading
+
+    srv, _, _ = server
+    srv._window = 0.2
+    try:
+        out = {}
+
+        def good():
+            out["good"] = _post(srv, "/recommend", {"users": [1], "k": 3})
+
+        def bad():
+            try:
+                _post(srv, "/recommend", {"users": [9999], "k": 3})
+                out["bad"] = "no-error"
+            except urllib.error.HTTPError as e:
+                out["bad"] = e.code
+
+        ts = [threading.Thread(target=good), threading.Thread(target=bad)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert out["bad"] == 400
+        assert out["good"]["users"] == [1]
+    finally:
+        srv._window = 2e-3
+
+
 def test_error_paths(server):
     srv, _, _ = server
     # bad k
