@@ -16,6 +16,7 @@ from mfx.data.coo import RatingsCOO
 from mfx.data.loaders import load_dataset, dataset_names
 from mfx.data.split import (
     chronological_split, leave_one_out_split, train_test_split,
+    user_chronological_split,
 )
 from mfx.eval.metrics import rmse, rmse_mae, sampled_auc
 from mfx.eval.ranking import (
@@ -37,7 +38,8 @@ __all__ = [
     "IALSConfig", "BPRConfig",
     "ParallelConfig", "preset", "apply_overrides", "PRESETS",
     "RatingsCOO", "load_dataset", "dataset_names", "train_test_split",
-    "chronological_split", "leave_one_out_split",
+    "chronological_split", "user_chronological_split",
+    "leave_one_out_split",
     "rmse", "rmse_mae", "sampled_auc", "hr_ndcg_at_k", "full_hr_ndcg_at_k",
     "user_topk_metrics", "evaluate",
     "MFModel", "init_model", "SVDppModel", "init_svdpp",

@@ -53,7 +53,7 @@ def cmd_train(args) -> int:
 def cmd_eval(args) -> int:
     from mfx.api import (
         chronological_split, evaluate, leave_one_out_split, load_dataset,
-        train_test_split,
+        train_test_split, user_chronological_split,
     )
     from mfx.train.checkpoint import load_checkpoint
 
@@ -65,6 +65,8 @@ def cmd_eval(args) -> int:
         tr, test = leave_one_out_split(coo, by="time")
     elif args.split == "time":
         tr, test = chronological_split(coo, test_frac=args.test_frac)
+    elif args.split == "user-time":
+        tr, test = user_chronological_split(coo, test_frac=args.test_frac)
     else:
         tr, test = train_test_split(coo, test_frac=args.test_frac, seed=seed)
     print(json.dumps(
@@ -297,12 +299,16 @@ def main(argv=None) -> int:
     p.add_argument("--root", default=None, help="dataset root directory")
     p.add_argument("--test-frac", type=float, default=0.1)
     p.add_argument("--implicit", action="store_true")
-    p.add_argument("--split", choices=("uniform", "loo", "time", "loo-time"),
+    p.add_argument("--split",
+                   choices=("uniform", "loo", "time", "user-time",
+                            "loo-time"),
                    default="uniform",
                    help="held-out protocol: uniform fraction, "
                         "leave-one-out (the ranking-eval standard), "
-                        "chronological cut (train past / test future), or "
-                        "per-user latest-item leave-one-out (needs a "
+                        "global chronological cut (train past / test "
+                        "future), per-user timeline cut (each user's "
+                        "last fraction), or per-user latest-item "
+                        "leave-one-out (the time protocols need a "
                         "dataset with timestamps)")
     p.add_argument("--ranking-k", type=int, default=None,
                    help="also report HR/NDCG/MRR at this K")

@@ -35,14 +35,17 @@ class DataConfig:
     test_frac: float = 0.1
     seed: int = 0
     # held-out protocol: 'random' — seeded uniform split; 'time' —
-    # chronological cut (train on the past, test on the future; needs a
-    # dataset whose source files carry timestamps)
+    # global chronological cut (train on the past, test on the future);
+    # 'user-time' — per-user timeline cut (each user's last fraction of
+    # events held out). The time protocols need a dataset whose source
+    # files carry timestamps.
     split: str = "random"
 
     def __post_init__(self):
-        if self.split not in ("random", "time"):
+        if self.split not in ("random", "time", "user-time"):
             raise ValueError(
-                f"data.split must be 'random' or 'time', got {self.split!r}"
+                "data.split must be 'random', 'time' or 'user-time', "
+                f"got {self.split!r}"
             )
 
 

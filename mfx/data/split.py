@@ -17,6 +17,7 @@ from mfx.data.coo import RatingsCOO
 __all__ = [
     "train_test_split",
     "chronological_split",
+    "user_chronological_split",
     "leave_one_out_split",
     "epoch_permutation",
 ]
@@ -60,6 +61,42 @@ def chronological_split(
     order = np.argsort(coo.timestamp, kind="stable")
     train_idx = np.sort(order[: n - n_test])
     test_idx = np.sort(order[n - n_test:])
+    return coo.select(train_idx), coo.select(test_idx)
+
+
+def user_chronological_split(
+    coo: RatingsCOO, test_frac: float = 0.1
+) -> tuple[RatingsCOO, RatingsCOO]:
+    """Per-user timeline cut: each user's LAST ``floor(test_frac * n_u)``
+    events are held out — the user-level leakage-free protocol (a global
+    cut under-represents early-adopter users in test; this one scores
+    every active user on their own future). Users whose holdout count
+    rounds to zero (fewer than ``1/test_frac`` events) stay entirely in
+    train. Deterministic: within a user, events order by (timestamp,
+    original row position). Requires ``coo.timestamp``.
+    Returns (train, test)."""
+    if coo.timestamp is None:
+        raise ValueError(
+            "user_chronological_split needs coo.timestamp; this dataset "
+            "was loaded without a time column"
+        )
+    if not 0.0 <= test_frac < 1.0:
+        raise ValueError(f"test_frac must be in [0, 1), got {test_frac}")
+    n = coo.n_ratings
+    # stable sort by (user, timestamp): per-user segments in time order,
+    # ties by original position
+    order = np.lexsort((np.arange(n), coo.timestamp, coo.user))
+    u_sorted = coo.user[order]
+    starts = np.searchsorted(u_sorted, np.arange(coo.num_users + 1))
+    counts = starts[1:] - starts[:-1]
+    n_test_u = (counts * test_frac).astype(np.int64)  # floor
+    # a position p (within the sorted order) is TEST iff it lies in the
+    # last n_test_u[u] slots of its user's segment
+    pos = np.arange(n, dtype=np.int64)
+    seg_end = np.repeat(starts[1:], counts)
+    is_test = pos >= seg_end - np.repeat(n_test_u, counts)
+    train_idx = np.sort(order[~is_test])
+    test_idx = np.sort(order[is_test])
     return coo.select(train_idx), coo.select(test_idx)
 
 

@@ -331,6 +331,12 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
     coo = load_dataset(cfg.data.dataset, root=cfg.data.root)
     if cfg.data.split == "time":
         train_coo, test_coo = chronological_split(coo, cfg.data.test_frac)
+    elif cfg.data.split == "user-time":
+        from mfx.data.split import user_chronological_split
+
+        train_coo, test_coo = user_chronological_split(
+            coo, cfg.data.test_frac
+        )
     else:
         train_coo, test_coo = train_test_split(
             coo, cfg.data.test_frac, seed=seed

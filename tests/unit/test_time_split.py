@@ -142,6 +142,78 @@ def test_chronological_split_requires_timestamps():
         chronological_split(coo, test_frac=0.5)
 
 
+# ---- per-user timeline split -------------------------------------------
+
+
+def test_user_chronological_split_holds_out_each_users_tail():
+    from mfx.data.split import user_chronological_split
+
+    # user 0: 5 events, frac 0.4 -> last 2 held out
+    # user 1: 2 events, frac 0.4 -> floor(0.8) = 0 -> all in train
+    # user 2: 3 events, frac 0.4 -> last 1 held out
+    users = [0, 0, 0, 0, 0, 1, 1, 2, 2, 2]
+    items = [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    ts = [50, 10, 40, 30, 20, 9, 5, 7, 3, 1]
+    coo = _coo(users, items, np.arange(10) + 1.0, ts=ts)
+    train, test = user_chronological_split(coo, test_frac=0.4)
+    assert test.n_ratings == 3
+    # user 0's two latest events are t=40,50; user 2's latest is t=7
+    held = sorted(zip(test.user.tolist(), test.timestamp.tolist()))
+    assert held == [(0, 40), (0, 50), (2, 7)]
+    # per-user: every train event precedes every test event
+    for u in (0, 2):
+        assert max(train.timestamp[train.user == u]) <= min(
+            test.timestamp[test.user == u]
+        )
+    assert (train.user == 1).sum() == 2  # small user untouched
+    # partition: nothing lost or duplicated
+    assert train.n_ratings + test.n_ratings == coo.n_ratings
+
+
+def test_user_chronological_split_tie_break_deterministic():
+    from mfx.data.split import user_chronological_split
+
+    # all-equal timestamps: the cut falls on original row order
+    coo = _coo([0, 0, 0, 0], [0, 1, 2, 3], [1, 2, 3, 4], ts=[5, 5, 5, 5])
+    train, test = user_chronological_split(coo, test_frac=0.5)
+    assert train.item.tolist() == [0, 1]
+    assert test.item.tolist() == [2, 3]
+
+
+def test_user_chronological_split_requires_timestamps():
+    from mfx.data.split import user_chronological_split
+
+    coo = RatingsCOO(np.zeros(2, np.int32), np.arange(2, dtype=np.int32),
+                     np.ones(2, np.float32), 1, 2)
+    with pytest.raises(ValueError, match="timestamp"):
+        user_chronological_split(coo, test_frac=0.5)
+
+
+def test_driver_user_time_split(tmp_path):
+    from mfx.config import TrainConfig, DataConfig, ModelConfig, SGDConfig
+    from mfx.train.driver import train
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    coo = RatingsCOO(
+        rng.integers(0, 48, n).astype(np.int32),
+        rng.integers(0, 24, n).astype(np.int32),
+        rng.uniform(1, 5, n).astype(np.float32),
+        48, 24, timestamp=rng.permutation(n).astype(np.int64),
+    )
+    root = tmp_path / "data"
+    root.mkdir()
+    coo.save_npz(root / f"synthetic-small.v{loaders.GENERATOR_VERSION}.npz")
+    cfg = TrainConfig(
+        data=DataConfig(dataset="synthetic-small", root=str(root),
+                        test_frac=0.25, split="user-time"),
+        model=ModelConfig(rank=4),
+        sgd=SGDConfig(lr=0.05, reg=0.02, epochs=1, batch_size=256),
+    )
+    result = train(cfg, resume=False)
+    assert np.isfinite(result.test_rmse)
+
+
 # ---- time-aware leave-one-out ----------------------------------------------
 
 
