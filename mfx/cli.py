@@ -227,6 +227,11 @@ def cmd_serve(args) -> int:
     if args.fused:
         from mfx.serve import FusedTopKRecommender
 
+        if args.table_dtype == "int8" or args.recall_target is not None:
+            raise SystemExit(
+                "--fused supports table-dtype f32/bf16 and has its own "
+                "selection scheme (drop --recall-target)"
+            )
         rec = FusedTopKRecommender(
             model, train=exclude, batch=args.batch,
             table_dtype=args.table_dtype, tile=args.tile,

@@ -89,7 +89,9 @@ def user_chronological_split(
     u_sorted = coo.user[order]
     starts = np.searchsorted(u_sorted, np.arange(coo.num_users + 1))
     counts = starts[1:] - starts[:-1]
-    n_test_u = (counts * test_frac).astype(np.int64)  # floor
+    # floor(test_frac * n_u), with an epsilon so exact products are not
+    # knocked below their floor by float error (0.35 * 180 = 62.9999...)
+    n_test_u = np.floor(counts * test_frac + 1e-9).astype(np.int64)
     # a position p (within the sorted order) is TEST iff it lies in the
     # last n_test_u[u] slots of its user's segment
     pos = np.arange(n, dtype=np.int64)

@@ -123,7 +123,37 @@ def _serve(pu, Q_aug, bu_b, mu, seenmat, k, tile, interpret=False):
     return items, top + bu_b[:, None] + mu
 
 
-class FusedTopKRecommender(TopKRecommender):
+class _FusedServingBase(TopKRecommender):
+    """Members shared by the single-device and sharded fused
+    recommenders: batch-row user gather (the user table is never copied
+    or lane-widened), the per-row seen matrix, the disabled score-block
+    auto-cap, and the pool-exhaustion check on every served batch."""
+
+    def _score_cols(self) -> int:
+        return 1  # no (batch, catalog) score block — no auto batch cap
+
+    def _exclusions(self, users):
+        """Per-row seen-item matrix — the fused finalize tests candidate
+        membership against it; the stock (rows, items) scatter pairs are
+        useless without a score block."""
+        return None, _seen_matrix(self._seen, users, self.batch, self._ipad)
+
+    def _user_rows(self, ub):
+        if self._host_u:
+            return self._P_src[ub], self._bu_src[ub]
+        idx = jnp.asarray(ub)
+        return (
+            jnp.take(self._P_src, idx, axis=0, mode="clip"),
+            jnp.take(self._bu_src, idx, mode="clip"),
+        )
+
+    def recommend(self, users, k: int = 10):
+        items, scores = super().recommend(users, k=k)
+        _check_served(items, scores, self.model.num_items)
+        return items, scores
+
+
+class FusedTopKRecommender(_FusedServingBase):
     """Score-block-free top-K serving (see module docstring).
 
     >>> rec = FusedTopKRecommender(model, train=train_coo)
@@ -165,9 +195,6 @@ class FusedTopKRecommender(TopKRecommender):
         self._host_u = isinstance(model.P, np.ndarray)
         self._mu = jnp.asarray(model.mu, jnp.float32)
 
-    def _score_cols(self) -> int:
-        return 1  # no (batch, catalog) score block — no auto batch cap
-
     def _validate(self, users, k):
         super()._validate(users, k)
         if k > 2 * self._tn:
@@ -175,21 +202,6 @@ class FusedTopKRecommender(TopKRecommender):
                 f"k={k} exceeds the fused candidate pool 2*n_tiles="
                 f"{2 * self._tn}; lower tile or use TopKRecommender"
             )
-
-    def _exclusions(self, users):
-        """Per-row seen-item matrix — the fused finalize tests candidate
-        membership against it; the stock (rows, items) scatter pairs are
-        useless without a score block."""
-        return None, _seen_matrix(self._seen, users, self.batch, self._ipad)
-
-    def _user_rows(self, ub):
-        if self._host_u:
-            return self._P_src[ub], self._bu_src[ub]
-        idx = jnp.asarray(ub)
-        return (
-            jnp.take(self._P_src, idx, axis=0, mode="clip"),
-            jnp.take(self._bu_src, idx, mode="clip"),
-        )
 
     def _score_batch(self, ub, rows, seenmat, k):
         del rows  # fused exclusion uses the per-row seen matrix
@@ -200,13 +212,8 @@ class FusedTopKRecommender(TopKRecommender):
             jnp.asarray(seenmat), k, self.tile, self.interpret,
         )
 
-    def recommend(self, users, k: int = 10):
-        items, scores = super().recommend(users, k=k)
-        _check_served(items, scores, self.model.num_items)
-        return items, scores
 
-
-class FusedShardedTopKRecommender(TopKRecommender):
+class FusedShardedTopKRecommender(_FusedServingBase):
     """Score-block-free serving with the catalog row-sharded over a mesh
     — the configs[4]-scale composition of :class:`FusedTopKRecommender`
     and :class:`mfx.serve.ShardedTopKRecommender`.
@@ -257,9 +264,6 @@ class FusedShardedTopKRecommender(TopKRecommender):
         self._dt = dt
         self._kern = {}
 
-    def _score_cols(self) -> int:
-        return 1  # no score block — no auto batch cap
-
     def _validate(self, users, k):
         super()._validate(users, k)
         if k > 2 * self._tn_loc:
@@ -267,9 +271,6 @@ class FusedShardedTopKRecommender(TopKRecommender):
                 f"k={k} exceeds the per-shard fused pool 2*tiles/shard="
                 f"{2 * self._tn_loc}; lower tile or shard count"
             )
-
-    def _exclusions(self, users):
-        return None, _seen_matrix(self._seen, users, self.batch, self._ipad)
 
     def _kernel(self, k: int):
         if k in self._kern:
@@ -314,15 +315,6 @@ class FusedShardedTopKRecommender(TopKRecommender):
         self._kern[k] = jitted
         return jitted
 
-    def _user_rows(self, ub):
-        if self._host_u:
-            return self._P_src[ub], self._bu_src[ub]
-        idx = jnp.asarray(ub)
-        return (
-            jnp.take(self._P_src, idx, axis=0, mode="clip"),
-            jnp.take(self._bu_src, idx, mode="clip"),
-        )
-
     def _score_batch(self, ub, rows, seenmat, k):
         del rows
         pu, bu_b = self._user_rows(ub)
@@ -330,11 +322,6 @@ class FusedShardedTopKRecommender(TopKRecommender):
             jnp.asarray(pu, jnp.float32), jnp.asarray(bu_b, jnp.float32),
             self._mu, jnp.asarray(seenmat), self._Q_aug,
         )
-
-    def recommend(self, users, k: int = 10):
-        items, scores = super().recommend(users, k=k)
-        _check_served(items, scores, self.model.num_items)
-        return items, scores
 
 
 def _seen_matrix(csr, users, batch: int, sentinel: int) -> np.ndarray:
@@ -404,7 +391,9 @@ def similar_items_fused(
             pu, Q_aug, zeros_bu, mu, jnp.asarray(seen), k, tile, interpret,
         )
         m = stop - start
-        _check_served(np.asarray(i_)[:m], np.asarray(s_)[:m], I)
-        out_i[start:stop] = np.asarray(i_)[:m]
-        out_s[start:stop] = np.asarray(s_)[:m]
+        i_np = np.asarray(i_)[:m]
+        s_np = np.asarray(s_)[:m]
+        _check_served(i_np, s_np, I)
+        out_i[start:stop] = i_np
+        out_s[start:stop] = s_np
     return out_i, out_s

@@ -65,6 +65,7 @@ class RecServer:
         self._window = max(0.0, batch_window_ms) / 1e3
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._batcher: threading.Thread | None = None
+        self._closed = False
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -92,12 +93,16 @@ class RecServer:
                 })
 
             def do_POST(self):
+                # every malformed input must come back as HTTP 400, never
+                # a connection reset from an escaped exception
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                except (ValueError, json.JSONDecodeError):
-                    return self._reply(400, {"error": "bad JSON body"})
-                k = int(req.get("k", 10))
+                    if not isinstance(req, dict):
+                        raise ValueError("body must be a JSON object")
+                    k = int(req.get("k", 10))
+                except (ValueError, TypeError, json.JSONDecodeError) as e:
+                    return self._reply(400, {"error": f"bad request: {e}"})
                 if not 1 <= k <= outer._max_k:
                     return self._reply(
                         400, {"error": f"k must be in [1, {outer._max_k}]"}
@@ -111,8 +116,13 @@ class RecServer:
                                 404, {"error": "similar endpoint disabled"}
                             )
                         return self._reply(200, outer._similar(req, k))
-                except ValueError as e:  # id range / pool exhaustion etc.
+                except (ValueError, TypeError) as e:
+                    # id range / pool exhaustion / malformed lists
                     return self._reply(400, {"error": str(e)})
+                except Exception as e:  # device failure etc. — still reply
+                    return self._reply(
+                        500, {"error": f"{type(e).__name__}: {e}"}
+                    )
                 return self._reply(404, {"error": "unknown path"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
@@ -131,13 +141,22 @@ class RecServer:
             )
         return np.asarray(ids, np.int32)
 
+    @staticmethod
+    def _json_scores(scores):
+        # -inf (a seen item overflowing k on the stock path) is not valid
+        # JSON (RFC 8259 has no Infinity) — serialize as null
+        return [
+            [float(s) if np.isfinite(s) else None for s in row]
+            for row in scores
+        ]
+
     def _recommend(self, req, k: int) -> dict:
         users = self._ids(req, "users")
         items, scores = self._submit(users, k)
         out = {
             "users": [int(u) for u in users],
             "items": items.tolist(),
-            "scores": [[float(s) for s in row] for row in scores],
+            "scores": self._json_scores(scores),
         }
         if self._raw is not None:
             out["raw_items"] = [
@@ -149,6 +168,8 @@ class RecServer:
 
     def _submit(self, users: np.ndarray, k: int):
         """Enqueue a request for the batcher and wait for its slice."""
+        if self._closed:
+            raise RuntimeError("server is shutting down")
         box: dict = {}
         done = threading.Event()
         self._q.put((users, k, box, done))
@@ -158,18 +179,25 @@ class RecServer:
         return box["items"], box["scores"]
 
     def _drain(self) -> None:
+        import time
+
         while True:
             first = self._q.get()
             if first is None:
                 return
             batch = [first]
             # collect whatever else arrives within the window (or is
-            # already queued because the device was busy)
+            # already queued because the device was busy). The window is
+            # a TOTAL deadline from the first request, not an idle-gap
+            # timer — steady sub-window arrivals must not starve it.
             if self._window > 0:
-                deadline = self._window
+                deadline = time.monotonic() + self._window
                 while len(batch) < 64:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
                     try:
-                        nxt = self._q.get(timeout=deadline)
+                        nxt = self._q.get(timeout=left)
                     except queue.Empty:
                         break
                     if nxt is None:
@@ -192,17 +220,20 @@ class RecServer:
                         box["scores"] = scores[off:off + n]
                         off += n
                         done.set()
-                except ValueError:
+                except Exception:
                     # one request's data can poison a merged dispatch
                     # (e.g. fused pool exhaustion) — isolate by retrying
-                    # each request alone so innocents still get results
+                    # each request alone so innocents still get results.
+                    # EVERY box gets an answer or an error and EVERY done
+                    # fires: an escaped exception here would kill the
+                    # batcher thread and hang all future requests.
                     for users, _, box, done in grp:
                         try:
                             with self._lock:
                                 box["items"], box["scores"] = (
                                     self._rec.recommend(users, k=k)
                                 )
-                        except ValueError as e:
+                        except Exception as e:
                             box["error"] = e
                         done.set()
 
@@ -213,7 +244,7 @@ class RecServer:
         return {
             "items": [int(q) for q in queries],
             "similar": nbrs.tolist(),
-            "cosine": [[float(s) for s in row] for row in cos],
+            "cosine": self._json_scores(cos),
         }
 
     def _start_batcher(self) -> None:
@@ -233,6 +264,7 @@ class RecServer:
         self._httpd.serve_forever()
 
     def stop(self) -> None:
+        self._closed = True  # new submissions fail fast from here on
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
@@ -241,3 +273,14 @@ class RecServer:
             self._q.put(None)
             self._batcher.join(timeout=5)
             self._batcher = None
+        # a handler that slipped its request in after the sentinel must
+        # not block forever on done.wait()
+        while not self._q.empty():
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _, _, box, done = item
+                box["error"] = RuntimeError("server is shutting down")
+                done.set()

@@ -141,24 +141,33 @@ def train_epochs_timesvdpp(
     start_epoch: int = 0,
     feats: TimeFeatures | None = None,
     chunk: int = 1 << 22,
+    init_state: TimeSVDppState | None = None,
+    capture: dict | None = None,
 ) -> Iterator[tuple[int, TimeSVDModel, float]]:
     """Generator yielding ``(epoch, timesvd_view, train_rmse)``.
 
     The yielded model is the post-epoch TimeSVDModel view over
     ``X = P + S`` (S refreshed after the Y step) — the driver's
     time-aware eval and ``as_mf`` serving consume it exactly like the
-    plain timesvd solver's output. Resuming needs the full state (Y):
-    use :class:`TimeSVDppState`, not the MF-view checkpoint."""
+    plain timesvd solver's output.
+
+    Warm starts: pass ``capture={}`` and the trainer updates
+    ``capture['state']`` with the full post-epoch :class:`TimeSVDppState`
+    each epoch (persist via ``save_npz``); restart with
+    ``init_state=TimeSVDppState.load_npz(...)`` and the matching
+    ``start_epoch`` to continue the exact trajectory (tested bitwise).
+    The MF-view checkpoint alone cannot resume (Y/bt/alpha are not in
+    it)."""
     if not use_bias:
         raise ValueError(
             "solver='timesvdpp' is the temporal+implicit extension of "
             "BIASED MF; set model.use_bias=true"
         )
-    if start_epoch != 0:
+    if start_epoch != 0 and init_state is None:
         raise ValueError(
             "timesvdpp cannot resume from a view checkpoint (Y/bt/alpha "
-            "are not all in it); persist TimeSVDppState.save_npz for "
-            "warm starts, or rerun from epoch 0"
+            "are not all in it); restart from epoch 0, or pass "
+            "init_state=TimeSVDppState (persisted via capture + save_npz)"
         )
     if feats is None:
         feats = fit_time_features(train, n_bins=cfg.n_bins, beta=cfg.beta)
@@ -172,11 +181,26 @@ def train_epochs_timesvdpp(
     )
 
     f32 = model.P.dtype
-    Y = jnp.zeros_like(model.Q)
-    P, Q = model.P, model.Q
-    bu, bi, mu = model.bu, model.bi, model.mu
-    bt = jnp.zeros((model.num_items, feats.n_bins), f32)
-    alpha = jnp.zeros((model.num_users,), f32)
+    if init_state is not None:
+        if init_state.bt.shape[1] != feats.n_bins:
+            raise ValueError(
+                f"init_state has {init_state.bt.shape[1]} time bins; this "
+                f"run's featurizer has {feats.n_bins} (timesvdpp.n_bins)"
+            )
+        P = jnp.asarray(init_state.P, f32)
+        Q = jnp.asarray(init_state.Q, f32)
+        Y = jnp.asarray(init_state.Y, f32)
+        bu = jnp.asarray(init_state.bu, f32)
+        bi = jnp.asarray(init_state.bi, f32)
+        mu = jnp.asarray(init_state.mu, f32)
+        bt = jnp.asarray(init_state.bt, f32)
+        alpha = jnp.asarray(init_state.alpha, f32)
+    else:
+        Y = jnp.zeros_like(model.Q)
+        P, Q = model.P, model.Q
+        bu, bi, mu = model.bu, model.bi, model.mu
+        bt = jnp.zeros((model.num_items, feats.n_bins), f32)
+        alpha = jnp.zeros((model.num_users,), f32)
 
     lr_t0 = cfg.lr if cfg.lr_t is None else cfg.lr_t
     lr_a0 = cfg.lr if cfg.lr_alpha is None else cfg.lr_alpha
@@ -187,7 +211,7 @@ def train_epochs_timesvdpp(
     unique_rows = cfg.partitioner == "conflict_free"
 
     S = implicit_sums(Y, user_dev, item_dev, nu)  # zeros at init
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         decay = cfg.lr_decay**epoch
         plan = plan_epoch(train, cfg, seed, epoch, extras=extras)
         ts = TimeSVDModel(P=P + S, Q=Q, bu=bu, bi=bi, mu=mu, bt=bt,
@@ -213,6 +237,13 @@ def train_epochs_timesvdpp(
         # the eval-consistent view of this epoch's model
         S = implicit_sums(Y, user_dev, item_dev, nu)
         train_rmse = float(jnp.sqrt(sse / max(1, plan.n_real)))
+        if capture is not None:
+            capture["state"] = TimeSVDppState(
+                P=np.asarray(P), Q=np.asarray(Q), Y=np.asarray(Y),
+                bu=np.asarray(bu), bi=np.asarray(bi), mu=np.asarray(mu),
+                bt=np.asarray(bt), alpha=np.asarray(alpha),
+                nu=np.asarray(nu),
+            )
         yield epoch, TimeSVDModel(
             P=P + S, Q=Q, bu=bu, bi=bi, mu=mu, bt=bt, alpha=alpha
         ), train_rmse

@@ -204,6 +204,48 @@ def test_quality_improves_and_view_consistent():
     )
 
 
+def test_capture_and_warm_start_continue_exact_trajectory(tmp_path):
+    """capture -> save_npz -> load_npz -> init_state resumes the EXACT
+    run: 2 epochs + 2 resumed epochs == 4 straight epochs, bitwise."""
+    coo = _coo(n=2500, nu=50, ni=25, seed=6)
+    base = init_model(0, coo.num_users, coo.num_items, rank=4,
+                      global_mean=coo.global_mean)
+    kw = dict(lr=0.05, reg=0.02, lr_decay=0.9, batch_size=512, n_bins=5,
+              partitioner="conflict_free")
+    # straight 4-epoch run
+    ref = None
+    for _, m, _ in train_epochs_timesvdpp(
+        base, coo, TimeSVDPPConfig(epochs=4, **kw), use_bias=True, seed=3
+    ):
+        ref = m
+    # 2 epochs with capture, persist, resume for 2 more
+    cap: dict = {}
+    for _, m, _ in train_epochs_timesvdpp(
+        base, coo, TimeSVDPPConfig(epochs=2, **kw), use_bias=True, seed=3,
+        capture=cap,
+    ):
+        pass
+    cap["state"].save_npz(tmp_path / "st.npz")
+    st = TimeSVDppState.load_npz(tmp_path / "st.npz")
+    got = None
+    for _, m, _ in train_epochs_timesvdpp(
+        base, coo, TimeSVDPPConfig(epochs=4, **kw), use_bias=True, seed=3,
+        start_epoch=2, init_state=st,
+    ):
+        got = m
+    for f in ("P", "Q", "bu", "bi", "bt", "alpha"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f))
+        )
+    # bin-count mismatch is rejected
+    with pytest.raises(ValueError, match="bins"):
+        next(iter(train_epochs_timesvdpp(
+            base, coo, TimeSVDPPConfig(epochs=4, n_bins=7, **{
+                k: v for k, v in kw.items() if k != "n_bins"}),
+            use_bias=True, seed=3, start_epoch=2, init_state=st,
+        )))
+
+
 def test_state_npz_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     fields = dict(
