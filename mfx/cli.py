@@ -182,14 +182,23 @@ def cmd_tune(args) -> int:
     """Batched hyperparameter sweep: every (lr, reg) grid point trains
     simultaneously in ONE vmapped program (mfx.tune). Prints one JSON
     line per point plus the winner."""
-    from mfx.api import load_dataset, train_test_split
+    from mfx.api import (
+        chronological_split, load_dataset, train_test_split,
+        user_chronological_split,
+    )
     from mfx.tune import sweep_sgd
 
     cfg = _build_config(args)
     coo = load_dataset(cfg.data.dataset, root=cfg.data.root)
-    train, test = train_test_split(
-        coo, test_frac=cfg.data.test_frac, seed=cfg.data.seed
-    )
+    # honor the configured held-out protocol (same dispatch as train())
+    if cfg.data.split == "time":
+        train, test = chronological_split(coo, cfg.data.test_frac)
+    elif cfg.data.split == "user-time":
+        train, test = user_chronological_split(coo, cfg.data.test_frac)
+    else:
+        train, test = train_test_split(
+            coo, test_frac=cfg.data.test_frac, seed=cfg.data.seed
+        )
     lrs = [float(x) for x in args.lrs.split(",")]
     regs = [float(x) for x in args.regs.split(",")]
     clip = (0.5, 5.0) if cfg.clip_predictions else None
