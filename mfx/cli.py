@@ -252,8 +252,12 @@ def cmd_serve(args) -> int:
             table_dtype=args.table_dtype, recall_target=args.recall_target,
         )
         sim = functools.partial(similar_items, model)
+    from mfx.serve import recommend_cold
+
+    cold = functools.partial(recommend_cold, model, reg=args.foldin_reg)
     srv = RecServer(
-        rec, similar=lambda q, k: sim(q, k=k), raw_item_ids=raw_ids,
+        rec, similar=lambda q, k: sim(q, k=k),
+        cold=lambda hs, k: cold(hs, k=k), raw_item_ids=raw_ids,
         host=args.host, port=args.port,
     )
     print(json.dumps({
@@ -410,6 +414,9 @@ def main(argv=None) -> int:
     p.add_argument("--fused", action="store_true",
                    help="score-block-free Pallas serving path")
     p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--foldin-reg", type=float, default=0.05,
+                   help="L2 of the cold-start fold-in solve "
+                        "(/recommend_cold)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")

@@ -7,7 +7,9 @@ from mfx.serve.sharded import ShardedTopKRecommender, similar_items_sharded
 from mfx.serve.fused import (
     FusedShardedTopKRecommender, FusedTopKRecommender, similar_items_fused,
 )
-from mfx.serve.foldin import fold_in, fold_in_batch, fold_in_implicit
+from mfx.serve.foldin import (
+    fold_in, fold_in_batch, fold_in_implicit, recommend_cold,
+)
 
 __all__ = [
     "TopKRecommender",
@@ -20,4 +22,5 @@ __all__ = [
     "fold_in",
     "fold_in_batch",
     "fold_in_implicit",
+    "recommend_cold",
 ]

@@ -34,7 +34,7 @@ import numpy as np
 
 from mfx.models.mf import MFModel
 
-__all__ = ["fold_in", "fold_in_batch", "fold_in_implicit"]
+__all__ = ["fold_in", "fold_in_batch", "fold_in_implicit", "recommend_cold"]
 
 from mfx.solvers.als import _pow2_at_least  # shared pow2 bucket helper
 
@@ -191,3 +191,57 @@ def fold_in(
         model, items, vals, lens, reg,
         use_bias=use_bias, transpose=transpose,
     )
+
+
+def recommend_cold(
+    model: MFModel,
+    histories: list[tuple[np.ndarray, np.ndarray]],
+    k: int = 10,
+    reg: float = 0.05,
+    *,
+    use_bias: bool = True,
+    exclude_history: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cold-start top-K: fold each new-user history into a factor row
+    (``fold_in`` — the training objective's stationary point against the
+    frozen tables) and serve it through the SAME jitted scorer as
+    :class:`mfx.serve.TopKRecommender` (one MXU matmul over the catalog,
+    the history's own items excluded). The anonymous-session /
+    new-account serving path: no table mutation, no retrain.
+
+    Returns (items (B, k) int32, scores (B, k) f32)."""
+    from mfx.serve.topk import _topk_batch
+
+    if k < 1 or k > model.num_items:
+        raise ValueError(f"k must be in [1, {model.num_items}], got {k}")
+    for ids, _ in histories:
+        ids = np.asarray(ids)
+        if ids.size and (
+            (ids < 0).any() or (ids >= model.num_items).any()
+        ):
+            raise ValueError("history item id out of range")
+    P_new, bu_new = fold_in(model, histories, reg, use_bias=use_bias)
+    B = len(histories)
+    tmp = MFModel(
+        P=P_new, Q=jnp.asarray(model.Q),
+        bu=bu_new, bi=jnp.asarray(model.bi), mu=jnp.asarray(model.mu),
+    )
+    if exclude_history:
+        total = sum(len(ids) for ids, _ in histories)
+        cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
+        rows = np.full(cap, B, np.int32)  # pad: out-of-range row sentinel
+        items = np.zeros(cap, np.int32)
+        pos = 0
+        for b, (ids, _) in enumerate(histories):
+            c = len(ids)
+            rows[pos:pos + c] = b
+            items[pos:pos + c] = np.asarray(ids, np.int32)
+            pos += c
+    else:
+        rows = np.full(8, B, np.int32)
+        items = np.zeros(8, np.int32)
+    s, i = _topk_batch(
+        tmp, jnp.arange(B, dtype=jnp.int32),
+        jnp.asarray(rows), jnp.asarray(items), k,
+    )
+    return np.asarray(i), np.asarray(s)

@@ -2,8 +2,9 @@
 recommenders (no framework dependencies; the deployment shape described
 in docs/SERVING.md).
 
-    POST /recommend  {"users": [3, 17], "k": 10}
-    POST /similar    {"items": [1, 7], "k": 10}
+    POST /recommend       {"users": [3, 17], "k": 10}
+    POST /similar         {"items": [1, 7], "k": 10}
+    POST /recommend_cold  {"histories": [[[12, 4.5], [7, 3.0]]], "k": 10}
     GET  /healthz
 
 Responses are JSON: ``items``/``scores`` per user (plus ``raw_items``
@@ -48,12 +49,13 @@ class RecServer:
     """
 
     def __init__(
-        self, recommender, similar=None, raw_item_ids=None,
+        self, recommender, similar=None, cold=None, raw_item_ids=None,
         host: str = "127.0.0.1", port: int = 8080, max_k: int = 1000,
         max_batch: int = 4096, batch_window_ms: float = 2.0,
     ):
         self._rec = recommender
         self._sim = similar
+        self._cold = cold
         self._raw = raw_item_ids
         self._lock = threading.Lock()
         self._max_k = max_k
@@ -116,6 +118,15 @@ class RecServer:
                                 404, {"error": "similar endpoint disabled"}
                             )
                         return self._reply(200, outer._similar(req, k))
+                    if self.path == "/recommend_cold":
+                        if outer._cold is None:
+                            return self._reply(
+                                404,
+                                {"error": "cold-start endpoint disabled"},
+                            )
+                        return self._reply(
+                            200, outer._recommend_cold(req, k)
+                        )
                 except (ValueError, TypeError) as e:
                     # id range / pool exhaustion / malformed lists
                     return self._reply(400, {"error": str(e)})
@@ -236,6 +247,37 @@ class RecServer:
                         except Exception as e:
                             box["error"] = e
                         done.set()
+
+    def _recommend_cold(self, req, k: int) -> dict:
+        """Anonymous/new-user serving: the body carries histories of
+        [item_id, rating] pairs; each folds into a factor row
+        (mfx.serve.foldin.recommend_cold) — no table mutation."""
+        hs = req.get("histories")
+        if (not isinstance(hs, list) or not hs
+                or len(hs) > self._max_batch):
+            raise ValueError(
+                f"'histories' must be a non-empty list (<= {self._max_batch})"
+            )
+        histories = []
+        for h in hs:
+            if not isinstance(h, list):
+                raise ValueError(
+                    "each history must be a list of [item_id, rating] pairs"
+                )
+            ids = np.asarray([p[0] for p in h], np.int32)
+            rs = np.asarray([p[1] for p in h], np.float32)
+            histories.append((ids, rs))
+        with self._lock:
+            items, scores = self._cold(histories, k)
+        out = {
+            "items": items.tolist(),
+            "scores": self._json_scores(scores),
+        }
+        if self._raw is not None:
+            out["raw_items"] = [
+                [int(self._raw[i]) for i in row] for row in items
+            ]
+        return out
 
     def _similar(self, req, k: int) -> dict:
         queries = self._ids(req, "items")

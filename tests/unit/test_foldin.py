@@ -1,6 +1,7 @@
 """Fold-in (mfx/serve/foldin.py) vs a NumPy normal-equation oracle."""
 
 import numpy as np
+import pytest
 
 from mfx.models.mf import init_model
 from mfx.serve.foldin import fold_in
@@ -114,3 +115,48 @@ def test_fold_in_implicit_matches_ials_half_sweep():
     ]
     P_fold = np.asarray(fold_in_implicit(model, hists, alpha, reg))
     np.testing.assert_allclose(P_fold, P_sweep, rtol=2e-4, atol=2e-5)
+
+
+def test_recommend_cold_serves_new_user():
+    """Cold-start serving: a constructed history pointing along a known
+    factor direction must surface the nearest unseen items, with the
+    history's own items excluded and scores matching the fold-in row's
+    true scores."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mfx.serve import recommend_cold
+
+    rng = np.random.default_rng(0)
+    I, r = 40, 4
+    Q = np.zeros((I, r), np.float32)
+    Q[:10, 0] = np.linspace(1.0, 0.1, 10)   # a "taste axis": items 0..9
+    Q[10:, 1:] = rng.normal(0, 0.1, (30, r - 1))
+    model = init_model(0, 5, I, rank=r, global_mean=3.0)
+    model = dataclasses.replace(
+        model, Q=jnp.asarray(Q), bi=jnp.zeros(I), bu=jnp.zeros(5),
+    )
+    # history: loves items 1 and 2 (both on the taste axis)
+    hist = [(np.array([1, 2], np.int32), np.array([5.0, 5.0], np.float32))]
+    items, scores = recommend_cold(model, hist, k=3, reg=0.05)
+    # the top recommendation is the strongest unseen item on the axis
+    assert items[0, 0] == 0
+    assert 1 not in items[0] and 2 not in items[0]
+    # scores equal the folded row's true predictions
+    from mfx.serve.foldin import fold_in
+
+    P_new, bu_new = fold_in(model, hist, 0.05)
+    true = np.asarray(P_new) @ Q.T + np.asarray(bu_new)[:, None] + 3.0
+    np.testing.assert_allclose(scores[0], true[0][items[0]], rtol=1e-5)
+
+    # empty history falls back to the popularity/bias baseline, finite
+    items2, scores2 = recommend_cold(
+        model, [(np.zeros(0, np.int32), np.zeros(0, np.float32))], k=3
+    )
+    assert np.isfinite(scores2).all()
+
+    with pytest.raises(ValueError, match="out of range"):
+        recommend_cold(model, [(np.array([I]), np.array([5.0]))], k=2)
+    with pytest.raises(ValueError, match="k must"):
+        recommend_cold(model, hist, k=0)

@@ -170,3 +170,41 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_recommend_cold_endpoint():
+    """POST /recommend_cold folds histories and serves — and a server
+    without the callable 404s."""
+    from mfx.serve import recommend_cold
+
+    U, I = 10, 30
+    model = init_model(2, U, I, rank=4, global_mean=3.2)
+    rec = TopKRecommender(model, batch=4)
+    srv = RecServer(
+        rec, cold=lambda hs, k: recommend_cold(model, hs, k=k), port=0,
+    )
+    srv.start()
+    try:
+        out = _post(srv, "/recommend_cold",
+                    {"histories": [[[1, 5.0], [2, 4.0]], []], "k": 4})
+        assert len(out["items"]) == 2 and len(out["items"][0]) == 4
+        assert 1 not in out["items"][0] and 2 not in out["items"][0]
+        # malformed history -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/recommend_cold", {"histories": [[[999, 5.0]]],
+                                           "k": 2})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/recommend_cold", {"histories": "nope", "k": 2})
+        assert e.value.code == 400
+    finally:
+        srv.stop()
+
+    srv2 = RecServer(rec, port=0)
+    srv2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv2, "/recommend_cold", {"histories": [[[1, 5.0]]]})
+        assert e.value.code == 404
+    finally:
+        srv2.stop()
