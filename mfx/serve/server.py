@@ -6,6 +6,7 @@ in docs/SERVING.md).
     POST /similar         {"items": [1, 7], "k": 10}
     POST /recommend_cold  {"histories": [[[12, 4.5], [7, 3.0]]], "k": 10}
     GET  /healthz
+    GET  /metrics         (Prometheus text exposition)
 
 Responses are JSON: ``items``/``scores`` per user (plus ``raw_items``
 when the loader relabeled the catalog), or ``similar``/``cosine`` per
@@ -28,14 +29,101 @@ family.
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 __all__ = ["RecServer"]
+
+
+class _Stats:
+    """Serving observability counters behind GET /metrics. Latency
+    quantiles come from a bounded reservoir of the most recent requests
+    (exact over the window — no sketch error); sums/counts are
+    lifetime. The batcher counters measure micro-batching efficiency:
+    requests-per-dispatch is the QPS multiplier the window bought."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self._counts: dict[tuple[str, int], int] = {}
+        self._lat: dict[str, collections.deque] = {}
+        self._lat_sum: dict[str, float] = {}
+        self._lat_count: dict[str, int] = {}
+        self._window = window
+        self.dispatches = 0
+        self.dispatch_requests = 0
+        self.dispatch_users = 0
+        self.solo_retries = 0
+
+    def record(self, path: str, code: int, dt: float) -> None:
+        with self._lock:
+            self._counts[(path, code)] = self._counts.get((path, code), 0) + 1
+            d = self._lat.get(path)
+            if d is None:
+                d = self._lat[path] = collections.deque(maxlen=self._window)
+            d.append(dt)
+            self._lat_sum[path] = self._lat_sum.get(path, 0.0) + dt
+            self._lat_count[path] = self._lat_count.get(path, 0) + 1
+
+    def record_dispatch(self, n_requests: int, n_users: int,
+                        solo_retry: bool = False) -> None:
+        with self._lock:
+            self.dispatches += 1
+            self.dispatch_requests += n_requests
+            self.dispatch_users += n_users
+            if solo_retry:
+                self.solo_retries += 1
+
+    def render(self) -> str:
+        """Prometheus text exposition format (0.0.4)."""
+        with self._lock:
+            lines = [
+                "# HELP mfx_requests_total HTTP requests by path and status.",
+                "# TYPE mfx_requests_total counter",
+            ]
+            for (path, code), n in sorted(self._counts.items()):
+                lines.append(
+                    f'mfx_requests_total{{path="{path}",code="{code}"}} {n}'
+                )
+            lines += [
+                "# HELP mfx_request_latency_seconds Request latency "
+                f"(quantiles over the last {self._window} requests).",
+                "# TYPE mfx_request_latency_seconds summary",
+            ]
+            for path in sorted(self._lat):
+                recent = np.sort(np.asarray(self._lat[path]))
+                for q in (0.5, 0.9, 0.99):
+                    v = float(np.quantile(recent, q))
+                    lines.append(
+                        "mfx_request_latency_seconds"
+                        f'{{path="{path}",quantile="{q}"}} {v:.6g}'
+                    )
+                lines.append(
+                    "mfx_request_latency_seconds_sum"
+                    f'{{path="{path}"}} {self._lat_sum[path]:.6g}'
+                )
+                lines.append(
+                    "mfx_request_latency_seconds_count"
+                    f'{{path="{path}"}} {self._lat_count[path]}'
+                )
+            lines += [
+                "# HELP mfx_batch_dispatches_total Device dispatches by "
+                "the /recommend micro-batcher (incl. solo retries).",
+                "# TYPE mfx_batch_dispatches_total counter",
+                f"mfx_batch_dispatches_total {self.dispatches}",
+                "# TYPE mfx_batch_requests_total counter",
+                f"mfx_batch_requests_total {self.dispatch_requests}",
+                "# TYPE mfx_batch_users_total counter",
+                f"mfx_batch_users_total {self.dispatch_users}",
+                "# TYPE mfx_batch_solo_retries_total counter",
+                f"mfx_batch_solo_retries_total {self.solo_retries}",
+            ]
+        return "\n".join(lines) + "\n"
 
 
 class RecServer:
@@ -68,6 +156,7 @@ class RecServer:
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
         self._batcher: threading.Thread | None = None
         self._closed = False
+        self._stats = _Stats()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -76,13 +165,28 @@ class RecServer:
 
             def _reply(self, code: int, obj) -> None:
                 body = json.dumps(obj).encode()
+                self._reply_raw(code, body, "application/json")
+
+            def _reply_raw(self, code: int, body: bytes,
+                           ctype: str) -> None:
+                t0 = getattr(self, "_t0", None)
+                if t0 is not None:
+                    outer._stats.record(
+                        self.path, code, time.monotonic() - t0
+                    )
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
             def do_GET(self):
+                self._t0 = time.monotonic()
+                if self.path == "/metrics":
+                    return self._reply_raw(
+                        200, outer._stats.render().encode(),
+                        "text/plain; version=0.0.4",
+                    )
                 if self.path != "/healthz":
                     return self._reply(404, {"error": "unknown path"})
                 m = outer._rec.model
@@ -95,6 +199,7 @@ class RecServer:
                 })
 
             def do_POST(self):
+                self._t0 = time.monotonic()
                 # every malformed input must come back as HTTP 400, never
                 # a connection reset from an escaped exception
                 try:
@@ -224,6 +329,7 @@ class RecServer:
                 try:
                     with self._lock:
                         items, scores = self._rec.recommend(users_cat, k=k)
+                    self._stats.record_dispatch(len(grp), len(users_cat))
                     off = 0
                     for users, _, box, done in grp:
                         n = len(users)
@@ -244,6 +350,9 @@ class RecServer:
                                 box["items"], box["scores"] = (
                                     self._rec.recommend(users, k=k)
                                 )
+                            self._stats.record_dispatch(
+                                1, len(users), solo_retry=True
+                            )
                         except Exception as e:
                             box["error"] = e
                         done.set()

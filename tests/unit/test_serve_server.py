@@ -208,3 +208,48 @@ def test_recommend_cold_endpoint():
         assert e.value.code == 404
     finally:
         srv2.stop()
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics renders Prometheus text: per-path request counters,
+    latency quantiles over the recent window, and the micro-batcher's
+    dispatch efficiency counters."""
+    srv, coo, model = server
+    _post(srv, "/recommend", {"users": [0, 1], "k": 3})
+    _post(srv, "/similar", {"items": [2], "k": 3})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/recommend", {"users": [], "k": 3})
+    assert e.value.code == 400
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}/metrics", timeout=30
+    ) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+
+    def counter(name: str) -> int:
+        for ln in text.splitlines():
+            if ln.startswith(name + " ") or ln.startswith(name + "{"):
+                return int(float(ln.rsplit(" ", 1)[1]))
+        raise AssertionError(f"{name} not in /metrics:\n{text}")
+
+    # counters present and >= what this test just issued (the module
+    # fixture is shared, so earlier tests may have added more)
+    assert counter('mfx_requests_total{path="/recommend",code="200"}') >= 1
+    assert counter('mfx_requests_total{path="/recommend",code="400"}') >= 1
+    assert counter('mfx_requests_total{path="/similar",code="200"}') >= 1
+    # latency summary: quantiles are ordered, count matches the counter
+    import re
+
+    q = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(
+            r'mfx_request_latency_seconds\{path="/recommend",'
+            r'quantile="([\d.]+)"\} (\S+)', text)
+    }
+    assert set(q) == {"0.5", "0.9", "0.99"}
+    assert 0 <= q["0.5"] <= q["0.9"] <= q["0.99"]
+    # batcher efficiency: every merged /recommend rode a dispatch
+    assert counter("mfx_batch_dispatches_total") >= 1
+    assert (counter("mfx_batch_requests_total")
+            >= counter("mfx_batch_dispatches_total"))
+    assert counter("mfx_batch_users_total") >= 2
