@@ -283,6 +283,45 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Online update: checkpoint + delta-ratings .npz -> new checkpoint
+    step (grow tables for new ids, fold-in init, a few SGD epochs over
+    the delta — mfx.train.online.partial_fit; no full retrain)."""
+    from mfx.config import SGDConfig
+    from mfx.data.coo import RatingsCOO
+    from mfx.train.checkpoint import (
+        latest_step, load_checkpoint, save_checkpoint,
+    )
+    from mfx.train.online import partial_fit
+
+    model, epoch, seed = load_checkpoint(args.checkpoint)
+    delta = RatingsCOO.load_npz(args.delta)
+    replay = (RatingsCOO.load_npz(args.replay)
+              if args.replay is not None else None)
+    old_shape = (model.num_users, model.num_items)
+    cfg = SGDConfig(
+        lr=args.lr, reg=args.reg, epochs=args.epochs,
+        batch_size=args.batch_size, partitioner="fixed",
+        dup_trust=args.dup_trust,
+    )
+    model, tr = partial_fit(
+        model, delta, cfg, seed=seed,
+        foldin_new=not args.no_foldin, foldin_reg=args.foldin_reg,
+        replay=replay,
+    )
+    out_dir = args.out if args.out is not None else args.checkpoint
+    step = (latest_step(out_dir) or epoch) + 1
+    save_checkpoint(out_dir, step, model, seed=seed)
+    print(json.dumps({
+        "checkpoint": str(out_dir), "step": step,
+        "delta_ratings": delta.n_ratings,
+        "grew_users": model.num_users - old_shape[0],
+        "grew_items": model.num_items - old_shape[1],
+        "train_rmse": None if tr != tr else round(tr, 6),
+    }, sort_keys=True))
+    return 0
+
+
 def cmd_datasets(args) -> int:
     from mfx.data.loaders import dataset_names
 
@@ -418,6 +457,31 @@ def main(argv=None) -> int:
                    help="L2 of the cold-start fold-in solve "
                         "(/recommend_cold)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "update",
+        help="online update: absorb a delta-ratings .npz into a "
+             "checkpoint (grow + fold-in + a few SGD epochs)",
+    )
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--delta", required=True,
+                   help="RatingsCOO .npz of the new ratings "
+                        "(ids may exceed the model's tables)")
+    p.add_argument("--replay", default=None,
+                   help="optional RatingsCOO .npz of old ratings to "
+                        "train alongside the delta (rehearsal)")
+    p.add_argument("--out", default=None,
+                   help="checkpoint dir for the updated step "
+                        "(default: append to --checkpoint)")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--reg", type=float, default=0.02)
+    p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument("--dup-trust", type=float, default=16.0)
+    p.add_argument("--foldin-reg", type=float, default=0.05)
+    p.add_argument("--no-foldin", action="store_true",
+                   help="skip least-squares init of new rows")
+    p.set_defaults(fn=cmd_update)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")
     p.add_argument("--checkpoint", required=True)

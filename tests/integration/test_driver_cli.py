@@ -284,3 +284,61 @@ def test_checkpoint_async_matches_sync(tmp_path):
         np.testing.assert_array_equal(np.asarray(ma.P), np.asarray(ms.P))
         np.testing.assert_array_equal(np.asarray(ma.Q), np.asarray(ms.Q))
         np.testing.assert_array_equal(np.asarray(ma.bu), np.asarray(ms.bu))
+
+
+def test_cli_update_online(tmp_path):
+    """update: checkpoint + delta npz -> grown model at a new step,
+    new-user predictions beating the mu baseline."""
+    import numpy as np
+
+    from mfx.data.coo import RatingsCOO
+    from mfx.train.checkpoint import latest_step, load_checkpoint
+
+    ckpt = tmp_path / "ckpt"
+    rc, _ = _run_cli([
+        "train", "--preset", "ml100k_rank16",
+        "--set", "sgd.epochs=2",
+        "--set", "sgd.partitioner=fixed",
+        "--set", "sgd.batch_size=4096",
+        "--set", "data.dataset=synthetic-small",
+        "--set", f"data.root={tmp_path}",
+        "--set", f"checkpoint_dir={ckpt}",
+        "--set", "checkpoint_every=1",
+    ])
+    assert rc == 0
+    model, epoch, _ = load_checkpoint(ckpt)
+    U, I = model.num_users, model.num_items
+    step0 = latest_step(ckpt)
+
+    # delta: 3 brand-new users each rating 12 items highly
+    rng = np.random.default_rng(0)
+    du = np.repeat(np.arange(U, U + 3, dtype=np.int32), 12)
+    di = np.concatenate(
+        [rng.permutation(I)[:12] for _ in range(3)]
+    ).astype(np.int32)
+    delta = RatingsCOO(du, di, np.full(36, 4.5, np.float32),
+                       num_users=U + 3, num_items=I)
+    delta.save_npz(tmp_path / "delta.npz")
+    rc, out = _run_cli([
+        "update", "--checkpoint", str(ckpt),
+        "--delta", str(tmp_path / "delta.npz"), "--epochs", "1",
+    ])
+    assert rc == 0
+    summary = json.loads(out)
+    assert summary["grew_users"] == 3 and summary["grew_items"] == 0
+    assert summary["step"] > step0
+    new_model, _, _ = load_checkpoint(ckpt)
+    assert new_model.num_users == U + 3
+    # the folded new users predict their own ratings better than mu
+    pred = np.asarray(new_model.predict(du, di))
+    mu = float(np.asarray(model.mu))
+    assert (np.sqrt(np.mean((pred - 4.5) ** 2))
+            < 0.7 * abs(mu - 4.5))
+    # old rows unchanged shape-wise; the updated checkpoint still serves
+    rc, out = _run_cli([
+        "recommend", "--checkpoint", str(ckpt),
+        "--users", f"{U},{U + 2}", "--k", "4",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in out.splitlines()]
+    assert [l["user"] for l in lines] == [U, U + 2]
