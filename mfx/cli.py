@@ -215,7 +215,10 @@ def cmd_tune(args) -> int:
 
 def cmd_serve(args) -> int:
     """Run the HTTP serving endpoint (mfx/serve/server.py) over a
-    checkpoint: POST /recommend, POST /similar, GET /healthz."""
+    checkpoint: POST /recommend, /similar, /recommend_cold, /reload,
+    GET /healthz, /metrics. POST /reload re-reads the NEWEST checkpoint
+    step and hot-swaps it in — a training/update job's saves go live
+    without a serving restart."""
     import functools
 
     from mfx.serve import (
@@ -224,7 +227,6 @@ def cmd_serve(args) -> int:
     from mfx.serve.server import RecServer
     from mfx.train.checkpoint import load_checkpoint
 
-    model, _epoch, _seed = load_checkpoint(args.checkpoint)
     exclude = raw_ids = None
     if args.dataset is not None:
         from mfx.api import load_dataset
@@ -233,36 +235,60 @@ def cmd_serve(args) -> int:
         if not args.no_exclude:
             exclude = coo
         raw_ids = coo.item_raw_ids
-    if args.fused:
-        from mfx.serve import FusedTopKRecommender
 
-        if args.table_dtype == "int8" or args.recall_target is not None:
-            raise SystemExit(
-                "--fused supports table-dtype f32/bf16 and has its own "
-                "selection scheme (drop --recall-target)"
+    def build() -> dict:
+        model, epoch, _seed = load_checkpoint(args.checkpoint)
+        if args.fused:
+            from mfx.serve import FusedTopKRecommender
+
+            if (args.table_dtype == "int8"
+                    or args.recall_target is not None):
+                raise SystemExit(
+                    "--fused supports table-dtype f32/bf16 and has its "
+                    "own selection scheme (drop --recall-target)"
+                )
+            rec = FusedTopKRecommender(
+                model, train=exclude, batch=args.batch,
+                table_dtype=args.table_dtype, tile=args.tile,
             )
-        rec = FusedTopKRecommender(
-            model, train=exclude, batch=args.batch,
-            table_dtype=args.table_dtype, tile=args.tile,
-        )
-        sim = functools.partial(similar_items_fused, model, tile=args.tile)
-    else:
-        rec = TopKRecommender(
-            model, train=exclude, batch=args.batch,
-            table_dtype=args.table_dtype, recall_target=args.recall_target,
-        )
-        sim = functools.partial(similar_items, model)
-    from mfx.serve import recommend_cold
+            sim = functools.partial(
+                similar_items_fused, model, tile=args.tile
+            )
+        else:
+            rec = TopKRecommender(
+                model, train=exclude, batch=args.batch,
+                table_dtype=args.table_dtype,
+                recall_target=args.recall_target,
+            )
+            sim = functools.partial(similar_items, model)
+        if args.mmr is not None:
+            from mfx.serve import MMRRecommender
 
-    cold = functools.partial(recommend_cold, model, reg=args.foldin_reg)
+            rec = MMRRecommender(rec, model=model, lam=args.mmr,
+                                 pool=args.mmr_pool)
+        from mfx.serve import recommend_cold
+
+        cold = functools.partial(
+            recommend_cold, model, reg=args.foldin_reg
+        )
+        return {
+            "recommender": rec,
+            "similar": lambda q, k: sim(q, k=k),
+            "cold": lambda hs, k: cold(hs, k=k),
+            "raw_item_ids": raw_ids,
+            "info": {"checkpoint_epoch": epoch},
+        }
+
+    first = build()
     srv = RecServer(
-        rec, similar=lambda q, k: sim(q, k=k),
-        cold=lambda hs, k: cold(hs, k=k), raw_item_ids=raw_ids,
+        first["recommender"], similar=first["similar"],
+        cold=first["cold"], raw_item_ids=raw_ids, reload=build,
         host=args.host, port=args.port,
     )
+    model = first["recommender"].model
     print(json.dumps({
         "serving": f"http://{args.host}:{srv.port}",
-        "recommender": type(rec).__name__,
+        "recommender": type(first["recommender"]).__name__,
         "num_users": model.num_users, "num_items": model.num_items,
     }), flush=True)
     srv.serve_forever()
@@ -318,6 +344,59 @@ def cmd_update(args) -> int:
         "grew_users": model.num_users - old_shape[0],
         "grew_items": model.num_items - old_shape[1],
         "train_rmse": None if tr != tr else round(tr, 6),
+    }, sort_keys=True))
+    return 0
+
+
+def cmd_blend(args) -> int:
+    """Ridge-blend exported .npz models on a validation split and write
+    the blend as ONE concatenated-factor .npz (mfx.models.ensemble) —
+    it serves through every existing path unchanged."""
+    from mfx.api import load_dataset
+    from mfx.data.split import train_test_split
+    from mfx.models.ensemble import blend_as_mf, fit_blend
+    from mfx.models.mf import MFModel
+
+    paths = [p for p in args.models.split(",") if p]
+    if len(paths) < 2:
+        raise SystemExit("--models needs >= 2 comma-separated .npz paths")
+    models = [MFModel.load_npz(p) for p in paths]
+    coo = load_dataset(args.dataset, root=args.root)
+    _train, val = train_test_split(
+        coo, test_frac=args.val_frac, seed=args.seed
+    )
+    res = fit_blend(models, val, reg=args.reg)
+    out = {
+        "models": paths,
+        "weights": [round(float(w), 6) for w in res.weights],
+        "intercept": round(res.intercept, 6),
+        "member_val_rmse": [round(float(r), 6) for r in res.member_rmse],
+        "blend_val_rmse": round(res.val_rmse, 6),
+    }
+    if args.out is not None:
+        blend = blend_as_mf(models, res.weights, res.intercept)
+        blend.save_npz(args.out)
+        out["out"] = args.out
+        out["rank"] = blend.rank
+    print(json.dumps(out, sort_keys=True))
+    return 0
+
+
+def cmd_compress(args) -> int:
+    """Distill an .npz model to a smaller rank (optimal truncation —
+    mfx.models.compress). Pairs with 'blend' (blend rank = Σ members)."""
+    from mfx.models.compress import compress_model
+    from mfx.models.mf import MFModel
+
+    model = MFModel.load_npz(args.model)
+    res = compress_model(model, args.rank)
+    res.model.save_npz(args.out)
+    print(json.dumps({
+        "out": args.out, "rank": args.rank, "from_rank": model.rank,
+        "energy": round(res.energy, 6),
+        "singular_values": [
+            round(float(s), 6) for s in res.singular_values
+        ],
     }, sort_keys=True))
     return 0
 
@@ -456,6 +535,11 @@ def main(argv=None) -> int:
     p.add_argument("--foldin-reg", type=float, default=0.05,
                    help="L2 of the cold-start fold-in solve "
                         "(/recommend_cold)")
+    p.add_argument("--mmr", type=float, default=None,
+                   help="diversify /recommend lists by greedy MMR with "
+                        "this relevance weight in [0,1] (1 = pure "
+                        "relevance); over-fetches --mmr-pool x k")
+    p.add_argument("--mmr-pool", type=int, default=4)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
@@ -482,6 +566,35 @@ def main(argv=None) -> int:
     p.add_argument("--no-foldin", action="store_true",
                    help="skip least-squares init of new rows")
     p.set_defaults(fn=cmd_update)
+
+    p = sub.add_parser(
+        "blend",
+        help="ridge-blend exported .npz models on a validation split; "
+             "optionally write the exact single-model blend .npz",
+    )
+    p.add_argument("--models", required=True,
+                   help="comma-separated .npz model paths (use 'export' "
+                        "to produce them from checkpoints)")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--root", default=None)
+    p.add_argument("--val-frac", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0,
+                   help="validation-split seed — use a split the members "
+                        "did NOT train on")
+    p.add_argument("--reg", type=float, default=1e-4)
+    p.add_argument("--out", default=None,
+                   help="write the blended model as one .npz")
+    p.set_defaults(fn=cmd_blend)
+
+    p = sub.add_parser(
+        "compress",
+        help="distill an .npz model to a smaller rank "
+             "(optimal SVD truncation of P·Q^T)",
+    )
+    p.add_argument("--model", required=True, help=".npz model path")
+    p.add_argument("--rank", type=int, required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_compress)
 
     p = sub.add_parser("export", help="checkpoint -> portable .npz model")
     p.add_argument("--checkpoint", required=True)

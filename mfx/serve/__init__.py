@@ -10,6 +10,7 @@ from mfx.serve.fused import (
 from mfx.serve.foldin import (
     fold_in, fold_in_batch, fold_in_implicit, recommend_cold,
 )
+from mfx.serve.rerank import MMRRecommender, rerank_mmr
 
 __all__ = [
     "TopKRecommender",
@@ -23,4 +24,6 @@ __all__ = [
     "fold_in_batch",
     "fold_in_implicit",
     "recommend_cold",
+    "MMRRecommender",
+    "rerank_mmr",
 ]

@@ -5,6 +5,7 @@ in docs/SERVING.md).
     POST /recommend       {"users": [3, 17], "k": 10}
     POST /similar         {"items": [1, 7], "k": 10}
     POST /recommend_cold  {"histories": [[[12, 4.5], [7, 3.0]]], "k": 10}
+    POST /reload          {}   (hot-swap to the newest model, no restart)
     GET  /healthz
     GET  /metrics         (Prometheus text exposition)
 
@@ -138,12 +139,21 @@ class RecServer:
 
     def __init__(
         self, recommender, similar=None, cold=None, raw_item_ids=None,
+        reload=None,
         host: str = "127.0.0.1", port: int = 8080, max_k: int = 1000,
         max_batch: int = 4096, batch_window_ms: float = 2.0,
     ):
         self._rec = recommender
         self._sim = similar
         self._cold = cold
+        # reload: zero-arg factory returning a dict with any of
+        # {"recommender", "similar", "cold", "raw_item_ids", "info"} —
+        # POST /reload calls it and hot-swaps under the dispatch lock
+        # (in-flight dispatches finish on the old model; queued ones see
+        # the new one). The CLI wires this to "re-read the newest
+        # checkpoint step", so a training job's saves go live without a
+        # serving restart.
+        self._reload = reload
         self._raw = raw_item_ids
         self._lock = threading.Lock()
         self._max_k = max_k
@@ -232,6 +242,12 @@ class RecServer:
                         return self._reply(
                             200, outer._recommend_cold(req, k)
                         )
+                    if self.path == "/reload":
+                        if outer._reload is None:
+                            return self._reply(
+                                404, {"error": "reload disabled"}
+                            )
+                        return self._reply(200, outer._do_reload())
                 except (ValueError, TypeError) as e:
                     # id range / pool exhaustion / malformed lists
                     return self._reply(400, {"error": str(e)})
@@ -268,7 +284,38 @@ class RecServer:
 
     def _recommend(self, req, k: int) -> dict:
         users = self._ids(req, "users")
-        items, scores = self._submit(users, k)
+        exclude = req.get("exclude")
+        if exclude is not None:
+            # per-request business-rule exclusions: over-fetch
+            # k + len(exclude) and filter — each excluded id can knock
+            # out at most one slot, so k survivors are guaranteed
+            # (unless the catalog itself runs out — then -inf pads,
+            # stock semantics)
+            if (not isinstance(exclude, list)
+                    or len(exclude) != len(users)
+                    or not all(isinstance(e, list) for e in exclude)):
+                raise ValueError(
+                    "'exclude' must be a list of id lists, one per user"
+                )
+            if max((len(e) for e in exclude), default=0) > 1024:
+                raise ValueError("exclude lists are capped at 1024 ids")
+            pool_k = min(
+                k + max((len(e) for e in exclude), default=0),
+                self._rec.model.num_items,
+            )
+            items, scores = self._submit(users, pool_k)
+            keep_i = np.empty((len(users), k), items.dtype)
+            keep_s = np.full((len(users), k), -np.inf, scores.dtype)
+            for b, ex in enumerate(exclude):
+                mask = ~np.isin(items[b], np.asarray(ex, np.int64))
+                took = min(k, int(mask.sum()))
+                keep_i[b, :took] = items[b][mask][:k]
+                keep_s[b, :took] = scores[b][mask][:k]
+                if took < k:  # catalog exhausted: pad with last valid
+                    keep_i[b, took:] = keep_i[b, max(took - 1, 0)]
+            items, scores = keep_i, keep_s
+        else:
+            items, scores = self._submit(users, k)
         out = {
             "users": [int(u) for u in users],
             "items": items.tolist(),
@@ -386,6 +433,33 @@ class RecServer:
             out["raw_items"] = [
                 [int(self._raw[i]) for i in row] for row in items
             ]
+        return out
+
+    def _do_reload(self) -> dict:
+        """Build the replacement OUTSIDE the lock (compiles, checkpoint
+        IO), swap inside it — request handling pauses only for the
+        attribute assignment."""
+        new = self._reload()
+        if not isinstance(new, dict) or "recommender" not in new:
+            raise TypeError(
+                "reload factory must return a dict with 'recommender'"
+            )
+        with self._lock:
+            self._rec = new["recommender"]
+            if "similar" in new:
+                self._sim = new["similar"]
+            if "cold" in new:
+                self._cold = new["cold"]
+            if "raw_item_ids" in new:
+                self._raw = new["raw_item_ids"]
+            m = self._rec.model
+            out = {
+                "status": "reloaded",
+                "num_users": int(m.num_users),
+                "num_items": int(m.num_items),
+                "rank": int(m.rank),
+            }
+        out.update(new.get("info") or {})
         return out
 
     def _similar(self, req, k: int) -> dict:

@@ -342,3 +342,48 @@ def test_cli_update_online(tmp_path):
     assert rc == 0
     lines = [json.loads(l) for l in out.splitlines()]
     assert [l["user"] for l in lines] == [U, U + 2]
+
+
+def test_cli_blend_exports_single_model(tmp_path):
+    """blend: two exported models -> fitted weights JSON + ONE blended
+    .npz whose rank is the concatenated sum and which serves/evals."""
+    from mfx.models.mf import MFModel
+
+    npzs = []
+    for seed, rank in ((0, 4), (1, 8)):
+        ckpt = tmp_path / f"ckpt{seed}"
+        rc, _ = _run_cli([
+            "train", "--preset", "ml100k_rank16",
+            "--set", "sgd.epochs=1",
+            "--set", "sgd.partitioner=fixed",
+            "--set", "sgd.batch_size=4096",
+            "--set", f"model.rank={rank}",
+            "--set", f"model.seed={seed}",
+            "--set", "data.dataset=synthetic-small",
+            "--set", f"data.root={tmp_path}",
+            "--set", f"checkpoint_dir={ckpt}",
+            "--set", "checkpoint_every=1",
+        ])
+        assert rc == 0
+        out_npz = tmp_path / f"m{seed}.npz"
+        rc, _ = _run_cli([
+            "export", "--checkpoint", str(ckpt), "--out", str(out_npz),
+        ])
+        assert rc == 0
+        npzs.append(str(out_npz))
+
+    blend_npz = tmp_path / "blend.npz"
+    rc, out = _run_cli([
+        "blend", "--models", ",".join(npzs),
+        "--dataset", "synthetic-small", "--root", str(tmp_path),
+        "--out", str(blend_npz),
+    ])
+    assert rc == 0
+    summary = json.loads(out)
+    assert len(summary["weights"]) == 2
+    assert summary["rank"] == 4 + 8
+    # the blend fits at least as well as the best member on the val split
+    assert (summary["blend_val_rmse"]
+            <= min(summary["member_val_rmse"]) + 1e-9)
+    blended = MFModel.load_npz(blend_npz)
+    assert blended.rank == 12

@@ -253,3 +253,75 @@ def test_metrics_endpoint(server):
     assert (counter("mfx_batch_requests_total")
             >= counter("mfx_batch_dispatches_total"))
     assert counter("mfx_batch_users_total") >= 2
+
+
+def test_reload_endpoint_hot_swaps_model():
+    """POST /reload swaps in the factory's new recommender without a
+    restart; a server without the factory 404s."""
+    U, I = 8, 20
+    m1 = init_model(0, U, I, rank=4, global_mean=3.0)
+    m2 = init_model(1, U + 2, I + 5, rank=4, global_mean=3.0)
+    state = {"n": 0}
+
+    def build():
+        state["n"] += 1
+        model = m2 if state["n"] > 1 else m1
+        return {
+            "recommender": TopKRecommender(model, batch=4),
+            "info": {"build": state["n"]},
+        }
+
+    srv = RecServer(build()["recommender"], reload=build, port=0)
+    srv.start()
+    try:
+        out = _post(srv, "/recommend", {"users": [0], "k": 3})
+        assert len(out["items"][0]) == 3
+        out = _post(srv, "/reload", {})
+        assert out["status"] == "reloaded"
+        assert out["num_users"] == U + 2 and out["num_items"] == I + 5
+        assert out["build"] == 2
+        # the swapped model answers — a user id only valid post-swap
+        out = _post(srv, "/recommend", {"users": [U + 1], "k": 3})
+        assert len(out["items"][0]) == 3
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30
+        ) as r:
+            hz = json.loads(r.read())
+        assert hz["num_users"] == U + 2
+    finally:
+        srv.stop()
+
+    srv2 = RecServer(TopKRecommender(m1, batch=4), port=0)
+    srv2.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv2, "/reload", {})
+        assert e.value.code == 404
+    finally:
+        srv2.stop()
+
+
+def test_recommend_per_request_exclusions(server):
+    """'exclude' id lists drop those items exactly, k results survive
+    (over-fetch guarantees it), and malformed lists 400."""
+    srv, coo, model = server
+    base = _post(srv, "/recommend", {"users": [0, 1], "k": 5})
+    ex = [base["items"][0][:3], []]
+    out = _post(srv, "/recommend",
+                {"users": [0, 1], "k": 5, "exclude": ex})
+    assert len(out["items"][0]) == 5
+    assert not set(ex[0]) & set(out["items"][0])
+    # the un-excluded user's list is unchanged
+    assert out["items"][1] == base["items"][1]
+    # excluded user's survivors keep their relative order from the pool
+    assert out["items"][0][0] == [
+        i for i in base["items"][0] if i not in ex[0]
+    ][0]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/recommend",
+              {"users": [0, 1], "k": 5, "exclude": [[1]]})  # wrong len
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/recommend",
+              {"users": [0], "k": 5, "exclude": "nope"})
+    assert e.value.code == 400
