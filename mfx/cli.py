@@ -250,6 +250,8 @@ def cmd_serve(args) -> int:
             rec = FusedTopKRecommender(
                 model, train=exclude, batch=args.batch,
                 table_dtype=args.table_dtype, tile=args.tile,
+                exact=args.fused_exact, exact_tiles=args.exact_tiles,
+                exact_depth=args.exact_depth,
             )
             sim = functools.partial(
                 similar_items_fused, model, tile=args.tile
@@ -531,6 +533,15 @@ def main(argv=None) -> int:
     p.add_argument("--recall-target", type=float, default=None)
     p.add_argument("--fused", action="store_true",
                    help="score-block-free Pallas serving path")
+    p.add_argument("--fused-exact", action="store_true",
+                   help="certified-exact fused serving (suspect-tile "
+                        "rescore; falls back to the stock scorer when "
+                        "the union overflows --exact-tiles)")
+    p.add_argument("--exact-tiles", type=int, default=64)
+    p.add_argument("--exact-depth", type=int, default=8,
+                   help="per-tile selection depth in exact mode (a tile "
+                        "is suspect only when more than this many of a "
+                        "user's top-K collide in it)")
     p.add_argument("--tile", type=int, default=1024)
     p.add_argument("--foldin-reg", type=float, default=0.05,
                    help="L2 of the cold-start fold-in solve "

@@ -34,12 +34,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["tile_topk2", "AUG_LANES"]
+__all__ = ["tile_topk", "tile_topk2", "AUG_LANES"]
 
 AUG_LANES = 128  # P_aug/Q_aug lane width: rank + bias lane, zero-padded
 
 
-def _kernel(tn, p_ref, q_ref, m1_ref, a1_ref, m2_ref, a2_ref):
+def _kernel(tn, depth, p_ref, q_ref, *out_refs):
     # 2-D grid (groups, 128): step (g, tl) scores catalog tile
     # t = g*128 + tl. The output block (B, 128) is indexed by g alone, so
     # it stays VMEM-resident across the 128 inner steps while each step
@@ -56,40 +56,65 @@ def _kernel(tn, p_ref, q_ref, m1_ref, a1_ref, m2_ref, a2_ref):
         scores = jax.lax.dot_general(
             p, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST: true-f32 scoring. Default-precision f32 matmuls
+            # round inputs to bf16 on TPU (chip-observed ~1e-2-class
+            # score deltas at |score|~6 vs a HIGHEST-precision XLA
+            # rescore), which would break the exact mode's suspect-tile
+            # bound (a rounded bound can sit below an item's true f32
+            # score) and churn near-tie rankings. f32 costs ~1.14x bf16
+            # on this MXU and the kernel is VPU/grid-bound.
+            precision=jax.lax.Precision.HIGHEST,
         )  # (B, tile)
         lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         big = jnp.int32(scores.shape[1])
-        m1 = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
-        a1 = jnp.min(
-            jnp.where(scores >= m1, lane, big), axis=1, keepdims=True
-        )
-        s2 = jnp.where(lane == a1, -jnp.inf, scores)
-        m2 = jnp.max(s2, axis=1, keepdims=True)
-        a2 = jnp.min(jnp.where(s2 >= m2, lane, big), axis=1, keepdims=True)
-        hit = jax.lax.broadcasted_iota(jnp.int32, m1_ref.shape, 1) == tl
-        m1_ref[:] = jnp.where(hit, m1, m1_ref[:])
-        a1_ref[:] = jnp.where(hit, a1, a1_ref[:])
-        m2_ref[:] = jnp.where(hit, m2, m2_ref[:])
-        a2_ref[:] = jnp.where(hit, a2, a2_ref[:])
+        hit = jax.lax.broadcasted_iota(
+            jnp.int32, out_refs[0].shape, 1
+        ) == tl
+        # iterative max-extract: each round finds the running maximum
+        # (first lane on ties), records it, masks it out — ``depth``
+        # rounds of VPU reduce+select against the VMEM-resident tile
+        for j in range(depth):
+            m = jnp.max(scores, axis=1, keepdims=True)  # (B, 1)
+            a = jnp.min(
+                jnp.where(scores >= m, lane, big), axis=1, keepdims=True
+            )
+            out_refs[2 * j][:] = jnp.where(hit, m, out_refs[2 * j][:])
+            out_refs[2 * j + 1][:] = jnp.where(
+                hit, a, out_refs[2 * j + 1][:]
+            )
+            if j + 1 < depth:
+                scores = jnp.where(lane == a, -jnp.inf, scores)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def tile_topk2(P_aug, Q_aug, tile: int = 1024, interpret: bool = False):
-    """Per-tile top-2 candidates of ``P_aug @ Q_augᵀ``.
+@functools.partial(
+    jax.jit, static_argnames=("tile", "depth", "interpret")
+)
+def tile_topk(P_aug, Q_aug, tile: int = 1024, depth: int = 2,
+              interpret: bool = False):
+    """Per-tile top-``depth`` candidates of ``P_aug @ Q_augᵀ``.
 
     P_aug: (B, 128) — factor rows with the bias-carry lane ([p, 1, 0…]).
     Q_aug: (I_pad, 128) — catalog, I_pad a multiple of ``tile``, pad rows
            with bias lane -1e30 ([q, b_i, 0…]).
-    Returns (m1, a1, m2, a2), each (B, n_tiles): the tile's best/second
-    score and their LOCAL lane ids (global item = t*tile + lane).
-    Dtypes: scores f32 (f32 MXU accumulation even for bf16 tables).
-    """
+    Returns ``depth`` pairs ``(m_j, a_j)``, each (B, n_tiles): the
+    tile's j-th best score and its LOCAL lane id (global item =
+    t*tile + lane), j in rank order. Dtypes: scores f32 (f32 MXU
+    accumulation even for bf16 tables).
+
+    ``depth`` trades VPU work for pool quality: each extra rank is one
+    more max-extract round against the VMEM-resident tile. depth=2 is
+    the latency-optimal serving default; the certified-exact mode uses
+    deeper selection so that "≥depth+1 of a user's top-K collide in one
+    tile" — the only event that makes a tile suspect — becomes rare
+    (mfx/serve/fused.py)."""
     B = P_aug.shape[0]
     ipad, lanes = Q_aug.shape
     if lanes != AUG_LANES or P_aug.shape[1] != AUG_LANES:
         raise ValueError(f"augmented tables must have {AUG_LANES} lanes")
     if ipad % tile != 0:
         raise ValueError(f"catalog pad {ipad} not a multiple of tile {tile}")
+    if not 1 <= depth <= tile:
+        raise ValueError(f"depth must be in [1, tile={tile}], got {depth}")
     tn = ipad // tile
     # lane-pad the (B, tn) outputs to the vreg width; callers slice [:tn]
     tn_hi = -(-tn // 128)
@@ -99,25 +124,27 @@ def tile_topk2(P_aug, Q_aug, tile: int = 1024, interpret: bool = False):
         return (jnp.minimum(g * 128 + tl, tn - 1), 0)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, tn),
+        functools.partial(_kernel, tn, depth),
         grid=(tn_hi, 128),
         in_specs=[
             pl.BlockSpec((B, AUG_LANES), lambda g, tl: (0, 0)),
             pl.BlockSpec((tile, AUG_LANES), q_map),
         ],
         out_specs=[
-            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
-            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
-            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
-            pl.BlockSpec((B, 128), lambda g, tl: (0, g)),
+            pl.BlockSpec((B, 128), lambda g, tl: (0, g))
+            for _ in range(2 * depth)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, tn_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, tn_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, tn_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, tn_pad), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (B, tn_pad), jnp.float32 if j % 2 == 0 else jnp.int32
+            )
+            for j in range(2 * depth)
         ],
         interpret=interpret,
     )(P_aug, Q_aug)
-    m1, a1, m2, a2 = out
-    return m1[:, :tn], a1[:, :tn], m2[:, :tn], a2[:, :tn]
+    return tuple(o[:, :tn] for o in out)
+
+
+def tile_topk2(P_aug, Q_aug, tile: int = 1024, interpret: bool = False):
+    """Per-tile top-2 (the serving default) — see :func:`tile_topk`."""
+    return tile_topk(P_aug, Q_aug, tile=tile, depth=2, interpret=interpret)

@@ -19,7 +19,13 @@ tile. At the default tile=1024 on a 1M-item catalog that is a ≲1% effect
 If exclusions ever EXHAUST the candidate pool (k close to 2·n_tiles with
 heavy per-user exclusions), serving raises instead of silently returning
 seen/pad items. Use :class:`mfx.serve.TopKRecommender` when exactness
-matters more than latency.
+matters more than latency — or ``exact=True`` on the fused recommenders,
+which upgrades the approximate contract to CERTIFIED EXACT: the kernel's
+per-tile runner-up values bound every non-candidate item, so rescoring
+just the batch's union of "suspect" tiles (runner-up beats a user's k-th
+candidate) inside the same device program provably recovers the true
+top-K, with a transparent stock-path fallback on the rare rescore-budget
+overflow (see :func:`_serve_exact`).
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mfx.kernels.serve_pallas import AUG_LANES, tile_topk2
+from mfx.kernels.serve_pallas import AUG_LANES, tile_topk, tile_topk2
 from mfx.serve.topk import TopKRecommender
 
 __all__ = [
@@ -123,6 +129,82 @@ def _serve(pu, Q_aug, bu_b, mu, seenmat, k, tile, interpret=False):
     return items, top + bu_b[:, None] + mu
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "s_max", "depth", "interpret")
+)
+def _serve_exact(pu, Q_aug, bu_b, mu, seenmat, k, tile, s_max, depth,
+                 interpret=False):
+    """CERTIFIED-EXACT fused serving. The per-tile top-``depth`` kernel
+    runs as in :func:`_serve`; exactness then follows from a bound the
+    kernel already computed: an item NOT among its tile's top-``depth``
+    scores ≤ that tile's ``depth``-th best ``m_D[t]``. With ``τ`` the
+    user's k-th pool candidate, only tiles with ``m_D[t] > τ`` can hide
+    a better item — i.e. tiles where >``depth`` of the user's top
+    region collide, which ``depth`` makes combinatorially rare — so
+    rescore exactly the UNION of such tiles across the batch (one
+    shared gather + MXU matmul), mask the pool's copies of union items
+    (dedup), and take the final exact top-K over pool ∪ union. Returns
+    (items, scores, overflow, n_suspect): ``overflow`` means the union
+    exceeded ``s_max`` and the result is NOT certified — the caller
+    falls back to the stock exact path. Ties exactly at τ may resolve
+    either way (same as ``top_k``)."""
+    pu_aug = _augment_rows(pu, Q_aug.dtype)
+    ranks = tile_topk(pu_aug, Q_aug, tile=tile, depth=depth,
+                      interpret=interpret)
+    ms, as_ = ranks[0::2], ranks[1::2]
+    B, tn = ms[0].shape
+    ipad = Q_aug.shape[0]
+    base = (jnp.arange(tn, dtype=jnp.int32) * tile)[None, :]
+    gs_ = [a + base for a in as_]
+    vs_ = [jnp.where(_member(seenmat, g), -jnp.inf, m)
+           for g, m in zip(gs_, ms)]
+    vals = jnp.concatenate(vs_, axis=1)
+    ids = jnp.concatenate(gs_, axis=1)
+    top, sel = jax.lax.top_k(vals, k)
+    pool_ids = jnp.take_along_axis(ids, sel, axis=1)
+    tau = top[:, k - 1]
+    suspect = ms[-1] > tau[:, None]              # (B, tn)
+    sus_any = jnp.any(suspect, axis=0)           # (tn,)
+    n_sus = jnp.sum(sus_any.astype(jnp.int32))
+    overflow = n_sus > s_max
+    # suspects first (ascending tile id), then the remaining tiles —
+    # extra non-suspect slots only ADD exactly-scored candidates
+    sel_tiles = jnp.argsort(~sus_any)[:s_max].astype(jnp.int32)
+    cols = (sel_tiles[:, None] * tile
+            + jnp.arange(tile, dtype=jnp.int32)[None, :])
+    gids = cols.reshape(-1)                      # (s_max*tile,) distinct
+    Q_sel = jnp.take(Q_aug, gids, axis=0)
+    sub = jax.lax.dot_general(
+        pu_aug, Q_sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST: true-f32 like the Pallas kernel — XLA's default would
+        # bf16-round the inputs and the rescored copies of pool items
+        # would drift ~1e-3 from their kernel scores
+        precision=jax.lax.Precision.HIGHEST,
+    )                                            # (B, s_max*tile)
+    # global->local position of union items (ipad slot = seen sentinel)
+    big = jnp.int32(s_max * tile)
+    loc = jnp.full((ipad + 1,), big, jnp.int32)
+    loc = loc.at[gids].set(jnp.arange(s_max * tile, dtype=jnp.int32))
+    # seen exclusion inside the union: scatter -inf at local positions
+    seen_loc = jnp.take(loc, jnp.clip(seenmat, 0, ipad), axis=0)
+    rows_b = jnp.arange(B, dtype=jnp.int32)[:, None]
+    sub = sub.at[
+        jnp.broadcast_to(rows_b, seen_loc.shape), seen_loc
+    ].set(-jnp.inf, mode="drop")
+    # dedup: pool copies of union items yield to their exact rescore
+    in_union = jnp.take(loc, pool_ids, axis=0) < big
+    allv = jnp.concatenate(
+        [jnp.where(in_union, -jnp.inf, top), sub], axis=1
+    )
+    alli = jnp.concatenate(
+        [pool_ids, jnp.broadcast_to(gids[None, :], sub.shape)], axis=1
+    )
+    fv, fsel = jax.lax.top_k(allv, k)
+    fi = jnp.take_along_axis(alli, fsel, axis=1)
+    return fi, fv + bu_b[:, None] + mu, overflow, n_sus
+
+
 class _FusedServingBase(TopKRecommender):
     """Members shared by the single-device and sharded fused
     recommenders: batch-row user gather (the user table is never copied
@@ -170,11 +252,23 @@ class FusedTopKRecommender(_FusedServingBase):
     The user table is never copied or lane-widened: it stays wherever it
     lives (host numpy or device) and only the batch's (B, rank) rows
     travel, augmented inside the jitted program.
+
+    ``exact=True`` upgrades the approximate contract to CERTIFIED
+    EXACT at nearly fused speed: the kernel's per-tile runner-up values
+    bound every hidden item, so only tiles whose runner-up beats a
+    user's k-th candidate can hide a miss — the batch's union of such
+    tiles (≤ ``exact_tiles``, shared across users because the Zipf-hot
+    head tiles are suspect for everyone) is rescored exactly inside the
+    same device program and merged. When the union overflows
+    ``exact_tiles`` (rare; flagged on-device), the batch transparently
+    falls back to the stock exact scorer, so results are ALWAYS exact.
+    ``exact_fallbacks`` counts those batches for observability.
     """
 
     def __init__(
         self, model, train=None, batch: int = 256, table_dtype: str = "f32",
         tile: int = 1024, interpret: bool | None = None,
+        exact: bool = False, exact_tiles: int = 64, exact_depth: int = 8,
     ):
         _validate_fused(table_dtype, tile, model.rank)
         # base init wires the seen CSR / batch plumbing; table quantization
@@ -189,6 +283,17 @@ class FusedTopKRecommender(_FusedServingBase):
         I = model.num_items
         self._ipad = -(-I // tile) * tile
         self._tn = self._ipad // tile
+        if exact_tiles < 1:
+            raise ValueError(f"exact_tiles must be >= 1, got {exact_tiles}")
+        if not 1 <= exact_depth <= tile:
+            raise ValueError(
+                f"exact_depth must be in [1, tile], got {exact_depth}"
+            )
+        self.exact = bool(exact)
+        self._s_max = min(exact_tiles, self._tn)
+        self.exact_depth = exact_depth
+        self.exact_fallbacks = 0  # batches that overflowed to the stock path
+        self._exact_rec = None
         self._Q_aug = _augment_catalog(model.Q, model.bi, self._ipad, dt)
         self._P_src = model.P
         self._bu_src = model.bu
@@ -197,20 +302,42 @@ class FusedTopKRecommender(_FusedServingBase):
 
     def _validate(self, users, k):
         super()._validate(users, k)
-        if k > 2 * self._tn:
+        pool = (self.exact_depth if self.exact else 2) * self._tn
+        if k > pool:
             raise ValueError(
-                f"k={k} exceeds the fused candidate pool 2*n_tiles="
-                f"{2 * self._tn}; lower tile or use TopKRecommender"
+                f"k={k} exceeds the fused candidate pool depth*n_tiles="
+                f"{pool}; lower tile or use TopKRecommender"
             )
 
     def _score_batch(self, ub, rows, seenmat, k):
         del rows  # fused exclusion uses the per-row seen matrix
         pu, bu_b = self._user_rows(ub)
-        return _serve(
+        if not self.exact:
+            return _serve(
+                jnp.asarray(pu, jnp.float32), self._Q_aug,
+                jnp.asarray(bu_b, jnp.float32), self._mu,
+                jnp.asarray(seenmat), k, self.tile, self.interpret,
+            )
+        i_, s_, overflow, _n = _serve_exact(
             jnp.asarray(pu, jnp.float32), self._Q_aug,
             jnp.asarray(bu_b, jnp.float32), self._mu,
-            jnp.asarray(seenmat), k, self.tile, self.interpret,
+            jnp.asarray(seenmat), k, self.tile, self._s_max,
+            self.exact_depth, self.interpret,
         )
+        if bool(np.asarray(overflow)):
+            # the suspect-tile union outgrew the rescore budget: this
+            # batch is not certified — serve it through the stock exact
+            # scorer instead, so 'exact=True' is unconditional
+            self.exact_fallbacks += 1
+            if self._exact_rec is None:
+                self._exact_rec = TopKRecommender(
+                    self.model, batch=self.batch
+                )
+                self._exact_rec._seen = self._seen  # share the CSR
+            return self._exact_rec._score_batch(
+                ub, *self._exact_rec._exclusions(ub), k
+            )
+        return i_, s_
 
 
 class FusedShardedTopKRecommender(_FusedServingBase):
@@ -232,6 +359,7 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         self, model, mesh, train=None, batch: int = 256,
         table_dtype: str = "f32", tile: int = 1024,
         interpret: bool | None = None,
+        exact: bool = False, exact_tiles: int = 64, exact_depth: int = 8,
     ):
         _validate_fused(table_dtype, tile, model.rank)
         super().__init__(model, train=train, batch=batch, table_dtype="f32")
@@ -263,13 +391,31 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         self._mu = jnp.asarray(model.mu, jnp.float32)
         self._dt = dt
         self._kern = {}
+        if exact_tiles < 1:
+            raise ValueError(f"exact_tiles must be >= 1, got {exact_tiles}")
+        # exact mode: each shard upgrades its LOCAL selection with the
+        # suspect-tile rescore of _serve_exact — exact local top-K per
+        # shard makes the S*K merge exact globally. Overflow on ANY
+        # shard fails the certificate for the batch -> stock sharded
+        # exact fallback.
+        if not 1 <= exact_depth <= tile:
+            raise ValueError(
+                f"exact_depth must be in [1, tile], got {exact_depth}"
+            )
+        self.exact = bool(exact)
+        self._s_max = min(exact_tiles, self._tn_loc)
+        self.exact_depth = exact_depth
+        self.exact_fallbacks = 0
+        self._exact_rec = None
+        self._mesh_src = mesh
 
     def _validate(self, users, k):
         super()._validate(users, k)
-        if k > 2 * self._tn_loc:
+        pool = (self.exact_depth if self.exact else 2) * self._tn_loc
+        if k > pool:
             raise ValueError(
-                f"k={k} exceeds the per-shard fused pool 2*tiles/shard="
-                f"{2 * self._tn_loc}; lower tile or shard count"
+                f"k={k} exceeds the per-shard fused pool "
+                f"depth*tiles/shard={pool}; lower tile or shard count"
             )
 
     def _kernel(self, k: int):
@@ -280,33 +426,87 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         tile, tn_loc = self.tile, self._tn_loc
         iloc = tn_loc * tile
         dt, interpret = self._dt, self.interpret
+        exact, s_max = self.exact, self._s_max
+        depth = self.exact_depth if self.exact else 2
 
         def shard_fn(pu, bu_b, mu, seenmat, Q_loc):
             s = jax.lax.axis_index("shard")
             pu_aug = _augment_rows(pu, dt)
-            m1, a1, m2, a2 = tile_topk2(
-                pu_aug, Q_loc, tile=tile, interpret=interpret
+            ranks = tile_topk(
+                pu_aug, Q_loc, tile=tile, depth=depth, interpret=interpret
             )
+            ms, as_ = ranks[0::2], ranks[1::2]
+            B = ms[0].shape[0]
             base = (jnp.arange(tn_loc, dtype=jnp.int32) * tile)[None, :]
-            g1 = a1 + base + s * iloc
-            g2 = a2 + base + s * iloc
-            v1 = jnp.where(_member(seenmat, g1), -jnp.inf, m1)
-            v2 = jnp.where(_member(seenmat, g2), -jnp.inf, m2)
-            vals = jnp.concatenate([v1, v2], axis=1)
-            ids = jnp.concatenate([g1, g2], axis=1)
+            gs_ = [a + base + s * iloc for a in as_]
+            vs_ = [jnp.where(_member(seenmat, g), -jnp.inf, m)
+                   for g, m in zip(gs_, ms)]
+            vals = jnp.concatenate(vs_, axis=1)
+            ids = jnp.concatenate(gs_, axis=1)
             ls, sel = jax.lax.top_k(vals, k)
             li = jnp.take_along_axis(ids, sel, axis=1)
+            n_over = jnp.int32(0)
+            if exact:
+                # upgrade the LOCAL selection exactly as _serve_exact
+                # does single-device, in shard-local coordinates
+                tau = ls[:, k - 1]
+                sus_any = jnp.any(ms[-1] > tau[:, None], axis=0)
+                n_sus = jnp.sum(sus_any.astype(jnp.int32))
+                n_over = (n_sus > s_max).astype(jnp.int32)
+                sel_tiles = jnp.argsort(~sus_any)[:s_max].astype(jnp.int32)
+                cols = (sel_tiles[:, None] * tile
+                        + jnp.arange(tile, dtype=jnp.int32)[None, :])
+                lids = cols.reshape(-1)
+                sub = jax.lax.dot_general(
+                    pu_aug, jnp.take(Q_loc, lids, axis=0),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                big = jnp.int32(s_max * tile)
+                loc = jnp.full((iloc + 1,), big, jnp.int32)
+                loc = loc.at[lids].set(
+                    jnp.arange(s_max * tile, dtype=jnp.int32)
+                )
+                # out-of-shard seen ids must map to the sentinel slot,
+                # NOT clip onto local item 0
+                g_loc = seenmat - s * iloc
+                g_loc = jnp.where(
+                    (g_loc >= 0) & (g_loc < iloc), g_loc, iloc
+                )
+                seen_loc = jnp.take(loc, g_loc, axis=0)
+                rows_b = jnp.arange(B, dtype=jnp.int32)[:, None]
+                sub = sub.at[
+                    jnp.broadcast_to(rows_b, seen_loc.shape), seen_loc
+                ].set(-jnp.inf, mode="drop")
+                # li is always in-shard, but guard the same way
+                l_loc = li - s * iloc
+                l_loc = jnp.where(
+                    (l_loc >= 0) & (l_loc < iloc), l_loc, iloc
+                )
+                in_union = jnp.take(loc, l_loc, axis=0) < big
+                allv = jnp.concatenate(
+                    [jnp.where(in_union, -jnp.inf, ls), sub], axis=1
+                )
+                gsub = lids + s * iloc
+                alli = jnp.concatenate(
+                    [li, jnp.broadcast_to(gsub[None, :], sub.shape)],
+                    axis=1,
+                )
+                ls, sel = jax.lax.top_k(allv, k)
+                li = jnp.take_along_axis(alli, sel, axis=1)
+                n_over = jax.lax.psum(n_over, "shard")
             cs = jax.lax.all_gather(ls, "shard", axis=1, tiled=True)
             ci = jax.lax.all_gather(li, "shard", axis=1, tiled=True)
             gs, sel2 = jax.lax.top_k(cs, k)  # over S*k candidates — exact
             gi = jnp.take_along_axis(ci, sel2, axis=1)
-            return gi, gs + bu_b[:, None] + mu
+            return gi, gs + bu_b[:, None] + mu, n_over
 
         fn = jax.shard_map(
             shard_fn,
             mesh=self._flat,
             in_specs=(P(), P(), P(), P(), P("shard")),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             # outputs ARE replicated (all_gather + identical final top_k
             # on every shard) but inference can't prove it
             check_vma=False,
@@ -318,10 +518,26 @@ class FusedShardedTopKRecommender(_FusedServingBase):
     def _score_batch(self, ub, rows, seenmat, k):
         del rows
         pu, bu_b = self._user_rows(ub)
-        return self._kernel(k)(
+        gi, gs, n_over = self._kernel(k)(
             jnp.asarray(pu, jnp.float32), jnp.asarray(bu_b, jnp.float32),
             self._mu, jnp.asarray(seenmat), self._Q_aug,
         )
+        if self.exact and int(np.asarray(n_over)) > 0:
+            # a shard's suspect union outgrew its rescore budget: the
+            # certificate failed for this batch — serve it through the
+            # stock exact sharded scorer instead
+            self.exact_fallbacks += 1
+            from mfx.serve.sharded import ShardedTopKRecommender
+
+            if self._exact_rec is None:
+                self._exact_rec = ShardedTopKRecommender(
+                    self.model, self._mesh_src, batch=self.batch
+                )
+                self._exact_rec._seen = self._seen  # share the CSR
+            return self._exact_rec._score_batch(
+                ub, *self._exact_rec._exclusions(ub), k
+            )
+        return gi, gs
 
 
 def _seen_matrix(csr, users, batch: int, sentinel: int) -> np.ndarray:

@@ -146,9 +146,16 @@ def _topk_batch_int8(tabs: _Int8Tables, users, excl_rows, excl_items, k,
 def _topk_batch(model, users, excl_rows, excl_items, k, recall_target=None):
     pu = jnp.take(model.P, users, axis=0, mode="clip")  # (B, r)
     # preferred_element_type: f32 MXU accumulation even when the factor
-    # tables are stored bf16 (table_dtype='bf16'); no-op for f32 tables
+    # tables are stored bf16 (table_dtype='bf16'); no-op for f32 tables.
+    # precision HIGHEST: XLA's DEFAULT rounds f32 matmul INPUTS to bf16
+    # on TPU (~1e-3 relative score error) — the exact path should be
+    # exact over true f32 scores, and the dispatch is score-block-bound
+    # so the extra MXU passes are latency-free (chip-measured ~147 ms at
+    # every table dtype). The Pallas fused kernel scores in true f32
+    # already; this keeps the two exact paths bitwise-comparable.
     scores = (
-        jnp.matmul(pu, model.Q.T, preferred_element_type=jnp.float32)
+        jnp.matmul(pu, model.Q.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
         + model.bi[None, :]
         + jnp.take(model.bu, users, mode="clip")[:, None]
         + model.mu

@@ -168,3 +168,66 @@ def test_sharded_topk_k_exceeding_shard_slice_raises():
         rec.recommend([0], k=3)
     items, _ = rec.recommend([1], k=2)
     assert items.shape == (1, 2)
+
+
+def test_fused_sharded_exact_matches_stock_exact():
+    """exact=True on the sharded fused path: per-shard certified local
+    top-K makes the S*K merge globally exact. Adversarial catalog — a
+    user's whole true top-K inside ONE tile — where the plain fused
+    path provably misses; and an under-budgeted rescore falls back to
+    the stock sharded scorer (still exact)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mfx.data.coo import RatingsCOO
+    from mfx.serve import (
+        FusedShardedTopKRecommender, FusedTopKRecommender, TopKRecommender,
+    )
+
+    rng = np.random.default_rng(12)
+    U, I, r, tile, k = 8, 3072, 4, 128, 4  # 24 tiles, 3/shard, pool 6
+    Q = rng.normal(0, 0.05, (I, r)).astype(np.float32)
+    taste = rng.normal(0, 1, r).astype(np.float32)
+    hot = np.arange(256, 264)  # 8 best items, all inside tile 2 (shard 0)
+    Q[hot] = taste[None, :] * np.linspace(2.0, 1.3, 8)[:, None]
+    model = init_model(9, U, I, rank=r, global_mean=3.0)
+    P = np.broadcast_to(taste, (U, r)).copy()
+    model = dataclasses.replace(
+        model, P=jnp.asarray(P), Q=jnp.asarray(Q),
+        bu=jnp.zeros(U), bi=jnp.zeros(I),
+    )
+    mesh = make_mesh(2, 4)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = TopKRecommender(model, batch=8).recommend(users, k=k)
+    pi, _ = FusedTopKRecommender(model, batch=8, tile=tile).recommend(
+        users, k=k
+    )
+    assert np.isin(pi[0], hot).sum() == 2  # plain: only the tile's top-2
+    rec = FusedShardedTopKRecommender(
+        model, mesh, batch=8, tile=tile, exact=True, exact_tiles=3,
+        exact_depth=2,
+    )
+    gi, gs = rec.recommend(users, k=k)
+    np.testing.assert_array_equal(gi, ri)
+    np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-5)
+    assert np.isin(gi[0], hot).sum() == k
+    assert rec.exact_fallbacks == 0
+
+    # overflow: a user whose seen list blankets shard 0 leaves its local
+    # pool -inf => tau=-inf => all 3 local tiles suspect > budget 1 =>
+    # certified-exactness fails for the batch => stock sharded fallback
+    su = np.zeros(380, np.int32)
+    si = np.arange(380, dtype=np.int32)  # most of shard 0's 384 items
+    coo = RatingsCOO(su, si, np.ones(380, np.float32),
+                     num_users=U, num_items=I)
+    rec2 = FusedShardedTopKRecommender(
+        model, mesh, train=coo, batch=8, tile=tile, exact=True,
+        exact_tiles=1, exact_depth=2,
+    )
+    ri2, rs2 = TopKRecommender(model, train=coo, batch=8).recommend(
+        users, k=5
+    )
+    gi2, gs2 = rec2.recommend(users, k=5)
+    np.testing.assert_allclose(gs2, rs2, rtol=1e-5, atol=1e-5)
+    assert rec2.exact_fallbacks >= 1

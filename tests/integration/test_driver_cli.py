@@ -387,3 +387,19 @@ def test_cli_blend_exports_single_model(tmp_path):
             <= min(summary["member_val_rmse"]) + 1e-9)
     blended = MFModel.load_npz(blend_npz)
     assert blended.rank == 12
+
+
+def test_cli_help_of_every_subcommand():
+    """--help of every wired subcommand renders (guards argparse wiring
+    regressions — a bad default/flag collision dies at parser build)."""
+    import mfx.cli as cli
+
+    parser_cmds = [
+        "train", "eval", "bench", "recommend", "similar", "serve",
+        "update", "blend", "compress", "export", "tune", "datasets",
+        "presets",
+    ]
+    for cmd in parser_cmds:
+        with pytest.raises(SystemExit) as e:
+            _run_cli([cmd, "--help"])
+        assert e.value.code == 0, cmd

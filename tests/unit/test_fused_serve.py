@@ -206,3 +206,110 @@ def test_fused_validation():
     big = init_model(0, 4, 16, rank=AUG_LANES, global_mean=0.0)
     with pytest.raises(ValueError, match="rank"):
         FusedTopKRecommender(big)
+
+
+def test_exact_fused_matches_stock_exactly():
+    """exact=True: fused results EQUAL the stock exact recommender —
+    items and scores — including with seen exclusions, at a shape where
+    the plain fused path provably differs (tiny tiles force tile
+    collisions among the top-K)."""
+    U, I, k = 32, 2048, 12  # 16 tiles at tile=128 -> 32-candidate pool
+    coo = synthetic.make_synthetic(U, I, 2000, seed=7)
+    model = init_model(3, U, I, rank=8, global_mean=3.5)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = TopKRecommender(model, train=coo, batch=8).recommend(users, k=k)
+    rec = FusedTopKRecommender(
+        model, train=coo, batch=8, tile=128, exact=True, exact_tiles=16,
+        exact_depth=2,
+    )
+    fi, fs = rec.recommend(users, k=k)
+    # k close to the pool (32) forces >2-per-tile collisions: the plain
+    # fused path must actually differ here, or this test proves nothing
+    pi, _ = FusedTopKRecommender(
+        model, train=coo, batch=8, tile=128
+    ).recommend(users, k=k)
+    assert (pi != ri).any()
+    np.testing.assert_array_equal(fi, ri)
+    np.testing.assert_allclose(fs, rs, rtol=1e-5, atol=1e-5)
+    assert rec.exact_fallbacks == 0  # exact_tiles=tn: never overflows
+
+
+def test_exact_fused_overflow_falls_back_to_stock():
+    """exact_tiles too small for the suspect union: the batch falls
+    back to the stock exact scorer — results still exact, counted."""
+    U, I, k = 16, 1024, 16  # 8 tiles: k=16 == pool, everything suspect
+    coo = synthetic.make_synthetic(U, I, 800, seed=8)
+    model = init_model(4, U, I, rank=8, global_mean=3.5)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = TopKRecommender(model, train=coo, batch=8).recommend(users, k=k)
+    rec = FusedTopKRecommender(
+        model, train=coo, batch=8, tile=128, exact=True, exact_tiles=2,
+        exact_depth=2,
+    )
+    fi, fs = rec.recommend(users, k=k)
+    np.testing.assert_array_equal(fi, ri)
+    np.testing.assert_allclose(fs, rs, rtol=1e-5, atol=1e-5)
+    assert rec.exact_fallbacks >= 1
+
+
+def test_exact_fused_adversarial_one_hot_tile():
+    """Adversarial catalog: a user's entire true top-K lives in ONE
+    tile (hidden ranks 3+ are invisible to the plain fused path). The
+    exact path must recover them all."""
+    rng = np.random.default_rng(9)
+    I, r, tile, k = 1024, 4, 128, 6
+    Q = rng.normal(0, 0.05, (I, r)).astype(np.float32)
+    taste = rng.normal(0, 1, r).astype(np.float32)
+    hot = np.arange(256, 256 + 8)  # 8 best items, all inside tile 2
+    Q[hot] = taste[None, :] * np.linspace(2.0, 1.3, 8)[:, None]
+    import dataclasses
+
+    model = init_model(5, 4, I, rank=r, global_mean=3.0)
+    P = np.zeros((4, r), np.float32)
+    P[:] = taste
+    model = dataclasses.replace(
+        model, P=jnp.asarray(P), Q=jnp.asarray(Q),
+        bu=jnp.zeros(4), bi=jnp.zeros(I),
+    )
+    users = np.arange(4, dtype=np.int32)
+    plain_i, _ = FusedTopKRecommender(
+        model, batch=4, tile=tile
+    ).recommend(users, k=k)
+    exact_i, exact_s = FusedTopKRecommender(
+        model, batch=4, tile=tile, exact=True, exact_tiles=4, exact_depth=2,
+    ).recommend(users, k=k)
+    ref_i, ref_s = TopKRecommender(model, batch=4).recommend(users, k=k)
+    # the plain path can only surface 2 of the 6 hot items
+    assert np.isin(plain_i[0], hot).sum() == 2
+    np.testing.assert_array_equal(exact_i, ref_i)
+    np.testing.assert_allclose(exact_s, ref_s, rtol=1e-5, atol=1e-5)
+    assert np.isin(exact_i[0], hot).sum() == 6
+
+
+def test_tile_topk_depth4_matches_numpy_oracle():
+    """Per-tile top-4 ranks (values + lanes) equal the argsort oracle —
+    the deeper selection behind certified-exact serving."""
+    from mfx.kernels.serve_pallas import tile_topk
+
+    rng = np.random.default_rng(5)
+    B, I, r, tile, D = 8, 512, 6, 128, 4
+    P = rng.normal(0, 1, (B, r)).astype(np.float32)
+    Q = rng.normal(0, 1, (I, r)).astype(np.float32)
+    P_aug = np.zeros((B, AUG_LANES), np.float32)
+    P_aug[:, :r] = P
+    P_aug[:, r] = 1.0
+    Q_aug = np.zeros((I, AUG_LANES), np.float32)
+    Q_aug[:, :r] = Q
+    out = tile_topk(jnp.asarray(P_aug), jnp.asarray(Q_aug), tile=tile,
+                    depth=D, interpret=True)
+    scores = P @ Q.T
+    tn = I // tile
+    for t in range(tn):
+        blk = scores[:, t * tile:(t + 1) * tile]
+        o = np.argsort(-blk, axis=1, kind="stable")
+        for j in range(D):
+            np.testing.assert_allclose(
+                np.asarray(out[2 * j])[:, t],
+                blk[np.arange(B), o[:, j]], rtol=1e-5, atol=1e-5,
+            )
+            assert (np.asarray(out[2 * j + 1])[:, t] == o[:, j]).all()
