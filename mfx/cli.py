@@ -254,7 +254,9 @@ def cmd_serve(args) -> int:
                 exact_depth=args.exact_depth,
             )
             sim = functools.partial(
-                similar_items_fused, model, tile=args.tile
+                similar_items_fused, model, tile=args.tile,
+                exact=args.fused_exact, exact_tiles=args.exact_tiles,
+                exact_depth=args.exact_depth,
             )
         else:
             rec = TopKRecommender(

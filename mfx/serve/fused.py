@@ -559,6 +559,7 @@ def _seen_matrix(csr, users, batch: int, sentinel: int) -> np.ndarray:
 def similar_items_fused(
     model, items, k: int = 10, batch: int = 256, tile: int = 1024,
     table_dtype: str = "f32", interpret: bool | None = None,
+    exact: bool = False, exact_tiles: int = 64, exact_depth: int = 8,
 ):
     """Score-block-free related-items serving: top-``k`` item neighbors
     by factor cosine via the SAME per-tile top-2 kernel and single
@@ -566,17 +567,22 @@ def similar_items_fused(
     "user" side, the row-normalized catalog rides the augmented table
     with a zero bias lane, and the per-row exclusion matrix holds just
     the query item itself. Approximate like the fused recommender (top-2
-    per tile survive). Returns (items (n, k) int32, cosines (n, k) f32).
+    per tile survive) unless ``exact=True`` — the same certified
+    suspect-tile rescore as the recommender (here the tile collisions
+    are the COMMON case: an item's nearest neighbors cluster in factor
+    space, often into its own tile). Returns (items (n, k) int32,
+    cosines (n, k) f32).
     """
     _validate_fused(table_dtype, tile, model.rank)
     items = np.asarray(items, np.int32).reshape(-1)
     I = model.num_items
     ipad = -(-I // tile) * tile
     tn = ipad // tile
-    if k < 1 or k > min(I - 1, 2 * tn):
+    pool = (exact_depth if exact else 2) * tn
+    if k < 1 or k > min(I - 1, pool):
         raise ValueError(
-            f"k must be in [1, min(num_items-1, 2*n_tiles)="
-            f"{min(I - 1, 2 * tn)}], got {k}"
+            f"k must be in [1, min(num_items-1, depth*n_tiles)="
+            f"{min(I - 1, pool)}], got {k}"
         )
     if np.any((items < 0) | (items >= I)):
         raise ValueError("item id out of range")
@@ -603,9 +609,26 @@ def similar_items_fused(
         seen = np.full((batch, 8), ipad, np.int32)
         seen[:, 0] = qb
         pu = jnp.take(Qn, jnp.asarray(qb), axis=0, mode="clip")
-        i_, s_ = _serve(
-            pu, Q_aug, zeros_bu, mu, jnp.asarray(seen), k, tile, interpret,
-        )
+        if exact:
+            i_, s_, overflow, _n = _serve_exact(
+                pu, Q_aug, zeros_bu, mu, jnp.asarray(seen), k, tile,
+                min(exact_tiles, tn), exact_depth, interpret,
+            )
+            if bool(np.asarray(overflow)):
+                # certificate failed: exact cosine top-K via the stock
+                # dense path for this batch (self-excluded)
+                sim = Qn @ Qn.T
+                sim = sim.at[
+                    jnp.arange(len(qb)), jnp.asarray(qb)
+                ].set(-jnp.inf)
+                s_, i_ = jax.lax.top_k(
+                    jnp.take(sim, jnp.asarray(qb), axis=0), k
+                )
+        else:
+            i_, s_ = _serve(
+                pu, Q_aug, zeros_bu, mu, jnp.asarray(seen), k, tile,
+                interpret,
+            )
         m = stop - start
         i_np = np.asarray(i_)[:m]
         s_np = np.asarray(s_)[:m]

@@ -313,3 +313,39 @@ def test_tile_topk_depth4_matches_numpy_oracle():
                 blk[np.arange(B), o[:, j]], rtol=1e-5, atol=1e-5,
             )
             assert (np.asarray(out[2 * j + 1])[:, t] == o[:, j]).all()
+
+
+def test_similar_items_fused_exact_recovers_clustered_neighbors():
+    """Related items with exact=True: an item's true nearest neighbors
+    cluster inside its own tile (the common real case) — top-2-per-tile
+    misses them, the certified rescore recovers the dense-cosine
+    oracle."""
+    from mfx.serve.fused import similar_items_fused
+
+    rng = np.random.default_rng(10)
+    I, r, tile, k = 1024, 8, 128, 5
+    Q = rng.normal(0, 1, (I, r)).astype(np.float32)
+    axis = rng.normal(0, 1, r).astype(np.float32)
+    cluster = np.arange(512, 520)  # 8 near-identical items in tile 4
+    Q[cluster] = axis[None, :] * np.linspace(1.0, 0.99, 8)[:, None]
+
+    model = init_model(6, 4, I, rank=r, global_mean=3.0)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    model = dataclasses.replace(model, Q=jnp.asarray(Q))
+    query = [512]
+    plain_i, _ = similar_items_fused(model, query, k=k, tile=tile)
+    assert np.isin(plain_i[0], cluster).sum() < k  # top-2 misses some
+    ex_i, ex_c = similar_items_fused(
+        model, query, k=k, tile=tile, exact=True, exact_depth=2,
+        exact_tiles=4,
+    )
+    # dense oracle
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sim = Qn @ Qn[512]
+    sim[512] = -np.inf
+    want = np.argsort(-sim, kind="stable")[:k]
+    np.testing.assert_array_equal(ex_i[0], want)
+    np.testing.assert_allclose(ex_c[0], sim[want], rtol=1e-5, atol=1e-5)
