@@ -25,11 +25,15 @@ from mfx.eval.ranking import (
 from mfx.models.mf import MFModel, init_model
 from mfx.models.svdpp import SVDppModel, init_svdpp
 from mfx.models.timesvd import TimeSVDModel, init_timesvd, fit_time_features
+from mfx.models.ensemble import BlendResult, blend_as_mf, fit_blend
+from mfx.models.compress import CompressResult, compress_model
 from mfx.serve import (
-    FusedTopKRecommender, ShardedTopKRecommender, TopKRecommender,
+    FusedTopKRecommender, MMRRecommender, ShardedTopKRecommender,
+    TopKRecommender, fold_in, recommend_cold, rerank_mmr, similar_items,
 )
 from mfx.train.checkpoint import load_checkpoint, save_checkpoint
 from mfx.train.driver import TrainResult, train
+from mfx.train.online import grow_model, partial_fit
 from mfx.tune import SweepResult, sweep_sgd
 
 __all__ = [
@@ -46,7 +50,11 @@ __all__ = [
     "TimeSVDModel", "init_timesvd", "fit_time_features",
     "load_checkpoint", "save_checkpoint",
     "TrainResult", "train", "TopKRecommender", "ShardedTopKRecommender",
-    "FusedTopKRecommender",
+    "FusedTopKRecommender", "MMRRecommender", "rerank_mmr",
+    "similar_items", "fold_in", "recommend_cold",
+    "BlendResult", "fit_blend", "blend_as_mf",
+    "CompressResult", "compress_model",
+    "grow_model", "partial_fit",
     "SweepResult", "sweep_sgd",
 ]
 
