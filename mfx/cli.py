@@ -238,6 +238,29 @@ def cmd_serve(args) -> int:
 
     def build() -> dict:
         model, epoch, _seed = load_checkpoint(args.checkpoint)
+        # 'mfx update' grows the tables past the dataset's id space:
+        # widen the exclusion COO's declared shape (so its CSR covers
+        # the new users) and extend the raw-id map with identity for
+        # new dense ids, or serving 500s on any grown row
+        exclude_b, raw_b = exclude, raw_ids
+        if exclude is not None and (
+            model.num_users > exclude.num_users
+            or model.num_items > exclude.num_items
+        ):
+            import dataclasses
+
+            exclude_b = dataclasses.replace(
+                exclude,
+                num_users=max(model.num_users, exclude.num_users),
+                num_items=max(model.num_items, exclude.num_items),
+            )
+        if raw_b is not None and model.num_items > len(raw_b):
+            import numpy as np
+
+            raw_b = np.concatenate([
+                raw_b,
+                np.arange(len(raw_b), model.num_items, dtype=raw_b.dtype),
+            ])
         if args.fused:
             from mfx.serve import FusedTopKRecommender
 
@@ -248,7 +271,7 @@ def cmd_serve(args) -> int:
                     "own selection scheme (drop --recall-target)"
                 )
             rec = FusedTopKRecommender(
-                model, train=exclude, batch=args.batch,
+                model, train=exclude_b, batch=args.batch,
                 table_dtype=args.table_dtype, tile=args.tile,
                 exact=args.fused_exact, exact_tiles=args.exact_tiles,
                 exact_depth=args.exact_depth,
@@ -260,7 +283,7 @@ def cmd_serve(args) -> int:
             )
         else:
             rec = TopKRecommender(
-                model, train=exclude, batch=args.batch,
+                model, train=exclude_b, batch=args.batch,
                 table_dtype=args.table_dtype,
                 recall_target=args.recall_target,
             )
@@ -279,15 +302,15 @@ def cmd_serve(args) -> int:
             "recommender": rec,
             "similar": lambda q, k: sim(q, k=k),
             "cold": lambda hs, k: cold(hs, k=k),
-            "raw_item_ids": raw_ids,
+            "raw_item_ids": raw_b,
             "info": {"checkpoint_epoch": epoch},
         }
 
     first = build()
     srv = RecServer(
         first["recommender"], similar=first["similar"],
-        cold=first["cold"], raw_item_ids=raw_ids, reload=build,
-        host=args.host, port=args.port,
+        cold=first["cold"], raw_item_ids=first["raw_item_ids"],
+        reload=build, host=args.host, port=args.port,
     )
     model = first["recommender"].model
     print(json.dumps({

@@ -124,14 +124,17 @@ def blend_as_mf(
             f"weights must be ({len(models)},), got {weights.shape}"
         )
     f = models[0].P.dtype
+    # weights cast to f BEFORE multiplying: an f32 scalar would silently
+    # promote bf16 member tables to f32, doubling the blend's footprint
     P = jnp.concatenate(
-        [jnp.asarray(w) * m.P.astype(f) for w, m in zip(weights, models)],
+        [jnp.asarray(w, f) * m.P.astype(f)
+         for w, m in zip(weights, models)],
         axis=1,
     )
     Q = jnp.concatenate([m.Q.astype(f) for m in models], axis=1)
-    bu = sum(jnp.asarray(w) * m.bu.astype(f)
+    bu = sum(jnp.asarray(w, f) * m.bu.astype(f)
              for w, m in zip(weights, models))
-    bi = sum(jnp.asarray(w) * m.bi.astype(f)
+    bi = sum(jnp.asarray(w, f) * m.bi.astype(f)
              for w, m in zip(weights, models))
     mu = sum(float(w) * float(m.mu) for w, m in zip(weights, models))
     return MFModel(

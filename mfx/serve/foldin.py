@@ -226,22 +226,38 @@ def recommend_cold(
         P=P_new, Q=jnp.asarray(model.Q),
         bu=bu_new, bi=jnp.asarray(model.bi), mu=jnp.asarray(model.mu),
     )
-    if exclude_history:
-        total = sum(len(ids) for ids, _ in histories)
-        cap = max(8, 1 << int(np.ceil(np.log2(max(total, 1)))))
-        rows = np.full(cap, B, np.int32)  # pad: out-of-range row sentinel
-        items = np.zeros(cap, np.int32)
-        pos = 0
-        for b, (ids, _) in enumerate(histories):
-            c = len(ids)
-            rows[pos:pos + c] = b
-            items[pos:pos + c] = np.asarray(ids, np.int32)
-            pos += c
-    else:
-        rows = np.full(8, B, np.int32)
-        items = np.zeros(8, np.int32)
-    s, i = _topk_batch(
-        tmp, jnp.arange(B, dtype=jnp.int32),
-        jnp.asarray(rows), jnp.asarray(items), k,
-    )
-    return np.asarray(i), np.asarray(s)
+    # score in fixed-bucket user chunks like TopKRecommender.recommend:
+    # the (chunk, num_items) block is capped at ~1 GB (an uncapped
+    # (B, catalog) dispatch can OOM — and on this backend an on-device
+    # OOM poisons the process), and pow-2 bucketing bounds retraces
+    # under varying request sizes
+    bsz = max(1, min(256, (1 << 28) // max(1, model.num_items)))
+    bsz = min(bsz, _pow2_at_least(B, lo=8))
+    out_i = np.empty((B, k), np.int32)
+    out_s = np.empty((B, k), np.float32)
+    for start in range(0, B, bsz):
+        stop = min(start + bsz, B)
+        ub = np.minimum(
+            np.arange(start, start + bsz, dtype=np.int32), B - 1
+        )  # pad rows repeat the last user; their outputs are discarded
+        if exclude_history:
+            chunk = histories[start:stop]
+            total = sum(len(ids) for ids, _ in chunk)
+            cap = _pow2_at_least(max(total, 1), lo=8)
+            rows = np.full(cap, bsz, np.int32)  # out-of-range sentinel
+            excl = np.zeros(cap, np.int32)
+            pos = 0
+            for b, (ids, _) in enumerate(chunk):
+                c = len(ids)
+                rows[pos:pos + c] = b
+                excl[pos:pos + c] = np.asarray(ids, np.int32)
+                pos += c
+        else:
+            rows = np.full(8, bsz, np.int32)
+            excl = np.zeros(8, np.int32)
+        s, i = _topk_batch(
+            tmp, jnp.asarray(ub), jnp.asarray(rows), jnp.asarray(excl), k,
+        )
+        out_i[start:stop] = np.asarray(i)[: stop - start]
+        out_s[start:stop] = np.asarray(s)[: stop - start]
+    return out_i, out_s

@@ -300,6 +300,13 @@ class FusedTopKRecommender(_FusedServingBase):
         self._host_u = isinstance(model.P, np.ndarray)
         self._mu = jnp.asarray(model.mu, jnp.float32)
 
+    @property
+    def max_k(self) -> int:
+        return min(
+            self.model.num_items,
+            (self.exact_depth if self.exact else 2) * self._tn,
+        )
+
     def _validate(self, users, k):
         super()._validate(users, k)
         pool = (self.exact_depth if self.exact else 2) * self._tn
@@ -408,6 +415,13 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         self.exact_fallbacks = 0
         self._exact_rec = None
         self._mesh_src = mesh
+
+    @property
+    def max_k(self) -> int:
+        return min(
+            self.model.num_items,
+            (self.exact_depth if self.exact else 2) * self._tn_loc,
+        )
 
     def _validate(self, users, k):
         super()._validate(users, k)
@@ -616,14 +630,10 @@ def similar_items_fused(
             )
             if bool(np.asarray(overflow)):
                 # certificate failed: exact cosine top-K via the stock
-                # dense path for this batch (self-excluded)
-                sim = Qn @ Qn.T
-                sim = sim.at[
-                    jnp.arange(len(qb)), jnp.asarray(qb)
-                ].set(-jnp.inf)
-                s_, i_ = jax.lax.top_k(
-                    jnp.take(sim, jnp.asarray(qb), axis=0), k
-                )
+                # per-batch path (self-excluded; (batch, I) block only)
+                from mfx.serve.topk import _similar_batch
+
+                s_, i_ = _similar_batch(Qn, jnp.asarray(qb), k)
         else:
             i_, s_ = _serve(
                 pu, Q_aug, zeros_bu, mu, jnp.asarray(seen), k, tile,

@@ -104,12 +104,23 @@ def rerank_mmr(model, items, scores, k: int, lam: float = 0.7):
     lo = np.nanmin(fin, axis=1, keepdims=True)
     hi = np.nanmax(fin, axis=1, keepdims=True)
     rel = np.where(valid, (scores - lo) / np.maximum(hi - lo, 1e-12), 0.0)
+    # pad B to a pow-2 bucket: behind the server's micro-batcher the
+    # merged user count varies per dispatch, and an unpadded jit would
+    # recompile (seconds) for every new B in the serving hot path
+    Bp = max(8, 1 << int(np.ceil(np.log2(max(B, 1)))))
+    if Bp != B:
+        pad = [(0, Bp - B), (0, 0)]
+        items_p = np.pad(items, pad, mode="edge")
+        rel = np.pad(rel, pad, mode="edge")
+        valid_p = np.pad(valid, pad, mode="edge")
+    else:
+        items_p, valid_p = items, valid
     Q = model.Q if hasattr(model, "Q") else model
-    V = jnp.take(jnp.asarray(Q), jnp.asarray(items), axis=0, mode="clip")
+    V = jnp.take(jnp.asarray(Q), jnp.asarray(items_p), axis=0, mode="clip")
     sel = np.asarray(_mmr_batch(
-        V, jnp.asarray(rel, V.dtype), jnp.asarray(valid), k,
+        V, jnp.asarray(rel, V.dtype), jnp.asarray(valid_p), k,
         jnp.asarray(lam, V.dtype),
-    ))
+    ))[:B]
     rows = np.arange(B)[:, None]
     return items[rows, sel], scores[rows, sel]
 
@@ -136,6 +147,14 @@ class MMRRecommender:
         return self._model
 
     def recommend(self, users, k: int = 10):
-        c = min(self.pool * k, self._model.num_items)
+        # clamp the over-fetch to what the inner recommender CAN serve
+        # (the fused paths are candidate-pool-limited via .max_k) — a
+        # diversity wrapper must not turn valid k into a pool error
+        cap = getattr(self._inner, "max_k", self._model.num_items)
+        c = min(self.pool * k, self._model.num_items, cap)
+        if k > c:
+            raise ValueError(
+                f"k={k} exceeds the inner recommender's pool ({cap})"
+            )
         items, scores = self._inner.recommend(users, k=max(c, k))
         return rerank_mmr(self._model, items, scores, k, lam=self.lam)

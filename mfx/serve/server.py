@@ -61,7 +61,18 @@ class _Stats:
         self.dispatch_users = 0
         self.solo_retries = 0
 
+    # fixed label set: client-controlled paths must not grow the metric
+    # cardinality unboundedly (scanner bots) nor inject characters into
+    # the exposition format (a quote in a label value breaks every
+    # subsequent scrape)
+    _PATHS = frozenset({
+        "/recommend", "/similar", "/recommend_cold", "/reload",
+        "/healthz", "/metrics",
+    })
+
     def record(self, path: str, code: int, dt: float) -> None:
+        if path not in self._PATHS:
+            path = "other"
         with self._lock:
             self._counts[(path, code)] = self._counts.get((path, code), 0) + 1
             d = self._lat.get(path)
@@ -311,8 +322,11 @@ class RecServer:
                 took = min(k, int(mask.sum()))
                 keep_i[b, :took] = items[b][mask][:k]
                 keep_s[b, :took] = scores[b][mask][:k]
-                if took < k:  # catalog exhausted: pad with last valid
-                    keep_i[b, took:] = keep_i[b, max(took - 1, 0)]
+                if took < k:
+                    # catalog exhausted: pad slots keep VALID item ids
+                    # (from the excluded pool, in order) with score null
+                    # — never uninitialized memory
+                    keep_i[b, took:] = items[b][~mask][: k - took]
             items, scores = keep_i, keep_s
         else:
             items, scores = self._submit(users, k)
@@ -416,7 +430,9 @@ class RecServer:
             )
         histories = []
         for h in hs:
-            if not isinstance(h, list):
+            if not isinstance(h, list) or not all(
+                isinstance(p, (list, tuple)) and len(p) == 2 for p in h
+            ):
                 raise ValueError(
                     "each history must be a list of [item_id, rating] pairs"
                 )

@@ -276,6 +276,12 @@ class TopKRecommender:
         scores only its per-shard slice) — sizes the auto batch cap."""
         return self.model.num_items
 
+    @property
+    def max_k(self) -> int:
+        """Largest ``k`` this recommender can serve (the fused variants
+        are pool-limited; wrappers that over-fetch clamp against it)."""
+        return self.model.num_items
+
     def recommend(self, users, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Top-``k`` unseen items per user: (items (n, k) int32,
         scores (n, k) f32), both sorted by descending score."""

@@ -149,3 +149,14 @@ def test_blend_validation():
                        np.zeros(0, np.float32), num_users=5, num_items=6)
     with pytest.raises(ValueError, match="non-empty"):
         fit_blend([a], empty)
+
+
+def test_blend_as_mf_preserves_bf16_tables():
+    """bf16 member tables stay bf16 in the blend (regression: the f32
+    weight scalar used to silently promote P)."""
+    a = _rand_model(10, 6, 7, 3).astype(jnp.bfloat16)
+    b = _rand_model(11, 6, 7, 2).astype(jnp.bfloat16)
+    blend = blend_as_mf([a, b], np.array([0.6, 0.4], np.float32))
+    assert blend.P.dtype == jnp.bfloat16
+    assert blend.Q.dtype == jnp.bfloat16
+    assert blend.bu.dtype == jnp.bfloat16

@@ -349,3 +349,43 @@ def test_similar_items_fused_exact_recovers_clustered_neighbors():
     want = np.argsort(-sim, kind="stable")[:k]
     np.testing.assert_array_equal(ex_i[0], want)
     np.testing.assert_allclose(ex_c[0], sim[want], rtol=1e-5, atol=1e-5)
+
+
+def test_similar_items_fused_exact_overflow_fallback():
+    """exact_tiles too small for the suspect union: the fallback serves
+    the exact dense-cosine answer for the batch (regression: the old
+    fallback masked the wrong rows, returning the query as its own
+    neighbor)."""
+    from mfx.serve.fused import similar_items_fused
+
+    rng = np.random.default_rng(11)
+    I, r, tile, k = 1024, 8, 128, 6
+    Q = rng.normal(0, 1, (I, r)).astype(np.float32)
+    axis = rng.normal(0, 1, r).astype(np.float32)
+    # two clusters in two different tiles -> 2 suspect tiles > budget 1
+    # (small noise breaks the cosine ties a pure-axis cluster would have)
+    Q[130:134] = (axis[None, :] * np.linspace(1.0, 0.97, 4)[:, None]
+                  + rng.normal(0, 0.02, (4, r)))
+    Q[260:264] = (axis[None, :] * np.linspace(0.96, 0.93, 4)[:, None]
+                  + rng.normal(0, 0.02, (4, r)))
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    model = init_model(7, 4, I, rank=r, global_mean=3.0)
+    model = dataclasses.replace(model, Q=jnp.asarray(Q))
+    query = [130, 999]
+    ex_i, ex_c = similar_items_fused(
+        model, query, k=k, tile=tile, exact=True, exact_depth=2,
+        exact_tiles=1,
+    )
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    for row, q in enumerate(query):
+        sim = Qn @ Qn[q]
+        sim[q] = -np.inf
+        want = np.argsort(-sim, kind="stable")[:k]
+        assert q not in ex_i[row]  # self-exclusion survives the fallback
+        np.testing.assert_array_equal(ex_i[row], want)
+        np.testing.assert_allclose(
+            ex_c[row], sim[want], rtol=1e-5, atol=1e-5
+        )

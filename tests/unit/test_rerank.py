@@ -154,3 +154,25 @@ def test_mmr_overflow_fills_without_duplicates():
     np.testing.assert_array_equal(got_i[0][3:], [3, 4, 5])  # pool order
     assert np.isfinite(got_s[0][:3]).all()
     assert (~np.isfinite(got_s[0][3:])).all()
+
+
+def test_mmr_clamps_overfetch_to_inner_pool():
+    """A fused inner recommender's candidate pool caps the MMR
+    over-fetch (regression: pool*k used to exceed the fused pool and
+    400 every request on small catalogs)."""
+    from mfx.serve import FusedTopKRecommender
+
+    rng = np.random.default_rng(5)
+    U, I, r = 4, 1280, 4  # 10 tiles at tile=128 -> fused pool 20
+    model = MFModel(
+        P=jnp.asarray(rng.normal(0, 0.5, (U, r)).astype(np.float32)),
+        Q=jnp.asarray(rng.normal(0, 0.5, (I, r)).astype(np.float32)),
+        bu=jnp.zeros(U, jnp.float32), bi=jnp.zeros(I, jnp.float32),
+        mu=jnp.float32(3.0),
+    )
+    inner = FusedTopKRecommender(model, batch=4, tile=128)
+    rec = MMRRecommender(inner, lam=0.7, pool=4)  # 4*10 > pool 20
+    items, scores = rec.recommend(np.arange(U, dtype=np.int32), k=10)
+    assert items.shape == (U, 10)
+    with pytest.raises(ValueError, match="exceeds the inner"):
+        rec.recommend(np.arange(U, dtype=np.int32), k=21)

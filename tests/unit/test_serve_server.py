@@ -325,3 +325,57 @@ def test_recommend_per_request_exclusions(server):
         _post(srv, "/recommend",
               {"users": [0], "k": 5, "exclude": "nope"})
     assert e.value.code == 400
+
+
+def test_exclude_exhausting_catalog_pads_with_valid_ids():
+    """When 'exclude' knocks out more than the catalog can replace, pad
+    slots carry VALID item ids with null scores (regression: np.empty
+    garbage)."""
+    U, I = 4, 6
+    model = init_model(3, U, I, rank=2, global_mean=3.0)
+    srv = RecServer(TopKRecommender(model, batch=4), port=0)
+    srv.start()
+    try:
+        out = _post(srv, "/recommend",
+                    {"users": [0], "k": 6,
+                     "exclude": [[0, 1, 2, 3, 4, 5]]})
+        assert sorted(out["items"][0]) == [0, 1, 2, 3, 4, 5]
+        assert all(s is None for s in out["scores"][0])
+        # malformed cold pair -> 400, not 500
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/recommend_cold", {"histories": [[[12]]], "k": 2})
+        assert e.value.code == 404  # cold disabled on this server
+        # unknown paths fold into one 'other' metrics label
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/healthz", timeout=30)
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, '/recommend"x', {"users": [0]})
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=30
+        ) as r:
+            text = r.read().decode()
+        assert '"x' not in text
+        assert 'path="other"' in text
+    finally:
+        srv.stop()
+
+
+def test_recommend_cold_malformed_pair_is_400():
+    from mfx.serve import recommend_cold
+
+    model = init_model(4, 6, 12, rank=2, global_mean=3.0)
+    rec = TopKRecommender(model, batch=4)
+    srv = RecServer(
+        rec, cold=lambda hs, k: recommend_cold(model, hs, k=k), port=0,
+    )
+    srv.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/recommend_cold", {"histories": [[[3]]], "k": 2})
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, "/recommend_cold",
+                  {"histories": [[[3, 4.0, 9]]], "k": 2})
+        assert e.value.code == 400
+    finally:
+        srv.stop()
