@@ -206,6 +206,40 @@ def run_bench(
 
             print(f"replan measurement skipped: {exc!r}", file=sys.stderr)
 
+    # HBM streaming-ceiling attribution: the full-span dense epoch is
+    # R-stream-bound (STATUS.md roofline), so the headline's credibility
+    # rests on "the epoch streams its R image at the chip's plain-XLA
+    # streaming rate". Measure that ceiling here — a 1 GiB f32 COPY
+    # (read + write = 2 GiB of HBM traffic; reduces measure ~2x lower
+    # than copies on this chip because the widening reduce tree is not
+    # stream-bound) — and report the epoch's achieved R-stream rate
+    # against it, so the projection to spec-bandwidth hardware is
+    # verifiable from this JSON alone. TPU-only: the virtual-CPU smoke
+    # path reports nulls.
+    hbm_ceiling_gbps = None
+    stream_gbps = None
+    stream_bytes = timings.get("dense_info", {}).get("r_stream_bytes")
+    if convergence and stream_bytes and jax.default_backend() == "tpu":
+        try:
+            import jax.numpy as jnp
+
+            x = jnp.zeros((1 << 18, 1 << 10), jnp.float32)  # 1 GiB
+            f = jax.jit(lambda a: a + 1.0)
+            f(x).block_until_ready()  # compile + warm
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                f(x).block_until_ready()
+                reps.append(time.time() - t0)
+            hbm_ceiling_gbps = 2 * x.nbytes / min(reps) / 1e9
+            del x
+        except Exception as exc:
+            import sys
+
+            print(f"ceiling probe skipped: {exc!r}", file=sys.stderr)
+    if stream_bytes:
+        stream_gbps = stream_bytes / min(window_s) * per_window / 1e9
+
     return {
         "metric": "sgd_rating_updates_per_sec_per_chip_rank%d" % cfg.model.rank,
         "value": round(ups / n_chips, 1),
@@ -236,6 +270,18 @@ def run_bench(
         "dense_strata": timings.get("dense_info", {}).get("num_strata"),
         "dense_echo": echo,
         "updates_per_epoch": round(upd_per_epoch),
+        # roofline self-attribution: the epoch's R-image stream rate vs
+        # the chip's measured plain-XLA HBM streaming ceiling (1 GiB f32
+        # copy). ratio ~1 ==> the epoch is HBM-bound end to end and the
+        # headline scales with spec HBM bandwidth (819 GB/s on v5e).
+        "r_stream_gb": None if not stream_bytes else round(stream_bytes / 1e9, 2),
+        "r_stream_gbps": None if stream_gbps is None else round(stream_gbps, 1),
+        "hbm_ceiling_gbps": None
+        if hbm_ceiling_gbps is None
+        else round(hbm_ceiling_gbps, 1),
+        "stream_ceiling_frac": None
+        if (stream_gbps is None or not hbm_ceiling_gbps)
+        else round(stream_gbps / hbm_ceiling_gbps, 3),
         # steady state with replanning every epoch (preset default is
         # sgd.replan_every; this is the conservative upper bound)
         "epoch_s_replan": None if epoch_s_replan is None else round(epoch_s_replan, 3),

@@ -411,7 +411,8 @@ def prepare_dense_device(
         "di_tot": dec(deg_i, nwin_head, si),
     }
     info = {"dense_frac": n_dense / max(1, int(u_dev.shape[0])),
-            "num_strata": nd}
+            "num_strata": nd,
+            "r_stream_bytes": int(R.nbytes)}
     return tensors, (u_sp, i_sp, r_sp), info
 
 
@@ -539,6 +540,10 @@ def prepare_dense_full(
         "dense_frac": n_dense / max(1, int(u_dev.shape[0])),
         "num_strata": nd,
         "num_groups": len(dense_groups),
+        # the epoch's dominant HBM traffic: the R image streamed once per
+        # epoch (factor-block traffic is ~10x smaller at the preset
+        # geometry — P blocks load once per (group, user-block) pair)
+        "r_stream_bytes": int(sum(g["R"].nbytes for g in dense_groups)),
     }
     return tuple(dense_meta), tuple(dense_groups), (u_sp, i_sp, r_sp), info
 
