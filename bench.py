@@ -38,11 +38,19 @@ def main() -> int:
     # pay it before any timing (see .claude/skills/verify/SKILL.md)
     float(jnp.zeros(()))
 
-    from mfx.bench import run_bench
+    from mfx.bench import derive_floor, run_bench
+
+    if "--derive-floor" in sys.argv:
+        # re-measure the synthetic plateau that anchors the quality gate
+        # (run once per round / after generator changes; ~40 epoch-times
+        # + per-epoch evals on the warm chip)
+        result = derive_floor(preset="ml25m_rank64")
+        print(json.dumps(result, sort_keys=True), flush=True)
+        return 0 if result["ok"] else 1
 
     # 10 timed epochs (~0.7 s on-device): averages over scheduler jitter;
     # the dominant variance is the chip's session-level throttle phase
-    result = run_bench(preset="ml25m_rank64", epochs=10)
+    result = run_bench(preset="ml25m_rank64", epochs=10, skew_probe=True)
     print(json.dumps(result, sort_keys=True), flush=True)
     return 0
 

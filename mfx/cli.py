@@ -105,12 +105,13 @@ def cmd_recommend(args) -> int:
     from mfx.train.checkpoint import load_checkpoint
 
     model, _epoch, _seed = load_checkpoint(args.checkpoint)
-    exclude = raw_ids = None
+    exclude = raw_ids = raw_uids = None
     if args.dataset is not None:
         coo = load_dataset(args.dataset, root=args.root)
         if not args.no_exclude:
             exclude = coo
         raw_ids = coo.item_raw_ids
+        raw_uids = coo.user_raw_ids
     users = np.array([int(u) for u in args.users.split(",")], np.int32)
     if args.fused:
         from mfx.serve import FusedTopKRecommender
@@ -138,6 +139,10 @@ def cmd_recommend(args) -> int:
         }
         if raw_ids is not None:
             out["raw_items"] = [int(raw_ids[i]) for i in it]
+        if raw_uids is not None:
+            # users are activity-relabeled at load (generator v6);
+            # report the dataset's raw user id alongside the dense one
+            out["raw_user"] = int(raw_uids[u])
         print(json.dumps(out))
     return 0
 

@@ -92,7 +92,11 @@ class SGDConfig:
     iblock: int = 512  # item rows per block
     tile: int = 256  # ratings per update tile inside a stratum
     # strata denser than this run the dense DSGD fast path (Zipf head);
-    # 0 disables. Requires kernel='pallas', rank 64, ublock == iblock.
+    # 0 disables; NEGATIVE = 'auto' — the per-stratum dense/sparse
+    # boundary comes from the chip-calibrated cost model over the
+    # occupancy histogram (mfx/solvers/dense_prep.py
+    # auto_dense_threshold; requires dense_span='full').
+    # Requires kernel='pallas', rank 64, ublock == iblock.
     dense_chi: float = 0.0
     # item span the dense phase may carve strata from:
     # 'head' — only the first DENSE_HEAD_ITEMS items (one phase on the
@@ -212,6 +216,11 @@ class SGDConfig:
             raise ValueError(
                 f"sgd.dense_span must be 'head' or 'full', got "
                 f"{self.dense_span!r}"
+            )
+        if self.dense_chi < 0 and self.dense_span != "full":
+            raise ValueError(
+                "sgd.dense_chi<0 ('auto': cost-model stratum carving) "
+                "needs the full-span dense split; set sgd.dense_span='full'"
             )
         if self.bias_mode not in ("tile", "lane", "epoch"):
             raise ValueError(

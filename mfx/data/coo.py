@@ -36,6 +36,12 @@ class RatingsCOO:
         clusters into the first item windows — the layout the dense-
         stratum fast path needs (mfx/kernels/dense_pallas.py); this map
         is how predictions translate back to catalog ids.
+      user_raw_ids: optional int64 [num_users] map from dense user id
+        back to the dataset's raw id. Loaders relabel USERS by
+        descending activity too, so rating mass concentrates into
+        hot-user × hot-item strata — 2-D occupancy engineering that cuts
+        streamed bytes/rating in the dense blocked phase (the r4 lever;
+        STATUS.md roofline).
       timestamp: optional int64 [n] per-rating event times in the
         dataset's native unit (seconds for MovieLens, days for Netflix
         dates) — only the ORDERING is contractual. Enables the
@@ -51,6 +57,7 @@ class RatingsCOO:
     synthetic: bool = False
     item_raw_ids: np.ndarray | None = None
     timestamp: np.ndarray | None = None
+    user_raw_ids: np.ndarray | None = None
 
     def __post_init__(self):
         self.user = np.asarray(self.user, dtype=np.int32)
@@ -113,6 +120,7 @@ class RatingsCOO:
             synthetic=self.synthetic,
             item_raw_ids=self.item_raw_ids,
             timestamp=None if self.timestamp is None else self.timestamp[idx],
+            user_raw_ids=self.user_raw_ids,
         )
 
     def concat(self, other: "RatingsCOO") -> "RatingsCOO":
@@ -127,6 +135,7 @@ class RatingsCOO:
             num_items=self.num_items,
             synthetic=self.synthetic or other.synthetic,
             item_raw_ids=self.item_raw_ids,
+            user_raw_ids=self.user_raw_ids,
             # one side without times would poison a chronological cut:
             # the merged COO keeps timestamps only when BOTH sides have them
             timestamp=(
@@ -154,6 +163,8 @@ class RatingsCOO:
         extra = {}
         if self.item_raw_ids is not None:
             extra["item_raw_ids"] = np.asarray(self.item_raw_ids, np.int64)
+        if self.user_raw_ids is not None:
+            extra["user_raw_ids"] = np.asarray(self.user_raw_ids, np.int64)
         if self.timestamp is not None:
             extra["timestamp"] = self.timestamp
         np.savez(
@@ -181,6 +192,9 @@ class RatingsCOO:
                     z["item_raw_ids"] if "item_raw_ids" in z else None
                 ),
                 timestamp=z["timestamp"] if "timestamp" in z else None,
+                user_raw_ids=(
+                    z["user_raw_ids"] if "user_raw_ids" in z else None
+                ),
             )
 
 

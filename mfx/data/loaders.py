@@ -46,7 +46,14 @@ DEFAULT_ROOT = Path(os.environ.get("MFX_DATA_ROOT", "~/.cache/mfx")).expanduser(
 # a v4 real-data cache would silently lack timestamps and block the
 # chronological protocols forever. Synthetic v5 content equals v4 (the
 # generator is unchanged and emits no time column).
-GENERATOR_VERSION = 5
+# v6: (a) USERS are relabeled by descending activity at parse (dense
+# user 0 = most active), mirroring the item relabel, so rating mass
+# concentrates into hot×hot strata — the 2-D occupancy lever of the
+# dense blocked phase (VERDICT r3 #1); (b) benchmark-shape synthetics
+# add user-activity skew (Zipf s=0.6 — real MovieLens/Netflix users are
+# heavy-tailed; the old iid-uniform users made the user axis
+# unrealistically flat and the occupancy lever invisible).
+GENERATOR_VERSION = 6
 
 
 def _densify(
@@ -57,26 +64,36 @@ def _densify(
 ) -> RatingsCOO:
     """Remap arbitrary raw ids to dense contiguous ids.
 
-    Items are relabeled by DESCENDING rating frequency (dense item 0 = the
-    most-rated item, ties broken by raw-id order), so the Zipf head of
-    real data clusters into the first item windows — the layout the
-    dense-stratum fast path requires (VERDICT round-1 missing #5; the
+    BOTH axes are relabeled by DESCENDING rating frequency (dense id 0 =
+    the most-rated item / most-active user, ties broken by raw-id
+    order), so the Zipf head of real data clusters into the first
+    windows of each axis and rating mass concentrates into hot×hot
+    strata — the layout the dense-stratum fast path requires, and the
+    2-D occupancy engineering that cuts streamed bytes/rating in the
+    full-span dense phase (VERDICT round-1 missing #5, round-3 #1; the
     seeded synthetic generators are popularity-sorted by construction).
-    The new-id → raw-id map rides along as ``coo.item_raw_ids``.
+    The new-id → raw-id maps ride along as ``coo.item_raw_ids`` /
+    ``coo.user_raw_ids``.
     """
-    uniq_u, u = np.unique(raw_u, return_inverse=True)
-    uniq_i, i = np.unique(raw_i, return_inverse=True)
-    counts = np.bincount(i, minlength=len(uniq_i))
-    order = np.argsort(-counts, kind="stable")  # new id 0 = most frequent
-    rank_of = np.empty_like(order)
-    rank_of[order] = np.arange(len(order))
+
+    def _relabel(raw):
+        uniq, inv = np.unique(raw, return_inverse=True)
+        counts = np.bincount(inv, minlength=len(uniq))
+        order = np.argsort(-counts, kind="stable")  # new id 0 = most frequent
+        rank_of = np.empty_like(order)
+        rank_of[order] = np.arange(len(order))
+        return rank_of[inv].astype(np.int32), uniq[order].astype(np.int64)
+
+    u, user_raw = _relabel(raw_u)
+    i, item_raw = _relabel(raw_i)
     return RatingsCOO(
-        u.astype(np.int32),
-        rank_of[i].astype(np.int32),
+        u,
+        i,
         ratings.astype(np.float32),
-        num_users=len(uniq_u),
-        num_items=len(uniq_i),
-        item_raw_ids=uniq_i[order].astype(np.int64),
+        num_users=len(user_raw),
+        num_items=len(item_raw),
+        item_raw_ids=item_raw,
+        user_raw_ids=user_raw,
         timestamp=timestamps,
     )
 
@@ -173,10 +190,14 @@ def parse_netflix(root) -> RatingsCOO:
 
 # ---- registry ---------------------------------------------------------------
 
-# name -> (raw subdir, parser, synthetic fallback)
-def _synth(shape, rank, seed, star_step=None) -> Callable[[], RatingsCOO]:
+# name -> (raw subdir, parser, synthetic fallback). Benchmark-shape
+# fallbacks carry user-activity skew (user_zipf_s=0.6, generator v6) —
+# real MovieLens/Netflix users are heavy-tailed, and the flat iid users
+# of v4/v5 hid the 2-D occupancy structure the dense phase exploits.
+def _synth(shape, rank, seed, star_step=None, user_zipf_s=0.6) -> Callable[[], RatingsCOO]:
     return lambda: syn.make_synthetic(
-        *shape, rank=rank, seed=seed, star_step=star_step
+        *shape, rank=rank, seed=seed, star_step=star_step,
+        user_zipf_s=user_zipf_s,
     )
 
 

@@ -42,6 +42,7 @@ def make_synthetic(
     seed: int = 0,
     chunk: int = 8_000_000,
     star_step: float | None = None,
+    user_zipf_s: float = 0.0,
 ) -> RatingsCOO:
     """Seeded explicit-feedback synthetic dataset from a true low-rank model.
 
@@ -56,6 +57,15 @@ def make_synthetic(
     rounding variance (~step²/12) and makes the int4 dense-rating stream
     (mfx/kernels/dense_pallas.py) lossless, as it is on the real data.
     None keeps the legacy continuous ratings (small test datasets).
+
+    ``user_zipf_s`` tilts USER activity by a Zipf law of that exponent
+    (0 keeps the legacy iid-uniform users). Real rating data is
+    heavy-tailed on both axes — in MovieLens-25M the most active users
+    contribute thousands of ratings while the median user has ~70; at
+    s=0.6 the top 1% of users carry ~16% of ratings, matching that
+    shape. Like items, users are popularity-sorted by construction
+    (user 0 = most active), mirroring the loader's activity relabel of
+    raw data (mfx/data/loaders.py _densify).
     """
     rng = np.random.default_rng(seed)
     scale = 1.0 / np.sqrt(rank)
@@ -69,6 +79,13 @@ def make_synthetic(
     w = 1.0 / np.power(np.arange(1, num_items + 1, dtype=np.float64), zipf_s)
     item_cdf = np.cumsum(w)
     item_cdf /= item_cdf[-1]
+    user_cdf = None
+    if user_zipf_s > 0.0:
+        wu = 1.0 / np.power(
+            np.arange(1, num_users + 1, dtype=np.float64), user_zipf_s
+        )
+        user_cdf = np.cumsum(wu)
+        user_cdf /= user_cdf[-1]
     users = np.empty(n_ratings, np.int32)
     items = np.empty(n_ratings, np.int32)
     ratings = np.empty(n_ratings, np.float32)
@@ -76,7 +93,13 @@ def make_synthetic(
     for start in range(0, n_ratings, chunk):
         stop = min(start + chunk, n_ratings)
         m = stop - start
-        u = rng.integers(0, num_users, size=m, dtype=np.int32)
+        if user_cdf is None:
+            u = rng.integers(0, num_users, size=m, dtype=np.int32)
+        else:
+            u = np.searchsorted(
+                user_cdf, rng.random(m), side="right"
+            ).astype(np.int32)
+            u = np.minimum(u, num_users - 1)
         i = np.searchsorted(
             item_cdf, rng.random(m), side="right"
         ).astype(np.int32)

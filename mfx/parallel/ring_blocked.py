@@ -275,7 +275,7 @@ def train_epochs_ring_blocked(
     # dense strata per (sub-step, shard) cell (directive #5): the head
     # split, or the grouped full-span split (dense_span='full')
     pack = 128 // rank
-    want_dense = cfg.dense_chi > 0 and geo.su == geo.si and pack in (1, 2, 4)
+    want_dense = cfg.dense_chi != 0 and geo.su == geo.si and pack in (1, 2, 4)
     dense_groups: tuple = ()
     dense_meta: tuple = ()
     rfmt = "int8"

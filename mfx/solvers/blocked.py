@@ -289,7 +289,7 @@ def train_epochs_blocked(
             timings.setdefault("plan_s", 0.0)
         _t_prep = _time.time()
         want_dense = (
-            cfg.dense_chi > 0 and su == si and 128 // rank in (1, 2, 4)
+            cfg.dense_chi != 0 and su == si and 128 // rank in (1, 2, 4)
         )
         if (
             want_dense and cfg.dense_echo > 1 and use_bias

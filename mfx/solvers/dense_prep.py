@@ -28,7 +28,53 @@ from mfx.kernels.sgd_pallas import BIAS_ROWS
 __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
            "prepare_dense_device", "prepare_dense_full",
            "prepare_dense_ring", "prepare_dense_ring_full",
-           "run_dense_phase"]
+           "run_dense_phase", "auto_dense_threshold"]
+
+# Chip-calibrated cost constants for dense_chi < 0 ("auto"): pick the
+# dense/sparse boundary from the per-stratum occupancy histogram instead
+# of a hand-swept chi. Measured on the bench v5e (STATUS.md roofline):
+# the dense phase streams su·si·slot bytes per stratum at the chip's
+# plain-XLA rate, the sparse one-hot path costs ~9 ns/rating at
+# multi-million-rating scale, and ANY sparse phase pays a fixed
+# plan/dispatch cost. The total-cost curve is flat near the breakeven,
+# so rough constants transfer across throttle phases; on spec-bandwidth
+# hardware the stream term shrinks ~11x and auto moves the boundary
+# toward all-sparse automatically if AUTO_STREAM_GBPS is recalibrated.
+AUTO_STREAM_GBPS = 74.0
+AUTO_SPARSE_NS = 9.0
+AUTO_SPARSE_FIXED_MS = 6.5
+_SLOT_BYTES = {"int4": 0.5, "int8": 1.0}
+
+
+def auto_dense_threshold(
+    counts: np.ndarray, su: int, si: int, rfmt: str
+) -> float:
+    """Cost-model stratum eligibility threshold (ratings/stratum).
+
+    A stratum streams densely iff its rating count exceeds the
+    breakeven ``t_dense / t_sparse_per_rating``; if the ratings below
+    breakeven would save less than the sparse phase's fixed cost, the
+    whole epoch goes dense (threshold 1.0 = every non-empty stratum).
+    This is what the hand-swept chi converged to on the flat iid-user
+    synthetic (chi→0, 100% dense); with 2-D activity skew (generator
+    v6) the cold region drops below breakeven and auto carves it out.
+    """
+    slot = _SLOT_BYTES.get(rfmt, 4.0)
+    t_dense = su * si * slot / (AUTO_STREAM_GBPS * 1e9)
+    t_sparse = AUTO_SPARSE_NS * 1e-9
+    breakeven = t_dense / t_sparse
+    nz = counts[counts > 0]
+    below = nz[nz < breakeven]
+    savings = float((t_dense - below * t_sparse).sum())
+    if savings <= AUTO_SPARSE_FIXED_MS * 1e-3:
+        return 1.0
+    return float(breakeven)
+
+
+def _dense_thresh(chi_min: float, counts, su, si, rfmt) -> float:
+    if chi_min < 0:
+        return auto_dense_threshold(counts, su, si, rfmt)
+    return max(1.0, chi_min * su * si)
 
 
 @dataclasses.dataclass
@@ -461,7 +507,7 @@ def prepare_dense_full(
             jnp.ones_like(strat), strat, num_segments=A * C
         )
     )
-    thresh = max(1.0, chi_min * su * si)
+    thresh = _dense_thresh(chi_min, counts, su, si, rfmt)
     idx = np.flatnonzero(counts >= thresh)
     if idx.size == 0:
         return (), (), (u_dev, i_dev, r_dev), {"dense_frac": 0.0}
@@ -540,6 +586,10 @@ def prepare_dense_full(
         "dense_frac": n_dense / max(1, int(u_dev.shape[0])),
         "num_strata": nd,
         "num_groups": len(dense_groups),
+        # the eligibility boundary actually applied (ratings/stratum) —
+        # with dense_chi < 0 this is the auto cost-model breakeven
+        "thresh_ratings": float(thresh),
+        "chi_effective": float(thresh) / (su * si),
         # the epoch's dominant HBM traffic: the R image streamed once per
         # epoch (factor-block traffic is ~10x smaller at the preset
         # geometry — P blocks load once per (group, user-block) pair)
@@ -722,7 +772,7 @@ def prepare_dense_ring_full(
     counts = np.asarray(
         jax.ops.segment_sum(jnp.ones_like(sid), sid, num_segments=ns)
     )
-    thresh = max(1.0, chi_min * su * si)
+    thresh = _dense_thresh(chi_min, counts, su, si, rfmt)
     eligible = (counts >= thresh).reshape(S * S, A, C)
     ngr = -(-C // nwd)
     nd_qg = np.array([

@@ -1,0 +1,84 @@
+"""dense_chi < 0 ('auto'): cost-model stratum carving from the occupancy
+histogram (VERDICT r3 #1/#5 — the dense/sparse boundary adapts to the
+data's 2-D skew instead of a hand-swept chi)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mfx.config import SGDConfig
+from mfx.data import synthetic
+from mfx.models import init_model
+from mfx.solvers import dense_prep as dp
+from mfx.solvers.blocked import train_epochs_blocked
+
+CFG = SGDConfig(
+    lr=0.02, reg=0.02, epochs=2, partitioner="blocked", kernel="pallas",
+    ublock=128, iblock=128, tile=64, dense_span="full", dense_chi=-1.0,
+    bias_mode="lane",
+)
+
+
+def test_auto_threshold_uniform_counts_goes_all_dense():
+    # every stratum near the mean: nothing below breakeven saves enough
+    counts = np.full(64, 500.0)
+    t = dp.auto_dense_threshold(counts, 1024, 1024, "int4")
+    assert t == 1.0
+
+
+def test_auto_threshold_skewed_counts_carves():
+    # hot corner + long empty-ish tail: the tail goes sparse
+    counts = np.concatenate([np.full(8, 50_000.0), np.full(4096, 30.0)])
+    t = dp.auto_dense_threshold(counts, 1024, 1024, "int4")
+    breakeven = 1024 * 1024 * 0.5 / (dp.AUTO_STREAM_GBPS * 1e9) / (
+        dp.AUTO_SPARSE_NS * 1e-9
+    )
+    assert t == pytest.approx(breakeven)
+    assert 30.0 < t < 50_000.0
+
+
+def test_auto_threshold_int8_doubles_breakeven():
+    counts = np.concatenate([np.full(8, 50_000.0), np.full(4096, 30.0)])
+    t4 = dp.auto_dense_threshold(counts, 1024, 1024, "int4")
+    t8 = dp.auto_dense_threshold(counts, 1024, 1024, "int8")
+    assert t8 == pytest.approx(2 * t4)
+
+
+def test_auto_chi_trains_bitwise_like_equivalent_explicit_chi():
+    """The auto boundary is just a chi value: training with dense_chi=-1
+    must be bitwise-identical to the explicit chi it resolves to."""
+    coo = synthetic.make_synthetic(
+        512, 512, 40_000, rank=4, seed=9, user_zipf_s=0.8
+    )
+
+    # resolve what auto picks at this geometry
+    import jax.numpy as jnp
+
+    _, _, _, info = dp.prepare_dense_full(
+        jnp.asarray(coo.user), jnp.asarray(coo.item),
+        jnp.asarray(coo.rating), 512, 512, 128, 128,
+        chi_min=-1.0, nwd=2, pack=2, rfmt="int8",
+    )
+    chi_eff = info["chi_effective"]
+    assert info["dense_frac"] > 0
+
+    def run(chi):
+        cfg = dataclasses.replace(CFG, dense_chi=chi)
+        m = init_model(3, 512, 512, 64, global_mean=coo.global_mean)
+        for _, m, _ in train_epochs_blocked(
+            m, coo, cfg, use_bias=True, seed=0, interpret=True
+        ):
+            pass
+        return m.materialize()
+
+    auto = run(-1.0)
+    explicit = run(chi_eff)
+    np.testing.assert_array_equal(np.asarray(auto.P), np.asarray(explicit.P))
+    np.testing.assert_array_equal(np.asarray(auto.Q), np.asarray(explicit.Q))
+    np.testing.assert_array_equal(np.asarray(auto.bu), np.asarray(explicit.bu))
+
+
+def test_auto_chi_requires_full_span():
+    with pytest.raises(ValueError, match="dense_span='full'"):
+        SGDConfig(kernel="pallas", dense_chi=-1.0, dense_span="head")

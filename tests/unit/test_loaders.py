@@ -26,8 +26,10 @@ def test_parse_ml100k(tmp_path):
     coo = loaders.parse_ml100k(tmp_path)
     assert coo.n_ratings == 4
     assert coo.num_users == 3 and coo.num_items == 3
-    # raw ids are densified in sorted-unique order: users 22<186<196
-    assert coo.user.tolist() == [2, 1, 0, 2]
+    # users relabel by descending activity (generator v6): 196 (2
+    # ratings) -> id 0, then 22, 186 (1 each, raw-id order)
+    assert coo.user.tolist() == [0, 2, 1, 0]
+    assert coo.user_raw_ids.tolist() == [196, 22, 186]
     assert coo.rating.tolist() == [3.0, 3.0, 1.0, 2.0]
     assert not coo.synthetic
     # items relabel by descending frequency: 377 (2 ratings) -> id 0,
