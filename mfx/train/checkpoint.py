@@ -53,7 +53,7 @@ def wait_for_checkpoints() -> None:
 
 
 def _state_dict(model: MFModel, epoch: int, seed: int) -> dict:
-    return {
+    state = {
         "P": model.P,
         "Q": model.Q,
         "bu": model.bu,
@@ -62,6 +62,31 @@ def _state_dict(model: MFModel, epoch: int, seed: int) -> dict:
         "epoch": jnp.asarray(epoch, jnp.int32),
         "seed": jnp.asarray(seed, jnp.int32),
     }
+    if jax.process_count() > 1:
+        # multi-controller: Orbax refuses host-local jax.Arrays (a
+        # SingleDeviceSharding names a process-local device other
+        # processes cannot see). Scalars and any unsharded leaves become
+        # GLOBAL fully-replicated arrays on an all-devices mesh; the
+        # row-sharded tables already carry global NamedShardings from
+        # the shard_map program (tools/two_process_bringup.py drives
+        # this path end-to-end).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        rep = NamedSharding(
+            Mesh(np.array(jax.devices()), ("all",)), PartitionSpec()
+        )
+
+        def _globalize(x):
+            if (
+                isinstance(x, jax.Array)
+                and x.is_fully_addressable
+                and len(x.sharding.device_set) < len(jax.devices())
+            ):
+                return jax.device_put(np.asarray(x), rep)
+            return x
+
+        state = {k: _globalize(v) for k, v in state.items()}
+    return state
 
 
 def save_checkpoint(

@@ -42,6 +42,30 @@ def test_driver_parallel_modes(tmp_path, mode, axes):
 
 
 @requires_8
+def test_driver_hybrid_pallas_routes_to_flattened_fused_ring(tmp_path):
+    """VERDICT r3 #6: 2-D meshes with the fused kernel must NOT run the
+    scatter-path hybrid — the driver flattens ('data','model') into one
+    fused-Pallas DSGD ring, so hybrid+pallas and sharded+pallas train
+    identically (same ring over the same 8 devices)."""
+    pallas = [
+        "sgd.partitioner=blocked", "sgd.kernel=pallas",
+        "sgd.ublock=128", "sgd.iblock=128", "sgd.tile=64",
+    ]
+    cfg_h = _small(
+        ["parallel.mode=hybrid", "parallel.data_axis=2",
+         "parallel.model_axis=4"] + pallas, tmp_path,
+    )
+    cfg_s = _small(
+        ["parallel.mode=sharded", "parallel.model_axis=8"] + pallas,
+        tmp_path,
+    )
+    res_h = train(cfg_h, resume=False)
+    res_s = train(cfg_s, resume=False)
+    assert res_h.epochs_run == res_s.epochs_run == 2
+    assert res_h.test_rmse == res_s.test_rmse
+
+
+@requires_8
 def test_driver_bpr_sharded(tmp_path):
     cfg = apply_overrides(
         preset("billion_bpr_sharded"),
