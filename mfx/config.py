@@ -301,6 +301,12 @@ class TimeSVDConfig:
     reg_alpha: float | None = None
     partitioner: str = "fixed"  # 'fixed' | 'conflict_free'
     dup_trust: float = 0.0  # hot-key trust scaling (as SGDConfig)
+    # 'jnp' — snapshot-minibatch scan (full per-term lr/reg schedule);
+    # 'pallas' — the fused blocked kernel with lane-carried temporal
+    #            terms (mfx/solvers/timesvd_blocked.py): the TPU-rate
+    #            path, ~an order of magnitude faster, with ONE lr/reg
+    #            for every term and n_bins <= rank-4
+    kernel: str = "jnp"
 
     def __post_init__(self):
         if self.partitioner not in ("fixed", "conflict_free"):
@@ -310,6 +316,11 @@ class TimeSVDConfig:
             )
         if self.n_bins < 1:
             raise ValueError(f"timesvd.n_bins must be >= 1, got {self.n_bins}")
+        if self.kernel not in ("jnp", "pallas"):
+            raise ValueError(
+                f"timesvd.kernel must be 'jnp' or 'pallas', got "
+                f"{self.kernel!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -236,3 +236,62 @@ def q_segment(Qm, win0: int, nwin: int, rank: int, si: int):
 def q_segment_restore(Qm, Qs, win0: int, rank: int, si: int):
     s = q_stride(rank, si)
     return jax.lax.dynamic_update_slice(Qm, Qs, (win0 * s, 0))
+
+
+def to_tlane_model(ts_model, n_bins: int):
+    """TimeSVDModel -> time-lane MFModel table form (the blocked timeSVD
+    path, sgd_pallas time_mode; lane layout in _kernel_body's docstring).
+
+    With L = rank - 3 - n_bins latent dims: P rows become
+    [p(L), 0×n_bins, alpha_u, 1, bu], Q rows [q(L), bt_{i,·}, 0, bi, 1].
+    The reserved columns' init values are discarded (the time-lane model
+    trains L latent dims); ``from_tlane_model`` inverts exactly."""
+    import jax.numpy as _jnp
+
+    from mfx.models.mf import MFModel
+
+    r = ts_model.P.shape[1]
+    L = r - 3 - n_bins
+    if L < 1:
+        raise ValueError(
+            f"time-lane layout needs rank > n_bins + 3 (rank {r}, "
+            f"n_bins {n_bins})"
+        )
+    dt = ts_model.P.dtype
+    one = _jnp.ones((), dt)
+    zero = _jnp.zeros((), dt)
+    P = ts_model.P
+    P = P.at[:, L : L + n_bins].set(zero)
+    P = P.at[:, r - 3].set(ts_model.alpha.astype(dt))
+    P = P.at[:, r - 2].set(one)
+    P = P.at[:, r - 1].set(ts_model.bu.astype(dt))
+    Q = ts_model.Q
+    Q = Q.at[:, L : L + n_bins].set(ts_model.bt.astype(dt))
+    Q = Q.at[:, r - 3].set(zero)
+    Q = Q.at[:, r - 2].set(ts_model.bi.astype(dt))
+    Q = Q.at[:, r - 1].set(one)
+    z_u = _jnp.zeros_like(ts_model.bu)
+    z_i = _jnp.zeros_like(ts_model.bi)
+    return MFModel(P=P, Q=Q, bu=z_u, bi=z_i, mu=ts_model.mu)
+
+
+def from_tlane_model(model, n_bins: int):
+    """Inverse of ``to_tlane_model``: extract bu/bi/alpha/bt from the
+    reserved lanes back into a canonical TimeSVDModel (reserved factor
+    columns zeroed, so ``predict_t``'s full-rank dot equals the L-dim
+    dot)."""
+    import jax.numpy as _jnp
+
+    from mfx.models.timesvd import TimeSVDModel
+
+    r = model.P.shape[1]
+    L = r - 3 - n_bins
+    z = _jnp.zeros((), model.P.dtype)
+    bu = model.P[:, r - 1]
+    alpha = model.P[:, r - 3]
+    bi = model.Q[:, r - 2]
+    bt = model.Q[:, L : L + n_bins]
+    P = model.P.at[:, L:].set(z)
+    Q = model.Q.at[:, L:].set(z)
+    return TimeSVDModel(P=P, Q=Q, bu=bu, bi=bi, mu=model.mu, bt=bt,
+                        alpha=alpha)

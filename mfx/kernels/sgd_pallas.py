@@ -73,7 +73,26 @@ def _kernel_body(
     mxu_bf16: bool,
     bias_mode: str = "tile",
     pack_path: str = "roll",
+    time_mode: bool = False,
+    n_bins: int = 0,
 ):
+    # time_mode: the timeSVD temporal terms ride the lane scheme
+    # (VERDICT r3 missing #5 — the lane-carry pattern generalized).
+    # Slot-lane layout (L = rank - 3 - n_bins latent dims):
+    #   P rows: [p(L), 0×n_bins, alpha_u, 1, bu]
+    #   Q rows: [q(L), bt_{i,0..n_bins-1}, 0(drift), bi, 1]
+    # Per rating the tile stream carries (bin, dev); the kernel injects
+    # onehot(bin) into the P-side bin zone and dev into the Q-side drift
+    # lane BEFORE the alignment/dot, so the ordinary factor dot yields
+    #   p·q + Σ_b onehot_b·bt_{i,b} + alpha·dev + bi + bu
+    # and the ordinary lane SGD step IS the temporal update:
+    #   bt lane b: lr(e·onehot_b − reg·bt_{i,b})
+    #   alpha:     lr(e·dev − reg·alpha)
+    # Static freeze masks keep P's injected zones and Q's drift lane at
+    # exactly 0. Semantics (documented, oracle = blocked_jnp mirror):
+    # one lr/reg for every term, and each occurrence of item i
+    # regularizes ALL its bin biases (the gathered row), where the jnp
+    # snapshot path regularizes only the active bin.
     # bias_mode='epoch': biases are FROZEN for the epoch — the planner
     # bakes bu[u]+bi[i] into a per-tile bias stream (bt) and the kernel
     # emits per-slot residuals (e·mask) instead of running the per-tile
@@ -178,6 +197,10 @@ def _kernel_body(
             u = tl_ref[j, 0, :]  # (T,) int32; pad sentinel == su
             i = tl_ref[j, 1, :]  # window-local item ids; pad sentinel == si
             r = pltpu.bitcast(tl_ref[j, 2:3, :], f32)[0, :]
+            if time_mode:
+                tb = tl_ref[j, 3, :]  # (T,) int32 time-bin ids; pad 0
+                dv = pltpu.bitcast(tl_ref[j, 4:5, :], f32)[0, :]  # pad 0.0
+                Lb = rank - 3 - n_bins
 
             up = u // pack  # packed-row index; pad -> sup (out of range)
             ip = i // pack
@@ -198,6 +221,18 @@ def _kernel_body(
                 si_s = i % pack
                 pu128 = gu * (su_s[:, None] == lane_slot).astype(f32)
                 qi128 = gi * (si_s[:, None] == lane_slot).astype(f32)
+                if time_mode:
+                    # inject per-rating temporal operands into each row's
+                    # OWN slot lanes; the roll alignment then carries
+                    # them to the partner's slot automatically, so pred
+                    # and both deltas see them with no further work
+                    lane128 = lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                    pu128 = pu128 + (
+                        lane128 == (su_s * rank + Lb + tb)[:, None]
+                    ).astype(f32)
+                    qi128 = qi128 + dv[:, None] * (
+                        lane128 == (si_s * rank + rank - 3)[:, None]
+                    ).astype(f32)
                 # (T, 1) int32: the minor-dim insert must happen on the
                 # 32-bit value (Mosaic rejects i1 vector reshape)
                 rel = ((si_s - su_s) % pack)[:, None]
@@ -226,6 +261,12 @@ def _kernel_body(
                 pred = jnp.sum(pu * qi, axis=-1) + mu
             else:
                 pu, qi = gu, gi
+                if time_mode:  # pack == 1: lanes are absolute
+                    lane128 = lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+                    pu = pu + (lane128 == (Lb + tb)[:, None]).astype(f32)
+                    qi = qi + dv[:, None] * (lane128 == rank - 3).astype(
+                        f32
+                    )
                 pred = jnp.sum(pu * qi, axis=-1) + mu
             mask = (u < su).astype(f32)
             if epoch_bias:
@@ -277,8 +318,17 @@ def _kernel_body(
                 # Q's is rank-1 (static (1, 128) masks; the bias lanes
                 # update like any factor lane — that IS the bias update)
                 lidx = lax.broadcasted_iota(jnp.int32, (1, 128), 1) % rank
-                d_pu128 = d_pu128 * (lidx != rank - 2).astype(f32)
-                d_qi128 = d_qi128 * (lidx != rank - 1).astype(f32)
+                if time_mode:
+                    # + P's injected bin zone and Q's drift lane stay 0
+                    p_frozen = (lidx == rank - 2) | (
+                        (lidx >= Lb) & (lidx < Lb + n_bins)
+                    )
+                    q_frozen = (lidx == rank - 1) | (lidx == rank - 3)
+                    d_pu128 = d_pu128 * (~p_frozen).astype(f32)
+                    d_qi128 = d_qi128 * (~q_frozen).astype(f32)
+                else:
+                    d_pu128 = d_pu128 * (lidx != rank - 2).astype(f32)
+                    d_qi128 = d_qi128 * (lidx != rank - 1).astype(f32)
             P_out[:sup, :] = P_out[:sup, :] + dot_t(ou, d_pu128)
             Qseg[pl.ds(qs, sip), :] = Qseg[pl.ds(qs, sip), :] + dot_t(oi, d_qi128)
             if epoch_bias:
@@ -517,7 +567,8 @@ def _kernel_body_step_u(
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
-        "mxu_bf16", "step_u", "bias_mode", "pack_path",
+        "mxu_bf16", "step_u", "bias_mode", "pack_path", "time_mode",
+        "n_bins",
     ),
 )
 def blocked_sgd_sweep_pallas(
@@ -539,6 +590,8 @@ def blocked_sgd_sweep_pallas(
     step_u: bool = False,
     bias_mode: str = "tile",
     pack_path: str = "roll",
+    time_mode: bool = False,
+    n_bins: int = 0,
 ):
     """One item-sweep of fused SGD. The sweep's Q segment must fit the VMEM
     budget (epochs over larger item tables run as several sweeps — see
@@ -555,6 +608,28 @@ def blocked_sgd_sweep_pallas(
     ng = sweep["sa"].shape[0]
     if nt != ng * tpg:
         raise ValueError(f"tc length {nt} != sa length {ng} * tpg {tpg}")
+    if time_mode:
+        pk_ = 128 // rank
+        if bias_mode != "lane" or not use_bias:
+            raise ValueError(
+                "time_mode (blocked timeSVD) rides the lane scheme; set "
+                "bias_mode='lane' with biases on"
+            )
+        if step_u:
+            raise NotImplementedError("time_mode with step_user_batch")
+        if pk_ > 1 and pack_path != "roll":
+            raise NotImplementedError(
+                "time_mode needs pack_path='roll' (or rank 128)"
+            )
+        if not 1 <= n_bins <= rank - 4:
+            raise ValueError(
+                f"time_mode needs 1 <= n_bins <= rank-4, got {n_bins}"
+            )
+        if sweep["tl"].shape[1] != 5:
+            raise ValueError(
+                "time_mode tile stream must be (NT, 5, T): u, i, r, bin, "
+                f"dev — got {sweep['tl'].shape}"
+            )
     epoch_bias = use_bias and bias_mode == "epoch"
     if use_bias and bias_mode != "tile" and step_u:
         raise NotImplementedError(
@@ -579,7 +654,7 @@ def blocked_sgd_sweep_pallas(
             su=su, si=si, rank=rank, tpg=tpg, nwin=nwin,
             use_bias=use_bias, exact=exact, interpret=interpret,
             mxu_bf16=mxu_bf16, step_u=step_u, bias_mode=bias_mode,
-            pack_path=pack_path,
+            pack_path=pack_path, time_mode=time_mode, n_bins=n_bins,
         )
         if epoch_bias:
             Pm, Qs, e, s = out
@@ -598,7 +673,8 @@ def blocked_sgd_sweep_pallas(
 def _sweep_chunk_call(
     Pm, Qs, sweep, lr, reg, mu,
     *, su, si, rank, tpg, nwin, use_bias, exact, interpret, mxu_bf16=False,
-    step_u=False, bias_mode="tile", pack_path="roll",
+    step_u=False, bias_mode="tile", pack_path="roll", time_mode=False,
+    n_bins=0,
 ):
     pack = 128 // rank
     pstride = su // pack + BIAS_ROWS
@@ -618,16 +694,19 @@ def _sweep_chunk_call(
     else:
         kernel = body(
             su, si, rank, pack, tile, tpg, nwin, use_bias, exact, mxu_bf16,
-            bias_mode=bias_mode, pack_path=pack_path,
+            bias_mode=bias_mode, pack_path=pack_path, time_mode=time_mode,
+            n_bins=n_bins,
         )
     blk_spec = pl.BlockSpec(
         (pstride, 128),
         lambda g, hp, sa, tc: (sa[g], 0),
         memory_space=pltpu.VMEM,
     )
+    tl_rows = 5 if time_mode else 3
     in_specs = [
         pl.BlockSpec(
-            (tpg, 3, tile), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM
+            (tpg, tl_rows, tile), lambda g, *_: (g, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     ]
     if epoch_bias:

@@ -166,6 +166,18 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch,
                 "solver='timesvd' runs single-device; use solver='sgd' "
                 "for the data-parallel / row-sharded paths"
             )
+        if cfg.timesvd.kernel == "pallas":
+            # the TPU-rate path: temporal terms lane-carried through the
+            # fused blocked kernel (mfx/solvers/timesvd_blocked.py)
+            from mfx.solvers.timesvd_blocked import (
+                train_epochs_timesvd_blocked,
+            )
+
+            return train_epochs_timesvd_blocked(
+                model, train_coo, cfg.timesvd, use_bias, seed=seed,
+                start_epoch=start_epoch, feats=feats,
+                interpret=jax.default_backend() != "tpu",
+            )
         from mfx.solvers.timesvd import train_epochs_timesvd
 
         return train_epochs_timesvd(

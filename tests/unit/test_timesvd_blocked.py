@@ -1,0 +1,194 @@
+"""Blocked-kernel timeSVD (mfx/solvers/timesvd_blocked.py +
+sgd_pallas time_mode): the lane-carried temporal semantics must match a
+NumPy oracle replaying the SAME tile plan, and the family must keep its
+quality edge over plain MF on temporally-structured data."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mfx.config import TimeSVDConfig
+from mfx.data import synthetic
+from mfx.data.split import epoch_permutation, train_test_split
+from mfx.kernels import blocked_host as bh
+from mfx.models.mf import init_model
+from mfx.models.timesvd import fit_time_features, init_timesvd
+from mfx.solvers.timesvd_blocked import train_epochs_timesvd_blocked
+
+U, I, N = 300, 260, 8_000
+RANK = 32  # pack 4; L = 32 - 3 - n_bins
+
+
+def _coo_with_temporal_structure(seed=3, n_bins=8):
+    """Synthetic ratings + timestamps where item popularity bias drifts
+    by time bin and users have drift, so the temporal terms are
+    learnable (same recipe as tests/unit/test_timesvd.py)."""
+    rng = np.random.default_rng(seed)
+    coo = synthetic.make_synthetic(U, I, N, rank=4, noise=0.25, seed=seed)
+    ts = rng.integers(0, 1_000_000, N)
+    shift = rng.normal(0, 0.35, (I, n_bins)).astype(np.float32)
+    binof = (ts * n_bins // 1_000_000).astype(np.int64)
+    r = coo.rating + shift[coo.item, binof]
+    r = np.clip(r, 0.5, 5.0)
+    return dataclasses.replace(
+        coo, rating=r.astype(np.float32), timestamp=ts.astype(np.int64)
+    )
+
+
+def _numpy_oracle(model, train, cfg, feats, epochs, su, si, tile, tpg,
+                  nwin):
+    """Replay the identical sweep plans with the documented time-lane
+    semantics: sequential tiles, snapshot within a tile (ids unique),
+    uniform lr/reg, all-bin regularization per item occurrence."""
+    nb = feats.n_bins
+    L = model.rank - 3 - nb
+    rng_P = np.asarray(model.P, np.float64)
+    P = rng_P[:, :L].copy()
+    Q = np.asarray(model.Q, np.float64)[:, :L].copy()
+    bu = np.asarray(model.bu, np.float64).copy()
+    bi = np.asarray(model.bi, np.float64).copy()
+    bt = np.zeros((I, nb))
+    al = np.zeros(U)
+    mu = float(model.mu)
+    tb_all, dv_all = feats.features(train.user, train.timestamp)
+    tb_all = np.asarray(tb_all)
+    dv_all = np.asarray(dv_all, np.float64)
+    idx_payload = np.arange(train.n_ratings, dtype=np.int32).view(
+        np.float32
+    )
+    for epoch in range(epochs):
+        lr = cfg.lr * (cfg.lr_decay**epoch)
+        reg = cfg.reg
+        perm = epoch_permutation(train.n_ratings, 0, epoch)
+        plans = bh.build_sweep_plans(
+            train.user, train.item, idx_payload, U, I, su, si, tile, tpg,
+            nwin, perm,
+        )
+        for p in plans:
+            tl = np.asarray(p.tl)
+            for t in range(tl.shape[0]):
+                a = p.sa[t // tpg]
+                w = p.win0 + p.tc[t]
+                ul = tl[t, 0, :]
+                il = tl[t, 1, :]
+                real = ul < su
+                ridx = tl[t, 2, :].view(np.int32)[real]
+                u = (a * su + ul[real]).astype(np.int64)
+                i = (w * si + il[real]).astype(np.int64)
+                r = np.asarray(train.rating, np.float64)[ridx]
+                b = tb_all[ridx]
+                dv = dv_all[ridx]
+                # snapshot gathers + ACCUMULATED scatters: tiles may
+                # contain duplicate rows — the kernel's one-hotT matmul
+                # is a segment-sum over them (K2), so the oracle must
+                # add.at, not fancy-index assign
+                pu = P[u]
+                qi = Q[i]
+                pred = (
+                    (pu * qi).sum(1) + mu + bu[u] + bi[i]
+                    + bt[i, b] + al[u] * dv
+                )
+                e = r - pred
+                np.add.at(P, u, lr * (e[:, None] * qi - reg * pu))
+                np.add.at(Q, i, lr * (e[:, None] * pu - reg * qi))
+                np.add.at(bu, u, lr * (e - reg * bu[u]))
+                np.add.at(bi, i, lr * (e - reg * bi[i]))
+                np.add.at(al, u, lr * (e * dv - reg * al[u]))
+                # all-bin shrinkage + active-bin residual (the lane rule)
+                upd = -lr * reg * bt[i]
+                upd[np.arange(len(i)), b] += lr * e
+                np.add.at(bt, i, upd)
+    return P, Q, bu, bi, bt, al
+
+
+def test_blocked_timesvd_matches_numpy_oracle():
+    n_bins = 8
+    coo = _coo_with_temporal_structure(n_bins=n_bins)
+    cfg = TimeSVDConfig(lr=0.02, reg=0.02, epochs=2, n_bins=n_bins,
+                        kernel="pallas")
+    model = init_model(1, U, I, RANK, global_mean=coo.global_mean)
+    feats = fit_time_features(coo, n_bins=n_bins, beta=cfg.beta)
+
+    got = None
+    for _, got, _ in train_epochs_timesvd_blocked(
+        model, coo, cfg, seed=0, interpret=True, feats=feats
+    ):
+        pass
+
+    su = si = 512
+    from mfx.solvers.blocked import sweep_geometry
+
+    nwin = sweep_geometry(I, RANK, si)
+    P, Q, bu, bi, bt, al = _numpy_oracle(
+        model, coo, cfg, feats, cfg.epochs, su, si, 256, 4, nwin
+    )
+    L = RANK - 3 - n_bins
+    tol = dict(rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.P)[:, :L], P, **tol)
+    np.testing.assert_allclose(np.asarray(got.Q)[:, :L], Q, **tol)
+    np.testing.assert_allclose(np.asarray(got.bu), bu, **tol)
+    np.testing.assert_allclose(np.asarray(got.bi), bi, **tol)
+    np.testing.assert_allclose(np.asarray(got.bt), bt, **tol)
+    np.testing.assert_allclose(np.asarray(got.alpha), al, **tol)
+    # reserved factor columns are exactly zero in the canonical view
+    assert (np.asarray(got.P)[:, L:] == 0).all()
+    assert (np.asarray(got.Q)[:, L:] == 0).all()
+
+
+def test_blocked_timesvd_learns_temporal_structure():
+    """Time-aware eval through the blocked path beats plain biased MF of
+    the same storage rank on data with per-bin bias drift."""
+    n_bins = 8
+    coo = _coo_with_temporal_structure(seed=5, n_bins=n_bins)
+    train, test = train_test_split(coo, 0.15, seed=0)
+    cfg = TimeSVDConfig(lr=0.03, reg=0.02, epochs=8, n_bins=n_bins,
+                        kernel="pallas")
+    feats = fit_time_features(train, n_bins=n_bins, beta=cfg.beta)
+    model = init_model(2, U, I, RANK, global_mean=train.global_mean)
+    hist = []
+    ts = None
+    for _, ts, tr in train_epochs_timesvd_blocked(
+        model, train, cfg, seed=0, interpret=True, feats=feats
+    ):
+        hist.append(float(tr))
+    assert hist[-1] < hist[0]
+    from mfx.solvers.timesvd import rmse_mae_time
+
+    rm_t, _ = rmse_mae_time(ts, feats, test)
+    # plain biased MF baseline (lane path, same storage rank)
+    from mfx.config import SGDConfig
+    from mfx.solvers.blocked import train_epochs_blocked
+
+    mf_cfg = SGDConfig(
+        lr=0.03, reg=0.02, epochs=8, partitioner="blocked",
+        kernel="pallas", ublock=512, iblock=512, tile=256,
+        bias_mode="lane",
+    )
+    mf = init_model(2, U, I, RANK, global_mean=train.global_mean)
+    for _, mf, _ in train_epochs_blocked(
+        mf, train, mf_cfg, use_bias=True, seed=0, interpret=True
+    ):
+        pass
+    from mfx.eval import rmse
+
+    assert rm_t < rmse(mf, test) - 0.01, (rm_t, rmse(mf, test))
+    assert float(np.abs(np.asarray(ts.bt)).max()) > 0
+    assert float(np.abs(np.asarray(ts.alpha)).max()) > 0
+
+
+def test_blocked_timesvd_validation():
+    coo = _coo_with_temporal_structure()
+    model = init_model(0, U, I, RANK, global_mean=3.5)
+    bad = TimeSVDConfig(lr_t=0.001, kernel="pallas", n_bins=8)
+    with pytest.raises(ValueError, match="lr/reg"):
+        next(iter(train_epochs_timesvd_blocked(model, coo, bad)))
+    wide = TimeSVDConfig(kernel="pallas", n_bins=30)
+    with pytest.raises(ValueError, match="n_bins"):
+        next(iter(train_epochs_timesvd_blocked(model, coo, wide)))
+    nots = dataclasses.replace(coo, timestamp=None)
+    ok = TimeSVDConfig(kernel="pallas", n_bins=8)
+    with pytest.raises(ValueError, match="timestamp"):
+        next(iter(train_epochs_timesvd_blocked(model, nots, ok)))
+    with pytest.raises(ValueError, match="kernel"):
+        TimeSVDConfig(kernel="cuda")
