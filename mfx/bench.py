@@ -44,13 +44,16 @@ TARGET_RMSE_REAL = 0.92
 SYNTHETIC_NOISE_FLOOR = 0.35
 SYNTHETIC_TARGET_FACTOR = 1.16
 MAX_CONVERGENCE_EPOCHS = 40
-# the hand-measured converged plateau that grounds SYNTHETIC_TARGET_FACTOR
+# the measured converged plateau that grounds SYNTHETIC_TARGET_FACTOR
 # (gate = 1.16 * noise = 0.406, ~1% above this floor). Re-derived by
 # `python bench.py --derive-floor` (derive_floor below) whenever the
 # generator version bumps; the derive run FAILS LOUDLY if the measured
 # plateau drifts >1% from this pin, so a quality regression that stays
 # under the gate is no longer invisible (VERDICT r3 weak #5).
-SYNTHETIC_PINNED_FLOOR = 0.4023
+# History: v5 iid-user generator 0.4023 (hand-measured, r3);
+# v6 user-skew generator 0.4013 (derive_floor on chip, 40 epochs,
+# tail slope -1e-5/epoch — drift -0.26% vs v5, gate unchanged).
+SYNTHETIC_PINNED_FLOOR = 0.4013
 FLOOR_DRIFT_TOLERANCE = 0.01
 
 

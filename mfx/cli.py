@@ -116,10 +116,9 @@ def cmd_recommend(args) -> int:
     if args.fused:
         from mfx.serve import FusedTopKRecommender
 
-        if args.table_dtype == "int8" or args.recall_target is not None:
+        if args.recall_target is not None:
             raise SystemExit(
-                "--fused supports table-dtype f32/bf16 and has its own "
-                "selection scheme (drop --recall-target)"
+                "--fused has its own selection scheme (drop --recall-target)"
             )
         rec = FusedTopKRecommender(
             model, train=exclude, batch=args.batch,
@@ -269,11 +268,10 @@ def cmd_serve(args) -> int:
         if args.fused:
             from mfx.serve import FusedTopKRecommender
 
-            if (args.table_dtype == "int8"
-                    or args.recall_target is not None):
+            if args.recall_target is not None:
                 raise SystemExit(
-                    "--fused supports table-dtype f32/bf16 and has its "
-                    "own selection scheme (drop --recall-target)"
+                    "--fused has its own selection scheme "
+                    "(drop --recall-target)"
                 )
             rec = FusedTopKRecommender(
                 model, train=exclude_b, batch=args.batch,

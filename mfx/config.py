@@ -575,13 +575,16 @@ PRESETS: dict[str, TrainConfig] = {
             iblock=1024,
             tile=256,
             # full-span grouped dense phase: eligible strata anywhere in
-            # the item span run densely. chi=0.0002 makes the epoch 100%
-            # dense (frac=1.0, no sparse phase at all) — measured optimum
-            # on the bench chip after the zero-stream kernel slimming
-            # (within-job 65.4 ms vs 72.3 ms at 0.0003; per-epoch test
-            # RMSE identical to 4 decimals, gate in 1 epoch both).
-            # chi=0.0001 adds no strata (same plan)
-            dense_chi=0.0002,
+            # the item span run densely. AUTO (<0): the dense/sparse
+            # boundary comes from the cost model over the occupancy
+            # histogram (mfx/solvers/dense_prep.py). On the v6
+            # user-skewed generator 2-D carving beats all-dense 1.25x
+            # within-job (r4 chi sweep: 72.9-73.1 ms at chi 0.001-0.0015
+            # vs 91.3 ms all-dense; rGB 4.68 -> ~1.2; per-epoch test
+            # RMSE identical to 4 decimals across the sweep) — the old
+            # all-dense optimum (chi=0.0002) was an artifact of the
+            # v4/v5 generator's FLAT iid user axis
+            dense_chi=-1.0,
             dense_span="full",
             # lane-carried biases: deletes the per-tile bias machinery
             # (sparse path 94 -> 65 ms measured; epoch 104.5 -> 73.4 ms,
@@ -618,11 +621,10 @@ PRESETS: dict[str, TrainConfig] = {
             kernel="pallas",
             # grouped full-span dense strata inside the ring (per-cell
             # carve on the held block; rank-128/512-block geometry
-            # compile-verified on chip). chi is conservative here — the
-            # single-chip chi sweep measured monotone gains down to
-            # 0.0003 on throttled HBM, and spec v5p bandwidth favors
-            # lower still
-            dense_chi=0.0025,
+            # compile-verified on chip). AUTO: cost-model boundary from
+            # the occupancy histogram, same machinery as the single-chip
+            # full-span prep (the v6 generator is user-skewed here too)
+            dense_chi=-1.0,
             dense_span="full",
             dup_trust=16.0,  # applies when overridden back to mode=dp
             # lane-carried biases work inside the DSGD ring too (2 of 128

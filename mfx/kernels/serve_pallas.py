@@ -39,20 +39,36 @@ __all__ = ["tile_topk", "tile_topk2", "AUG_LANES"]
 AUG_LANES = 128  # P_aug/Q_aug lane width: rank + bias lane, zero-padded
 
 
-def _kernel(tn, depth, p_ref, q_ref, *out_refs):
+def _kernel(tn, depth, quant, p_ref, q_ref, *refs):
     # 2-D grid (groups, 128): step (g, tl) scores catalog tile
     # t = g*128 + tl. The output block (B, 128) is indexed by g alone, so
     # it stays VMEM-resident across the 128 inner steps while each step
     # masked-writes its own lane column (Mosaic cannot store at a dynamic
     # lane offset, and a full-width resident output block measured 5x
     # slower — the RMW traffic scales with the block width).
+    if quant:
+        sb_ref, *out_refs = refs
+    else:
+        out_refs = refs
     tl = pl.program_id(1)
     t = pl.program_id(0) * 128 + tl
 
     @pl.when(t < tn)
     def _():
         p = p_ref[:]
-        q = q_ref[:]
+        if quant:
+            # int8 catalog: the tile converts to f32 in VMEM and the
+            # per-item dequant scale applies to the SCORE columns
+            # (column-scaling the (B, tile) scores ≡ row-scaling the
+            # (tile, lanes) q, and stays 2-D for Mosaic); the item bias
+            # adds to the scores — it cannot ride an int8 lane, so it
+            # streams in sb instead of the augmented lane the f32/bf16
+            # path uses. The catalog stream is a QUARTER of f32's
+            # bytes; the convert+scale is ~tile·lanes VPU ops against a
+            # kernel that is already VPU/grid-bound.
+            q = q_ref[:].astype(jnp.float32)
+        else:
+            q = q_ref[:]
         scores = jax.lax.dot_general(
             p, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -65,6 +81,8 @@ def _kernel(tn, depth, p_ref, q_ref, *out_refs):
             # on this MXU and the kernel is VPU/grid-bound.
             precision=jax.lax.Precision.HIGHEST,
         )  # (B, tile)
+        if quant:
+            scores = scores * sb_ref[0, 0:1, :] + sb_ref[0, 1:2, :]
         lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         big = jnp.int32(scores.shape[1])
         hit = jax.lax.broadcasted_iota(
@@ -90,7 +108,7 @@ def _kernel(tn, depth, p_ref, q_ref, *out_refs):
     jax.jit, static_argnames=("tile", "depth", "interpret")
 )
 def tile_topk(P_aug, Q_aug, tile: int = 1024, depth: int = 2,
-              interpret: bool = False):
+              interpret: bool = False, sb=None):
     """Per-tile top-``depth`` candidates of ``P_aug @ Q_augᵀ``.
 
     P_aug: (B, 128) — factor rows with the bias-carry lane ([p, 1, 0…]).
@@ -100,6 +118,14 @@ def tile_topk(P_aug, Q_aug, tile: int = 1024, depth: int = 2,
     tile's j-th best score and its LOCAL lane id (global item =
     t*tile + lane), j in rank order. Dtypes: scores f32 (f32 MXU
     accumulation even for bf16 tables).
+
+    int8 catalogs (the serving CAPACITY lever, 4x less HBM than f32):
+    pass ``Q_aug`` as int8 rows (bias lane 0) plus ``sb``, an
+    (n_tiles, 2, tile) f32 stream with row 0 the per-item dequant scale
+    and row 1 the item bias (pad items: scale 0, bias -1e30). The
+    kernel dequantizes each tile in VMEM and adds the bias to the
+    scores, so selection quality matches the stock int8 scorer while
+    the catalog stream is a quarter of f32's.
 
     ``depth`` trades VPU work for pool quality: each extra rank is one
     more max-extract round against the VMEM-resident tile. depth=2 is
@@ -115,6 +141,13 @@ def tile_topk(P_aug, Q_aug, tile: int = 1024, depth: int = 2,
         raise ValueError(f"catalog pad {ipad} not a multiple of tile {tile}")
     if not 1 <= depth <= tile:
         raise ValueError(f"depth must be in [1, tile={tile}], got {depth}")
+    quant = Q_aug.dtype == jnp.int8
+    if quant and (sb is None or sb.shape != (ipad // tile, 2, tile)):
+        raise ValueError(
+            "int8 Q_aug needs sb=(n_tiles, 2, tile) f32 scales+biases"
+        )
+    if not quant and sb is not None:
+        raise ValueError("sb is only for int8 catalogs")
     tn = ipad // tile
     # lane-pad the (B, tn) outputs to the vreg width; callers slice [:tn]
     tn_hi = -(-tn // 128)
@@ -123,13 +156,20 @@ def tile_topk(P_aug, Q_aug, tile: int = 1024, depth: int = 2,
     def q_map(g, tl):
         return (jnp.minimum(g * 128 + tl, tn - 1), 0)
 
+    in_specs = [
+        pl.BlockSpec((B, AUG_LANES), lambda g, tl: (0, 0)),
+        pl.BlockSpec((tile, AUG_LANES), q_map),
+    ]
+    operands = [P_aug, Q_aug]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((1, 2, tile), lambda g, tl: (q_map(g, tl)[0], 0, 0))
+        )
+        operands.append(sb)
     out = pl.pallas_call(
-        functools.partial(_kernel, tn, depth),
+        functools.partial(_kernel, tn, depth, quant),
         grid=(tn_hi, 128),
-        in_specs=[
-            pl.BlockSpec((B, AUG_LANES), lambda g, tl: (0, 0)),
-            pl.BlockSpec((tile, AUG_LANES), q_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((B, 128), lambda g, tl: (0, g))
             for _ in range(2 * depth)
@@ -141,7 +181,7 @@ def tile_topk(P_aug, Q_aug, tile: int = 1024, depth: int = 2,
             for j in range(2 * depth)
         ],
         interpret=interpret,
-    )(P_aug, Q_aug)
+    )(*operands)
     return tuple(o[:, :tn] for o in out)
 
 

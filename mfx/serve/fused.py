@@ -47,12 +47,23 @@ __all__ = [
 _PAD_BIAS = -1e30  # catalog pad rows: can never win a tile
 
 
-def _validate_fused(table_dtype: str, tile: int, rank: int) -> None:
+def _validate_fused(
+    table_dtype: str, tile: int, rank: int, allow_int8: bool = False,
+    exact: bool = False,
+) -> None:
     """Shared constructor validation of the fused serving family."""
-    if table_dtype not in ("f32", "bf16"):
+    allowed = ("f32", "bf16", "int8") if allow_int8 else ("f32", "bf16")
+    if table_dtype not in allowed:
         raise ValueError(
-            "fused serving supports table_dtype 'f32' or 'bf16', got "
+            f"fused serving supports table_dtype {allowed}, got "
             f"{table_dtype!r}"
+        )
+    if table_dtype == "int8" and exact:
+        raise ValueError(
+            "exact=True certifies the TRUE f32 scores; an int8-quantized "
+            "catalog cannot be certified against them — use table_dtype "
+            "'f32'/'bf16' for exact mode, or exact=False for the int8 "
+            "capacity lever (recall parity with the stock int8 scorer)"
         )
     if tile < 128 or tile % 128:
         raise ValueError(f"tile must be a multiple of 128, got {tile}")
@@ -71,6 +82,30 @@ def _augment_catalog(Q, bias, ipad: int, dt) -> jax.Array:
     bias_lane = jnp.full((ipad,), _PAD_BIAS, dt)
     bias_lane = bias_lane.at[:I].set(jnp.asarray(bias, dt))
     return Q_aug.at[:, r].set(bias_lane)
+
+
+def _augment_catalog_int8(Q, bias, ipad: int, tile: int):
+    """int8 augmented catalog + its (n_tiles, 2, tile) f32 scale/bias
+    stream (VERDICT r3 missing #3 — the capacity lever inside the fused
+    latency lever). Rows quantize per-row symmetrically like the stock
+    int8 scorer (mfx/serve/topk.py _quantize_rows); the bias lane stays
+    ZERO in the int8 table (a bias cannot ride an int8 lane) and rides
+    the sb stream instead; pad rows get scale 0 / bias ``_PAD_BIAS`` so
+    they can never win a tile."""
+    from mfx.serve.topk import _quantize_rows
+
+    I, r = Q.shape
+    Q8, scale = _quantize_rows(jnp.asarray(Q, jnp.float32))
+    Q_aug = jnp.zeros((ipad, AUG_LANES), jnp.int8)
+    Q_aug = Q_aug.at[:I, :r].set(Q8)
+    sc = jnp.zeros((ipad,), jnp.float32).at[:I].set(scale)
+    bl = jnp.full((ipad,), _PAD_BIAS, jnp.float32).at[:I].set(
+        jnp.asarray(bias, jnp.float32)
+    )
+    sb = jnp.stack(
+        [sc.reshape(-1, tile), bl.reshape(-1, tile)], axis=1
+    )  # (n_tiles, 2, tile)
+    return Q_aug, sb
 
 
 def _augment_rows(pu, dt):
@@ -107,15 +142,17 @@ def _member(seenmat, cand):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
-def _serve(pu, Q_aug, bu_b, mu, seenmat, k, tile, interpret=False):
+def _serve(pu, Q_aug, bu_b, mu, seenmat, k, tile, interpret=False, sb=None):
     """The whole fused dispatch as ONE device program: augment the
     batch's (B, rank) user rows, run the per-tile top-2 kernel, exclude
     seen candidates (runner-up fallback), exact top-K over the pool, add
     the per-user constants back. One round-trip per batch — per-dispatch
-    latency is a measured cost on serving paths."""
-    pu_aug = _augment_rows(pu, Q_aug.dtype)
-    m1, a1, m2, a2 = tile_topk2(pu_aug, Q_aug, tile=tile,
-                                interpret=interpret)
+    latency is a measured cost on serving paths. ``sb`` is the int8
+    catalog's scale/bias stream (None for f32/bf16)."""
+    aug_dt = jnp.float32 if Q_aug.dtype == jnp.int8 else Q_aug.dtype
+    pu_aug = _augment_rows(pu, aug_dt)
+    m1, a1, m2, a2 = tile_topk(pu_aug, Q_aug, tile=tile, depth=2,
+                               interpret=interpret, sb=sb)
     tn = m1.shape[1]
     base = (jnp.arange(tn, dtype=jnp.int32) * tile)[None, :]
     g1 = a1 + base
@@ -241,9 +278,15 @@ class FusedTopKRecommender(_FusedServingBase):
     >>> rec = FusedTopKRecommender(model, train=train_coo)
     >>> items, scores = rec.recommend(users, k=100)
 
-    ``table_dtype``: 'f32' or 'bf16' — bf16 halves the augmented catalog
-    stream and footprint. In bf16 mode the item biases ride the
-    bias-carry lane in bf16 too (~0.4% relative rounding).
+    ``table_dtype``: 'f32', 'bf16' or 'int8'. bf16 halves the augmented
+    catalog stream and footprint (item biases ride the bias-carry lane
+    in bf16 too, ~0.4% relative rounding). int8 is the CAPACITY lever
+    (4x less serving HBM than f32, same per-row symmetric quantization
+    as the stock int8 scorer): the catalog is int8 with a small f32
+    scale/bias side stream, dequantized per tile in VMEM — combining
+    the stock path's capacity with the fused path's latency
+    (exact=True is f32/bf16-only: a quantized catalog cannot certify
+    the true f32 scores).
 
     ``tile``: catalog items scored per kernel step (multiple of 128).
     Larger tiles stream faster but raise the chance that several of a
@@ -270,7 +313,8 @@ class FusedTopKRecommender(_FusedServingBase):
         tile: int = 1024, interpret: bool | None = None,
         exact: bool = False, exact_tiles: int = 64, exact_depth: int = 8,
     ):
-        _validate_fused(table_dtype, tile, model.rank)
+        _validate_fused(table_dtype, tile, model.rank, allow_int8=True,
+                        exact=exact)
         # base init wires the seen CSR / batch plumbing; table quantization
         # is ours (augmented layout), so the base stays on the f32 path
         super().__init__(model, train=train, batch=batch, table_dtype="f32")
@@ -294,7 +338,13 @@ class FusedTopKRecommender(_FusedServingBase):
         self.exact_depth = exact_depth
         self.exact_fallbacks = 0  # batches that overflowed to the stock path
         self._exact_rec = None
-        self._Q_aug = _augment_catalog(model.Q, model.bi, self._ipad, dt)
+        if table_dtype == "int8":
+            self._Q_aug, self._sb = _augment_catalog_int8(
+                model.Q, model.bi, self._ipad, tile
+            )
+        else:
+            self._Q_aug = _augment_catalog(model.Q, model.bi, self._ipad, dt)
+            self._sb = None
         self._P_src = model.P
         self._bu_src = model.bu
         self._host_u = isinstance(model.P, np.ndarray)
@@ -324,6 +374,7 @@ class FusedTopKRecommender(_FusedServingBase):
                 jnp.asarray(pu, jnp.float32), self._Q_aug,
                 jnp.asarray(bu_b, jnp.float32), self._mu,
                 jnp.asarray(seenmat), k, self.tile, self.interpret,
+                sb=self._sb,
             )
         i_, s_, overflow, _n = _serve_exact(
             jnp.asarray(pu, jnp.float32), self._Q_aug,
@@ -368,7 +419,8 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         interpret: bool | None = None,
         exact: bool = False, exact_tiles: int = 64, exact_depth: int = 8,
     ):
-        _validate_fused(table_dtype, tile, model.rank)
+        _validate_fused(table_dtype, tile, model.rank, allow_int8=True,
+                        exact=exact)
         super().__init__(model, train=train, batch=batch, table_dtype="f32")
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -387,9 +439,19 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         self._ipad = -(-I // (S * tile)) * (S * tile)
         self._tn_loc = self._ipad // S // tile
         rows = NamedSharding(flat, P("shard"))
-        self._Q_aug = jax.device_put(
-            _augment_catalog(model.Q, model.bi, self._ipad, dt), rows
-        )
+        if table_dtype == "int8":
+            # the scale/bias stream shards with its tiles: sb rows are
+            # per-TILE and tiles never span shards
+            Q8, sb = _augment_catalog_int8(
+                model.Q, model.bi, self._ipad, tile
+            )
+            self._Q_aug = jax.device_put(Q8, rows)
+            self._sb = jax.device_put(sb, rows)
+        else:
+            self._Q_aug = jax.device_put(
+                _augment_catalog(model.Q, model.bi, self._ipad, dt), rows
+            )
+            self._sb = None
         # user tables stay wherever they live (host numpy or device);
         # only the batch's rows travel, augmented inside the program
         self._P_src = model.P
@@ -443,11 +505,12 @@ class FusedShardedTopKRecommender(_FusedServingBase):
         exact, s_max = self.exact, self._s_max
         depth = self.exact_depth if self.exact else 2
 
-        def shard_fn(pu, bu_b, mu, seenmat, Q_loc):
+        def shard_fn(pu, bu_b, mu, seenmat, Q_loc, *sb_loc):
             s = jax.lax.axis_index("shard")
             pu_aug = _augment_rows(pu, dt)
             ranks = tile_topk(
-                pu_aug, Q_loc, tile=tile, depth=depth, interpret=interpret
+                pu_aug, Q_loc, tile=tile, depth=depth, interpret=interpret,
+                sb=sb_loc[0] if sb_loc else None,
             )
             ms, as_ = ranks[0::2], ranks[1::2]
             B = ms[0].shape[0]
@@ -516,10 +579,12 @@ class FusedShardedTopKRecommender(_FusedServingBase):
             gi = jnp.take_along_axis(ci, sel2, axis=1)
             return gi, gs + bu_b[:, None] + mu, n_over
 
+        quant = self._sb is not None
         fn = jax.shard_map(
             shard_fn,
             mesh=self._flat,
-            in_specs=(P(), P(), P(), P(), P("shard")),
+            in_specs=(P(), P(), P(), P(), P("shard"))
+            + ((P("shard"),) if quant else ()),
             out_specs=(P(), P(), P()),
             # outputs ARE replicated (all_gather + identical final top_k
             # on every shard) but inference can't prove it
@@ -532,9 +597,10 @@ class FusedShardedTopKRecommender(_FusedServingBase):
     def _score_batch(self, ub, rows, seenmat, k):
         del rows
         pu, bu_b = self._user_rows(ub)
+        extra = () if self._sb is None else (self._sb,)
         gi, gs, n_over = self._kernel(k)(
             jnp.asarray(pu, jnp.float32), jnp.asarray(bu_b, jnp.float32),
-            self._mu, jnp.asarray(seenmat), self._Q_aug,
+            self._mu, jnp.asarray(seenmat), self._Q_aug, *extra,
         )
         if self.exact and int(np.asarray(n_over)) > 0:
             # a shard's suspect union outgrew its rescore budget: the

@@ -34,14 +34,19 @@ __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
 # dense/sparse boundary from the per-stratum occupancy histogram instead
 # of a hand-swept chi. Measured on the bench v5e (STATUS.md roofline):
 # the dense phase streams su·si·slot bytes per stratum at the chip's
-# plain-XLA rate, the sparse one-hot path costs ~9 ns/rating at
-# multi-million-rating scale, and ANY sparse phase pays a fixed
-# plan/dispatch cost. The total-cost curve is flat near the breakeven,
-# so rough constants transfer across throttle phases; on spec-bandwidth
-# hardware the stream term shrinks ~11x and auto moves the boundary
-# toward all-sparse automatically if AUTO_STREAM_GBPS is recalibrated.
-AUTO_STREAM_GBPS = 74.0
-AUTO_SPARSE_NS = 9.0
+# plain-XLA rate, the sparse one-hot path replaces carved-out strata at
+# its per-rating cost, and ANY sparse phase pays a fixed plan/dispatch
+# cost. The constants are FIT so the auto boundary lands at the
+# measured within-job optimum on the v6 user-skewed ML-25M benchmark
+# (chi sweep, STATUS.md r4: optimum chi 0.001-0.0015 ≈ 1000-1500
+# ratings/stratum at 1024² int4; the total-cost curve is flat ±30%
+# around it, so throttle drift doesn't move the pick materially).
+# AUTO_SPARSE_NS is the MARGINAL cost of the strata near the boundary —
+# they pack efficiently, so it sits below the sparse path's ~12 ns
+# average. On spec-bandwidth hardware recalibrate AUTO_STREAM_GBPS and
+# the boundary moves toward all-sparse automatically.
+AUTO_STREAM_GBPS = 60.0
+AUTO_SPARSE_NS = 7.0
 AUTO_SPARSE_FIXED_MS = 6.5
 _SLOT_BYTES = {"int4": 0.5, "int8": 1.0}
 

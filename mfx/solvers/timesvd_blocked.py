@@ -99,6 +99,7 @@ def train_epochs_timesvd_blocked(
     interpret: bool = False,
     feats: TimeFeatures | None = None,
     timings: dict | None = None,
+    replan_every: int = 0,
 ):
     """Generator yielding (epoch, TimeSVDModel, train_rmse) through the
     fused blocked kernel. See module docstring for the (documented)
@@ -142,32 +143,22 @@ def train_epochs_timesvd_blocked(
     idx_payload = np.arange(train.n_ratings, dtype=np.int32).view(np.float32)
     rating = np.asarray(train.rating, np.float32)
     f32v = np.float32
+    sweep_args: list | None = None
+    sweep_meta = None
     for epoch in range(start_epoch, cfg.epochs):
-        perm = epoch_permutation(train.n_ratings, seed, epoch)
-        plans = bh.build_sweep_plans(
-            train.user, train.item, idx_payload, U, I,
-            su, si, tile, tpg, nwin, perm,
-        )
-        sweep_args = []
-        for p in plans:
-            tl = np.asarray(p.tl)  # (NT, 3, T) int32
-            u_loc = tl[:, 0, :]
-            pad = u_loc >= su
-            idx = np.where(pad, 0, tl[:, 2, :].view(np.int32))
-            tl5 = np.empty(tl.shape[:1] + (5,) + tl.shape[2:], np.int32)
-            tl5[:, 0:2] = tl[:, 0:2]
-            tl5[:, 2] = np.where(
-                pad, 0, rating[idx].view(np.int32)
+        # plan reuse (replan_every=0, the production default as in the
+        # MF blocked path): the host O(n log n) sweep plan + the O(n)
+        # tl5 assembly dominate wall on the 1-core host at multi-million
+        # rating scale; stratified order re-randomizes within strata
+        if sweep_args is not None and not (
+            replan_every and epoch % replan_every == 0
+        ):
+            pass
+        else:
+            sweep_args, sweep_meta = _plan_tsvd_epoch(
+                train, idx_payload, rating, tbins, devs, U, I, su, si,
+                tile, tpg, nwin, seed, epoch,
             )
-            tl5[:, 3] = np.where(pad, 0, tbins[idx])
-            tl5[:, 4] = np.where(
-                pad, 0, devs[idx].view(np.int32)
-            )
-            sweep_args.append({
-                "sa": jnp.asarray(p.sa), "tc": jnp.asarray(p.tc),
-                "tl": jnp.asarray(tl5),
-            })
-        sweep_meta = tuple((p.win0, p.nwin) for p in plans)
         Pm, Qm, sse = _tsvd_epoch(
             Pm, Qm, tuple(sweep_args),
             jnp.asarray(cfg.lr * (cfg.lr_decay**epoch), f32v),
@@ -178,3 +169,28 @@ def train_epochs_timesvd_blocked(
         view = pk.unpack_state(Pm, Qm, mu, U, I, rank, su, si)
         out = pk.from_tlane_model(view, feats.n_bins)
         yield epoch, out, jnp.sqrt(sse / max(1, train.n_ratings))
+
+
+def _plan_tsvd_epoch(train, idx_payload, rating, tbins, devs, U, I, su, si,
+                     tile, tpg, nwin, seed, epoch):
+    perm = epoch_permutation(train.n_ratings, seed, epoch)
+    plans = bh.build_sweep_plans(
+        train.user, train.item, idx_payload, U, I,
+        su, si, tile, tpg, nwin, perm,
+    )
+    sweep_args = []
+    for p in plans:
+        tl = np.asarray(p.tl)  # (NT, 3, T) int32
+        u_loc = tl[:, 0, :]
+        pad = u_loc >= su
+        idx = np.where(pad, 0, tl[:, 2, :].view(np.int32))
+        tl5 = np.empty(tl.shape[:1] + (5,) + tl.shape[2:], np.int32)
+        tl5[:, 0:2] = tl[:, 0:2]
+        tl5[:, 2] = np.where(pad, 0, rating[idx].view(np.int32))
+        tl5[:, 3] = np.where(pad, 0, tbins[idx])
+        tl5[:, 4] = np.where(pad, 0, devs[idx].view(np.int32))
+        sweep_args.append({
+            "sa": jnp.asarray(p.sa), "tc": jnp.asarray(p.tc),
+            "tl": jnp.asarray(tl5),
+        })
+    return sweep_args, tuple((p.win0, p.nwin) for p in plans)

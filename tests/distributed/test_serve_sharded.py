@@ -231,3 +231,29 @@ def test_fused_sharded_exact_matches_stock_exact():
     gi2, gs2 = rec2.recommend(users, k=5)
     np.testing.assert_allclose(gs2, rs2, rtol=1e-5, atol=1e-5)
     assert rec2.exact_fallbacks >= 1
+
+
+def test_fused_sharded_int8_matches_single_device_int8():
+    """int8 sharded fused == int8 single-device fused exactly: shards
+    quantize the same rows to the same int8 values, tiles never span
+    shards, and the S·K merge is exact (VERDICT r3 #3 composition)."""
+    from mfx.serve import FusedShardedTopKRecommender, FusedTopKRecommender
+
+    U, I, k = 30, 3000, 6
+    coo = synthetic.make_synthetic(U, I, 800, seed=9)
+    model = init_model(7, U, I, rank=8, global_mean=3.5)
+    mesh = make_mesh(2, 4)
+    users = np.arange(U, dtype=np.int32)
+    ri, rs = FusedTopKRecommender(
+        model, train=coo, batch=16, tile=128, table_dtype="int8"
+    ).recommend(users, k=k)
+    gi, gs = FusedShardedTopKRecommender(
+        model, mesh, train=coo, batch=16, tile=128, table_dtype="int8"
+    ).recommend(users, k=k)
+    np.testing.assert_allclose(gs, rs, rtol=1e-6, atol=1e-6)
+    for u in range(U):
+        if (gi[u] != ri[u]).any():
+            assert set(gi[u]) == set(ri[u])  # equal-score permutation
+        seen = coo.item[coo.user == u]
+        assert not np.isin(gi[u], seen).any()
+    assert (gi < I).all()

@@ -112,7 +112,8 @@ def test_blocked_timesvd_matches_numpy_oracle():
 
     got = None
     for _, got, _ in train_epochs_timesvd_blocked(
-        model, coo, cfg, seed=0, interpret=True, feats=feats
+        model, coo, cfg, seed=0, interpret=True, feats=feats,
+        replan_every=1,  # the oracle replays a fresh plan per epoch
     ):
         pass
 
