@@ -279,6 +279,46 @@ def run_bench(
 
             print(f"replan measurement skipped: {exc!r}", file=sys.stderr)
 
+    # Within-job policy anchor: re-time the SAME data under the round-3
+    # carving policy (dense_chi=0.0002, ~all-dense) so the artifact
+    # carries a throttle-free measure of what the current policy buys —
+    # bench-to-bench headline comparisons swing ±20% with the chip's
+    # throttle phase, within-job ratios do not.
+    anchor = None
+    if skew_probe and cfg.sgd.dense_chi != 0.0002:
+        try:
+            t_anchor: dict = {}
+            gen_a = train_epochs_blocked(
+                _fresh(), train,
+                _dc.replace(cfg.sgd, epochs=4, dense_chi=0.0002),
+                use_bias, seed=cfg.data.seed, tpg=tpg, replan_every=0,
+                interpret=interpret, timings=t_anchor,
+            )
+            _, m_a, _ = next(gen_a)
+            m_a.block_until_ready()
+            a_times = []
+            for _, m_a, _ in gen_a:
+                t0 = time.time()
+                m_a.block_until_ready()
+                a_times.append(time.time() - t0)
+            gen_a.close()
+            del m_a
+            gc.collect()
+            anchor = {
+                "policy": "dense_chi=0.0002 (r3 all-dense)",
+                "epoch_s": round(min(a_times), 3),
+                "speedup_vs_anchor": round(
+                    min(a_times) / (min(window_s) / per_window), 3
+                ),
+                "dense_frac": round(
+                    t_anchor.get("dense_info", {}).get("dense_frac", 0.0), 4
+                ),
+            }
+        except Exception as exc:
+            import sys
+
+            print(f"anchor probe skipped: {exc!r}", file=sys.stderr)
+
     # Generator-skew robustness probe (VERDICT r3 weak #1): the headline
     # was tuned on ONE synthetic generator; this re-times the epoch at
     # bracketing user-activity skews (flat s=0 and heavy s=0.8 around the
@@ -459,6 +499,9 @@ def run_bench(
         # within-job headline spread across generator user-activity skews
         # (null unless skew_probe=True; see the probe above)
         "skew_spread": skew_spread,
+        # within-job epoch time under the round-3 policy on the same data
+        # (throttle-free measure of the carving policy's gain)
+        "r3_policy_anchor": anchor,
         "data_s": round(data_s, 2),
         "backend": jax.default_backend(),
     }
