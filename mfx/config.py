@@ -347,6 +347,12 @@ class TimeSVDPPConfig:
     y_trust: float = 16.0
     partitioner: str = "fixed"  # 'fixed' | 'conflict_free'
     dup_trust: float = 0.0
+    # 'jnp' — snapshot-minibatch temporal epoch (full per-term schedule);
+    # 'pallas' — the temporal epoch over X = P + S rides the fused
+    #            blocked kernel (lane-carried bin/drift; one lr/reg for
+    #            all SGD terms, n_bins <= rank-4). The exact Y step is
+    #            batched MXU work on either kernel.
+    kernel: str = "jnp"
 
     def __post_init__(self):
         if self.partitioner not in ("fixed", "conflict_free"):
@@ -357,6 +363,11 @@ class TimeSVDPPConfig:
         if self.n_bins < 1:
             raise ValueError(
                 f"timesvdpp.n_bins must be >= 1, got {self.n_bins}"
+            )
+        if self.kernel not in ("jnp", "pallas"):
+            raise ValueError(
+                f"timesvdpp.kernel must be 'jnp' or 'pallas', got "
+                f"{self.kernel!r}"
             )
 
 

@@ -50,7 +50,10 @@ from mfx.models.mf import MFModel
 from mfx.models.timesvd import TimeFeatures, fit_time_features, init_timesvd
 from mfx.solvers.blocked import sweep_geometry
 
-__all__ = ["train_epochs_timesvd_blocked"]
+__all__ = [
+    "train_epochs_timesvd_blocked", "plan_temporal_epoch",
+    "run_temporal_epoch",
+]
 
 
 def _require_uniform_schedule(cfg: TimeSVDConfig) -> None:
@@ -169,6 +172,43 @@ def train_epochs_timesvd_blocked(
         view = pk.unpack_state(Pm, Qm, mu, U, I, rank, su, si)
         out = pk.from_tlane_model(view, feats.n_bins)
         yield epoch, out, jnp.sqrt(sse / max(1, train.n_ratings))
+
+
+def run_temporal_epoch(
+    ts, sweep_args, sweep_meta, lr, reg, n_bins, *, su, si, tile, tpg,
+    interpret=False,
+):
+    """One blocked temporal epoch on a canonical TimeSVDModel: pack to
+    the time-lane merged tables, run every sweep as one donated XLA
+    program, unpack. The composition hook timeSVD++ uses for its
+    temporal epoch over ``X = P + S`` (mfx/solvers/timesvdpp.py)."""
+    rank = ts.P.shape[1]
+    Pm, Qm = pk.pack_state(pk.to_tlane_model(ts, n_bins), su, si)
+    mu = jnp.asarray(ts.mu, jnp.float32)
+    Pm, Qm, sse = _tsvd_epoch(
+        Pm, Qm, tuple(sweep_args),
+        jnp.asarray(lr, jnp.float32), jnp.asarray(reg, jnp.float32), mu,
+        su=su, si=si, rank=rank, tpg=tpg, n_bins=n_bins,
+        interpret=interpret, sweep_meta=tuple(sweep_meta),
+    )
+    view = pk.unpack_state(Pm, Qm, mu, ts.P.shape[0], ts.Q.shape[0], rank,
+                           su, si)
+    return pk.from_tlane_model(view, n_bins), sse
+
+
+def plan_temporal_epoch(train, tbins, devs, *, su, si, tile, tpg, nwin,
+                        seed, epoch):
+    """Public planning entry for the blocked temporal epoch (see
+    :func:`run_temporal_epoch`)."""
+    idx_payload = np.arange(train.n_ratings, dtype=np.int32).view(
+        np.float32
+    )
+    return _plan_tsvd_epoch(
+        train, idx_payload, np.asarray(train.rating, np.float32),
+        np.asarray(tbins, np.int32), np.asarray(devs, np.float32),
+        train.num_users, train.num_items, su, si, tile, tpg, nwin, seed,
+        epoch,
+    )
 
 
 def _plan_tsvd_epoch(train, idx_payload, rating, tbins, devs, U, I, su, si,

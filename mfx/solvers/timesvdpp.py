@@ -210,22 +210,66 @@ def train_epochs_timesvdpp(
     reg_y = cfg.reg if cfg.reg_y is None else cfg.reg_y
     unique_rows = cfg.partitioner == "conflict_free"
 
+    blocked = getattr(cfg, "kernel", "jnp") == "pallas"
+    if blocked:
+        # the temporal epoch rides the fused blocked kernel
+        # (mfx/solvers/timesvd_blocked.py): lane-carried bin/drift, one
+        # lr/reg for all SGD terms (validated), plan reused across
+        # epochs like the blocked trainers
+        from mfx.solvers.blocked import sweep_geometry
+        from mfx.solvers.timesvd_blocked import (
+            _require_uniform_schedule, plan_temporal_epoch,
+            run_temporal_epoch,
+        )
+
+        _require_uniform_schedule(cfg)
+        rank = model.rank
+        if 128 % rank:
+            raise ValueError(
+                f"timesvdpp.kernel='pallas' needs rank dividing 128, "
+                f"got {rank}"
+            )
+        if cfg.n_bins > rank - 4:
+            raise ValueError(
+                f"timesvdpp.kernel='pallas' carries the {cfg.n_bins} bin "
+                f"biases in the factor lanes: needs n_bins <= rank-4 = "
+                f"{rank - 4}"
+            )
+        b_su = b_si = 512
+        b_tile, b_tpg = 256, 4
+        b_nwin = sweep_geometry(model.num_items, rank, b_si)
+        b_interp = jax.default_backend() != "tpu"
+        b_plan = None
+
     S = implicit_sums(Y, user_dev, item_dev, nu)  # zeros at init
     for epoch in range(start_epoch, cfg.epochs):
         decay = cfg.lr_decay**epoch
-        plan = plan_epoch(train, cfg, seed, epoch, extras=extras)
         ts = TimeSVDModel(P=P + S, Q=Q, bu=bu, bi=bi, mu=mu, bt=bt,
                           alpha=alpha)
-        ts, sse = _epoch_scan(
-            ts, plan.batches,
-            jnp.asarray(cfg.lr * decay, f32),
-            jnp.asarray(lr_t0 * decay, f32),
-            jnp.asarray(lr_a0 * decay, f32),
-            jnp.asarray(cfg.reg, f32),
-            jnp.asarray(reg_t, f32),
-            jnp.asarray(reg_a, f32),
-            unique_rows, cfg.dup_trust,
-        )
+        if blocked:
+            if b_plan is None:
+                b_plan = plan_temporal_epoch(
+                    train, tbins, devs, su=b_su, si=b_si, tile=b_tile,
+                    tpg=b_tpg, nwin=b_nwin, seed=seed, epoch=epoch,
+                )
+            ts, sse = run_temporal_epoch(
+                ts, b_plan[0], b_plan[1],
+                cfg.lr * decay, cfg.reg, feats.n_bins,
+                su=b_su, si=b_si, tile=b_tile, tpg=b_tpg,
+                interpret=b_interp,
+            )
+        else:
+            plan = plan_epoch(train, cfg, seed, epoch, extras=extras)
+            ts, sse = _epoch_scan(
+                ts, plan.batches,
+                jnp.asarray(cfg.lr * decay, f32),
+                jnp.asarray(lr_t0 * decay, f32),
+                jnp.asarray(lr_a0 * decay, f32),
+                jnp.asarray(cfg.reg, f32),
+                jnp.asarray(reg_t, f32),
+                jnp.asarray(reg_a, f32),
+                unique_rows, cfg.dup_trust,
+            )
         Y, _ = y_gradient_step_t(
             Y, ts.P, ts.Q, ts.bu, ts.bi, ts.mu, ts.bt, ts.alpha,
             nu, deg_i, y_scale, chunks,
@@ -236,7 +280,8 @@ def train_epochs_timesvdpp(
         # refresh S with the new Y: the next epoch's starting point AND
         # the eval-consistent view of this epoch's model
         S = implicit_sums(Y, user_dev, item_dev, nu)
-        train_rmse = float(jnp.sqrt(sse / max(1, plan.n_real)))
+        n_real = train.n_ratings if blocked else plan.n_real
+        train_rmse = float(jnp.sqrt(sse / max(1, n_real)))
         if capture is not None:
             capture["state"] = TimeSVDppState(
                 P=np.asarray(P), Q=np.asarray(Q), Y=np.asarray(Y),

@@ -193,3 +193,76 @@ def test_blocked_timesvd_validation():
         next(iter(train_epochs_timesvd_blocked(model, nots, ok)))
     with pytest.raises(ValueError, match="kernel"):
         TimeSVDConfig(kernel="cuda")
+
+
+def test_timesvdpp_blocked_collapses_to_blocked_timesvd():
+    """timesvdpp.kernel='pallas' with lr_y=0: Y stays zero, S=0, so each
+    epoch must be EXACTLY the blocked timesvd epoch (same plan seed) —
+    the family-containment property on the fused kernel."""
+    from mfx.config import TimeSVDPPConfig
+    from mfx.solvers.timesvdpp import train_epochs_timesvdpp
+
+    n_bins = 8
+    coo = _coo_with_temporal_structure(seed=7, n_bins=n_bins)
+    model = init_model(4, U, I, RANK, global_mean=coo.global_mean)
+    feats = fit_time_features(coo, n_bins=n_bins, beta=0.4)
+
+    pp_cfg = TimeSVDPPConfig(lr=0.02, reg=0.02, epochs=2, n_bins=n_bins,
+                             lr_y=0.0, kernel="pallas")
+    pp = None
+    for _, pp, _ in train_epochs_timesvdpp(
+        model, coo, pp_cfg, seed=0, feats=feats
+    ):
+        pass
+
+    ts_cfg = TimeSVDConfig(lr=0.02, reg=0.02, epochs=2, n_bins=n_bins,
+                           kernel="pallas")
+    ts = None
+    for _, ts, _ in train_epochs_timesvd_blocked(
+        model, coo, ts_cfg, seed=0, interpret=True, feats=feats
+    ):
+        pass
+    np.testing.assert_array_equal(np.asarray(pp.P), np.asarray(ts.P))
+    np.testing.assert_array_equal(np.asarray(pp.Q), np.asarray(ts.Q))
+    np.testing.assert_array_equal(np.asarray(pp.bt), np.asarray(ts.bt))
+    np.testing.assert_array_equal(np.asarray(pp.alpha), np.asarray(ts.alpha))
+
+
+def test_timesvdpp_blocked_trains_with_implicit_factors():
+    """Full blocked timeSVD++: trains, Y becomes nonzero, loss falls,
+    time-aware eval finite."""
+    from mfx.config import TimeSVDPPConfig
+    from mfx.solvers.timesvd import rmse_mae_time
+    from mfx.solvers.timesvdpp import train_epochs_timesvdpp
+
+    n_bins = 8
+    coo = _coo_with_temporal_structure(seed=9, n_bins=n_bins)
+    train, test = train_test_split(coo, 0.15, seed=0)
+    model = init_model(5, U, I, RANK, global_mean=train.global_mean)
+    feats = fit_time_features(train, n_bins=n_bins, beta=0.4)
+    cfg = TimeSVDPPConfig(lr=0.02, reg=0.02, epochs=4, n_bins=n_bins,
+                          kernel="pallas")
+    hist = []
+    cap = {}
+    for _, ts, tr in train_epochs_timesvdpp(
+        model, train, cfg, seed=0, feats=feats, capture=cap
+    ):
+        hist.append(tr)
+    assert hist[-1] < hist[0]
+    assert float(np.abs(np.asarray(cap["state"].Y)).max()) > 0
+    rm, _ = rmse_mae_time(ts, feats, test)
+    assert np.isfinite(rm) and rm < 1.0
+
+
+def test_timesvdpp_blocked_validation():
+    from mfx.config import TimeSVDPPConfig
+    from mfx.solvers.timesvdpp import train_epochs_timesvdpp
+
+    coo = _coo_with_temporal_structure()
+    model = init_model(0, U, I, RANK, global_mean=3.5)
+    bad = TimeSVDPPConfig(lr_t=0.001, kernel="pallas", n_bins=8)
+    with pytest.raises(ValueError, match="lr/reg"):
+        next(iter(train_epochs_timesvdpp(model, coo, bad)))
+    wide = TimeSVDPPConfig(kernel="pallas", n_bins=30)
+    with pytest.raises(ValueError, match="n_bins"):
+        next(iter(train_epochs_timesvdpp(model, coo, wide)))
