@@ -45,9 +45,10 @@ from mfx.solvers.sgd import plan_epoch, _epoch_scan
 __all__ = ["train_epochs_svdpp", "y_gradient_step", "svdpp_run_constants"]
 
 
-@functools.partial(jax.jit, static_argnames=("use_bias",))
+@functools.partial(jax.jit, static_argnames=("use_bias", "tr_eta"))
 def y_gradient_step(
     Y, X, Q, bu, bi, mu, nu, deg_i, y_scale, batches, lr_y, reg_y,
+    tr_eta=None,
     *, use_bias: bool
 ):
     """One full-batch gradient step on Y at frozen (X, Q, biases).
@@ -94,8 +95,43 @@ def y_gradient_step(
         return G, None
 
     G, _ = jax.lax.scan(scatter_body, jnp.zeros_like(Y), batches)
-    Ynew = Y + lr_y * (y_scale[:, None] * G - reg_y * deg_i[:, None] * Y)
+    eta = Y_TR_ETA if tr_eta is None else tr_eta
+    Ynew = _apply_y_step(Y, y_scale[:, None] * G, deg_i, lr_y, reg_y, eta)
     return Ynew, jnp.sum(sqs)
+
+
+# Production stabilization of the full-batch Y step (r4). At
+# multi-million-rating Zipf scale the linear full-batch step diverges —
+# measured IDENTICALLY on the jnp and blocked temporal paths, so it is a
+# property of the epoch-batched step, not a kernel. Two mechanisms:
+#   1. the L2 term: the linear form ``-lr*reg*deg_j*y_j`` is the
+#      first-order expansion of deg_j per-occurrence shrinks; for hot
+#      items lr*reg*deg_j >> 2 (0.01*0.02*3e5 = 60) and the "shrink"
+#      becomes a sign-flipping amplifier — |Y| multiplies ~|1-60| per
+#      epoch, the geometric blowup observed on chip. Production mode
+#      applies the EXACT sequential shrink ``1-(1-lr*reg)^deg`` (what
+#      the classical per-rating loop does), which lives in [0, 1] at any
+#      degree.
+#   2. the pull: a coherent cross-item mode can still grow through the
+#      Y-step -> SGD-epoch -> S-refresh alternation; the trust-region
+#      clip scales the WHOLE pull (direction preserved, deterministic)
+#      so the largest per-row move is at most Y_TR_ETA*(1 + max row
+#      norm of Y) per epoch.
+# ``tr_eta=0`` selects the pure full-batch-gradient semantics (linear
+# L2, no clip) — the jax.grad exactness contract the unit tests pin.
+Y_TR_ETA = 0.1
+
+
+def _apply_y_step(Y, pull, deg_i, lr_y, reg_y, eta):
+    if eta and eta > 0.0:  # production mode (eta is static)
+        sn = jnp.sqrt(jnp.max(jnp.sum(pull * pull, axis=1)))
+        yn = jnp.sqrt(jnp.max(jnp.sum(Y * Y, axis=1)))
+        cap = eta * (1.0 + yn)
+        factor = jnp.minimum(1.0, cap / jnp.maximum(lr_y * sn, 1e-30))
+        base = jnp.clip(1.0 - lr_y * reg_y, 1e-12, 1.0)
+        shrink = 1.0 - jnp.exp(deg_i * jnp.log(base))
+        return Y + lr_y * factor * pull - shrink[:, None] * Y
+    return Y + lr_y * (pull - reg_y * deg_i[:, None] * Y)
 
 
 def _coo_chunks(train: RatingsCOO, chunk: int) -> dict[str, jax.Array]:

@@ -74,9 +74,10 @@ class TimeSVDppState:
             return TimeSVDppState(**{k: z[k] for k in z.files})
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("tr_eta",))
 def y_gradient_step_t(
-    Y, X, Q, bu, bi, mu, bt, alpha, nu, deg_i, y_scale, batches, lr_y, reg_y
+    Y, X, Q, bu, bi, mu, bt, alpha, nu, deg_i, y_scale, batches, lr_y,
+    reg_y, tr_eta=None,
 ):
     """One full-batch gradient step on Y at frozen (X, Q, biases, bt,
     alpha) with the TIME-AWARE residual — the temporal generalization of
@@ -115,7 +116,14 @@ def y_gradient_step_t(
         return G, None
 
     G, _ = jax.lax.scan(scatter_body, jnp.zeros_like(Y), batches)
-    Ynew = Y + lr_y * (y_scale[:, None] * G - reg_y * deg_i[:, None] * Y)
+    from mfx.solvers.svdpp import Y_TR_ETA, _apply_y_step
+
+    # production stabilization (see svdpp._apply_y_step: exact
+    # sequential L2 shrink + trust-region pull clip — the linear
+    # full-batch step diverges at Zipf scale); tr_eta=0 keeps the
+    # exact-gradient contract
+    eta = Y_TR_ETA if tr_eta is None else tr_eta
+    Ynew = _apply_y_step(Y, y_scale[:, None] * G, deg_i, lr_y, reg_y, eta)
     return Ynew, jnp.sum(sqs)
 
 

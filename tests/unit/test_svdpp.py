@@ -62,7 +62,7 @@ def test_y_step_matches_autodiff():
     ones = jnp.ones((coo.num_items,), jnp.float32)
     Ynew, _ = y_gradient_step(
         Y0, X, Q, bu, bi, mu, nu, deg_i, ones, chunks,
-        jnp.float32(lr), jnp.float32(reg), use_bias=True,
+        jnp.float32(lr), jnp.float32(reg), tr_eta=0.0, use_bias=True,
     )
 
     def loss(Y):

@@ -124,7 +124,7 @@ def test_y_step_matches_jax_grad():
             jnp.take(Y, jnp.asarray(coo.item), axis=0),
             jnp.asarray(coo.user), num_segments=nu_,
         ), Q, bu, bi, mu, bt, al, nu_u, deg_i, ones, chunks,
-        jnp.asarray(lr_y), jnp.asarray(reg_y),
+        jnp.asarray(lr_y), jnp.asarray(reg_y), tr_eta=0.0,
     )
 
     u_d, i_d = jnp.asarray(coo.user), jnp.asarray(coo.item)
