@@ -329,14 +329,38 @@ def run_bench(
     if skew_probe and coo.synthetic:
         from mfx.data import synthetic as _syn
 
+        from pathlib import Path
+
+        from mfx.data.coo import RatingsCOO
+        from mfx.data.loaders import DEFAULT_ROOT, GENERATOR_VERSION
+
         skew_spread = {}
         for s_user in (0.0, 0.8):
             try:
-                coo_s = _syn.make_synthetic(
-                    coo.num_users, coo.num_items, coo.n_ratings,
-                    rank=cfg.model.rank, seed=cfg.data.seed + 1000,
-                    star_step=0.5, user_zipf_s=s_user,
+                # probe datasets are deterministic per (shape, seed,
+                # skew): cache them like the loader's synthetic
+                # fallbacks — regenerating 25M ratings costs ~80 s per
+                # probe on the throttled 1-core host
+                root = Path(cfg.data.root) if cfg.data.root else DEFAULT_ROOT
+                cpath = root / (
+                    f"skewprobe.v{GENERATOR_VERSION}.u{coo.num_users}"
+                    f".i{coo.num_items}.n{coo.n_ratings}"
+                    f".r{cfg.model.rank}.s{cfg.data.seed + 1000}"
+                    f".z{s_user:g}.synthetic.npz"
                 )
+                if cpath.exists():
+                    coo_s = RatingsCOO.load_npz(cpath)
+                else:
+                    coo_s = _syn.make_synthetic(
+                        coo.num_users, coo.num_items, coo.n_ratings,
+                        rank=cfg.model.rank, seed=cfg.data.seed + 1000,
+                        star_step=0.5, user_zipf_s=s_user,
+                    )
+                    try:
+                        root.mkdir(parents=True, exist_ok=True)
+                        coo_s.save_npz(cpath)
+                    except OSError:
+                        pass  # cache is best-effort
                 tr_s, _ = train_test_split(
                     coo_s, cfg.data.test_frac, seed=cfg.data.seed
                 )

@@ -34,6 +34,7 @@ the planner.
 from __future__ import annotations
 
 import functools
+import time as _time
 from typing import Iterator
 
 import jax
@@ -57,6 +58,13 @@ __all__ = [
 
 
 def _require_uniform_schedule(cfg: TimeSVDConfig) -> None:
+    # NOTE on None defaults: on the jnp path None means "derived default"
+    # (lr for the rates, reg for reg_t, 10*reg for reg_alpha); the lane
+    # scheme can only train every term at the ONE lr/reg, so on this
+    # path None means exactly that — in particular alpha is regularized
+    # at reg, not the jnp default's 10*reg (documented in the module
+    # docstring and TimeSVDConfig.kernel; cross-kernel quality A/Bs
+    # compare slightly different objectives on the alpha term).
     for name, val, base in (
         ("lr_t", cfg.lr_t, cfg.lr), ("lr_alpha", cfg.lr_alpha, cfg.lr),
         ("reg_t", cfg.reg_t, cfg.reg), ("reg_alpha", cfg.reg_alpha, cfg.reg),
@@ -120,18 +128,20 @@ def train_epochs_timesvd_blocked(
     rank = model.rank
     if 128 % rank:
         raise ValueError(f"blocked timesvd needs rank dividing 128, got {rank}")
-    if cfg.n_bins > rank - 4:
+    if feats is None:
+        feats = fit_time_features(train, n_bins=cfg.n_bins, beta=cfg.beta)
+    # validate the OPERATIVE bin count: a caller-supplied featurizer may
+    # carry a different n_bins than the config
+    if feats.n_bins > rank - 4:
         raise ValueError(
-            f"timesvd.kernel='pallas' carries the {cfg.n_bins} bin biases "
-            f"in the factor lanes: needs n_bins <= rank-4 = {rank - 4} "
-            "(lower n_bins or raise the rank)"
+            f"timesvd.kernel='pallas' carries the {feats.n_bins} bin "
+            f"biases in the factor lanes: needs n_bins <= rank-4 = "
+            f"{rank - 4} (lower n_bins or raise the rank)"
         )
     U, I = model.num_users, model.num_items
     su = si = getattr(cfg, "ublock", 512)
     tile = getattr(cfg, "tile", 256)
     tpg = 4
-    if feats is None:
-        feats = fit_time_features(train, n_bins=cfg.n_bins, beta=cfg.beta)
     tbins, devs = feats.features(train.user, train.timestamp)
     tbins = np.asarray(tbins, np.int32)
     devs = np.asarray(devs, np.float32)
@@ -158,10 +168,15 @@ def train_epochs_timesvd_blocked(
         ):
             pass
         else:
+            _t0 = _time.time()
             sweep_args, sweep_meta = _plan_tsvd_epoch(
                 train, idx_payload, rating, tbins, devs, U, I, su, si,
                 tile, tpg, nwin, seed, epoch,
             )
+            if timings is not None:
+                timings["plan_s"] = (
+                    timings.get("plan_s", 0.0) + _time.time() - _t0
+                )
         Pm, Qm, sse = _tsvd_epoch(
             Pm, Qm, tuple(sweep_args),
             jnp.asarray(cfg.lr * (cfg.lr_decay**epoch), f32v),
@@ -175,7 +190,7 @@ def train_epochs_timesvd_blocked(
 
 
 def run_temporal_epoch(
-    ts, sweep_args, sweep_meta, lr, reg, n_bins, *, su, si, tile, tpg,
+    ts, sweep_args, sweep_meta, lr, reg, n_bins, *, su, si, tpg,
     interpret=False,
 ):
     """One blocked temporal epoch on a canonical TimeSVDModel: pack to

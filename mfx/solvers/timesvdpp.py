@@ -237,9 +237,10 @@ def train_epochs_timesvdpp(
                 f"timesvdpp.kernel='pallas' needs rank dividing 128, "
                 f"got {rank}"
             )
-        if cfg.n_bins > rank - 4:
+        nb_eff = cfg.n_bins if feats is None else feats.n_bins
+        if nb_eff > rank - 4:
             raise ValueError(
-                f"timesvdpp.kernel='pallas' carries the {cfg.n_bins} bin "
+                f"timesvdpp.kernel='pallas' carries the {nb_eff} bin "
                 f"biases in the factor lanes: needs n_bins <= rank-4 = "
                 f"{rank - 4}"
             )
@@ -256,14 +257,19 @@ def train_epochs_timesvdpp(
                           alpha=alpha)
         if blocked:
             if b_plan is None:
+                # the plan is pinned to epoch id 0 REGARDLESS of
+                # start_epoch, so a warm start resumes the exact
+                # trajectory of the continuous run (which reuses this
+                # same plan every epoch — stratified order re-randomizes
+                # within strata, as in the other blocked trainers)
                 b_plan = plan_temporal_epoch(
                     train, tbins, devs, su=b_su, si=b_si, tile=b_tile,
-                    tpg=b_tpg, nwin=b_nwin, seed=seed, epoch=epoch,
+                    tpg=b_tpg, nwin=b_nwin, seed=seed, epoch=0,
                 )
             ts, sse = run_temporal_epoch(
                 ts, b_plan[0], b_plan[1],
                 cfg.lr * decay, cfg.reg, feats.n_bins,
-                su=b_su, si=b_si, tile=b_tile, tpg=b_tpg,
+                su=b_su, si=b_si, tpg=b_tpg,
                 interpret=b_interp,
             )
         else:

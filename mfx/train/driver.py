@@ -67,7 +67,7 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"'lane' for parallel.mode={mode!r}"
         )
     if mode in ("sharded", "hybrid") and sgd.kernel == "jnp" and (
-        sgd.dense_chi > 0
+        sgd.dense_chi != 0
     ):
         raise ValueError(
             "the dense Zipf-head phase needs the fused kernel; set "
