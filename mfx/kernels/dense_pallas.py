@@ -394,14 +394,14 @@ def dense_sgd_phase_pallas(
     in_specs += [
         pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # Q head
+        pl.BlockSpec(memory_space=pl.ANY),  # Q head
     ]
     p_pos = len(operands)  # positional index (incl. prefetch) of Pm
     operands += [Pm, Qh]
     out_specs = [
         pl.BlockSpec((pstride, 128), lambda g, hp, sa, sc: (sa[g], 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(Pm.shape, f32),

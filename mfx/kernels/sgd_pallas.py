@@ -719,8 +719,8 @@ def _sweep_chunk_call(
                 memory_space=pltpu.VMEM,
             )
         )
-    in_specs += [blk_spec, pl.BlockSpec(memory_space=pltpu.ANY)]
-    out_specs = [blk_spec, pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs += [blk_spec, pl.BlockSpec(memory_space=pl.ANY)]
+    out_specs = [blk_spec, pl.BlockSpec(memory_space=pl.ANY)]
     out_shape = [
         jax.ShapeDtypeStruct(Pm.shape, f32),
         jax.ShapeDtypeStruct(Qs.shape, f32),

@@ -653,7 +653,15 @@ def similar_items_fused(
     space, often into its own tile). Returns (items (n, k) int32,
     cosines (n, k) f32).
     """
-    _validate_fused(table_dtype, tile, model.rank)
+    if table_dtype == "int8":
+        raise ValueError(
+            "int8 tables are not supported for cosine similar-items: the "
+            "catalog rows must be row-normalized in f32 BEFORE augmenting "
+            "(per-row int8 quantization of unit vectors destroys the "
+            "cosine semantics the stock path certifies against); use "
+            "table_dtype 'f32' or 'bf16'"
+        )
+    _validate_fused(table_dtype, tile, model.rank, exact=exact)
     items = np.asarray(items, np.int32).reshape(-1)
     I = model.num_items
     ipad = -(-I // tile) * tile

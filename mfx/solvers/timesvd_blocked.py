@@ -76,6 +76,21 @@ def _require_uniform_schedule(cfg: TimeSVDConfig) -> None:
                 f"(or exactly {base}), or use kernel='jnp' for the "
                 "per-term schedule"
             )
+    if cfg.reg_alpha is None and cfg.reg != 0.0:
+        # The jnp path derives reg_alpha = 10*reg when left None; the lane
+        # scheme trains alpha at the uniform reg. A silent None default
+        # would therefore weaken alpha's regularization 10x on a kernel
+        # switch — say so loudly (ADVICE r4).
+        import warnings
+
+        warnings.warn(
+            "timesvd.kernel='pallas' with reg_alpha=None trains the user "
+            f"drift alpha at the uniform reg ({cfg.reg}); the jnp kernel's "
+            f"None default is 10*reg ({10 * cfg.reg}). Set "
+            f"reg_alpha={cfg.reg} explicitly to silence this, or use "
+            "kernel='jnp' to keep the stronger alpha regularization.",
+            stacklevel=3,
+        )
 
 
 @functools.partial(

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mfx.data.loaders import GENERATOR_VERSION
 from mfx.models.mf import MFModel
 
 __all__ = [
@@ -61,6 +62,12 @@ def _state_dict(model: MFModel, epoch: int, seed: int) -> dict:
         "mu": model.mu,
         "epoch": jnp.asarray(epoch, jnp.int32),
         "seed": jnp.asarray(seed, jnp.int32),
+        # Pin of the dataset generator/relabel scheme this model's dense
+        # user/item ids were trained under (mfx.data.loaders
+        # GENERATOR_VERSION — v6 relabeled BOTH axes by frequency, so a
+        # pre-v6 model's row indices silently mismatch a re-parsed
+        # dataset). load_checkpoint warns loudly on mismatch.
+        "data_version": jnp.asarray(GENERATOR_VERSION, jnp.int32),
     }
     if jax.process_count() > 1:
         # multi-controller: Orbax refuses host-local jax.Arrays (a
@@ -164,6 +171,21 @@ def load_checkpoint(
     else:  # pragma: no cover
         with np.load(str(path) + ".npz") as z:
             state = {k: z[k] for k in z.files}
+
+    saved_ver = int(state.get("data_version", 0)) or None
+    if saved_ver != GENERATOR_VERSION:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} was trained under dataset generator "
+            f"version {saved_ver or '<pre-v6 (unstamped)>'} but this "
+            f"build parses datasets at version {GENERATOR_VERSION}; "
+            "dense user/item ids are frequency-relabeled per version, so "
+            "serving/eval against a re-parsed dataset may index the "
+            "WRONG rows. Re-train, or evaluate against the npz cache "
+            "written by the same version.",
+            stacklevel=2,
+        )
 
     def _keep(x):  # preserve restored device shardings
         return x if isinstance(x, jax.Array) else jnp.asarray(x)

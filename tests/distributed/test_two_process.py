@@ -22,7 +22,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(args, env_extra, timeout):
+def _run(args, env_extra):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.update(env_extra)
@@ -41,7 +41,7 @@ def test_two_process_ring_matches_single_process(tmp_path):
         _run(
             ["--role", "child", "--process-id", str(i),
              "--port", str(port), "--out", str(dist_dir)],
-            {}, 600,
+            {},
         )
         for i in range(2)
     ]
@@ -62,7 +62,7 @@ def test_two_process_ring_matches_single_process(tmp_path):
 
     ref = _run(
         ["--role", "single2", "--out", str(ref_dir)],
-        {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}, 600,
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
     )
     out, _ = ref.communicate(timeout=600)
     assert ref.returncode == 0, out

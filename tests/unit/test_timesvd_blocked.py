@@ -195,6 +195,26 @@ def test_blocked_timesvd_validation():
         TimeSVDConfig(kernel="cuda")
 
 
+def test_blocked_timesvd_warns_on_derived_reg_alpha():
+    """reg_alpha=None on the lane path silently diverges from the jnp
+    default (10*reg vs reg) — ADVICE r4 requires a loud signal; setting
+    reg_alpha == reg explicitly silences it."""
+    coo = _coo_with_temporal_structure()
+    cfg = TimeSVDConfig(kernel="pallas", n_bins=8, epochs=1)
+    model = init_model(0, U, I, RANK, global_mean=3.5)
+    with pytest.warns(UserWarning, match="reg_alpha"):
+        next(iter(train_epochs_timesvd_blocked(model, coo, cfg,
+                                               interpret=True)))
+    quiet = dataclasses.replace(cfg, reg_alpha=cfg.reg)
+    model = init_model(0, U, I, RANK, global_mean=3.5)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        next(iter(train_epochs_timesvd_blocked(model, coo, quiet,
+                                               interpret=True)))
+
+
 def test_timesvdpp_blocked_collapses_to_blocked_timesvd():
     """timesvdpp.kernel='pallas' with lr_y=0: Y stays zero, S=0, so each
     epoch must be EXACTLY the blocked timesvd epoch (same plan seed) —
