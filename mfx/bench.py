@@ -159,7 +159,10 @@ def run_bench(
     max_epochs = epochs + 1 + (MAX_CONVERGENCE_EPOCHS if convergence else 0)
     sgd_cfg = _dc.replace(cfg.sgd, epochs=max_epochs)
     interpret = jax.default_backend() != "tpu"
-    timings: dict = {}
+    # phase_probe: one-time standalone dense/sparse device timing (the
+    # per-phase attribution VERDICT r4 #7 wants in artifacts); runs
+    # during warmup, excluded from the timed windows
+    timings: dict = {"phase_probe": True}
     # one-time device prep (dense split + plan skeleton) shared across
     # the headline, convergence-probe and replan generators — at
     # full-span ML-25M scale each rebuild costs minutes of device time
@@ -385,12 +388,46 @@ def run_bench(
                 del m_s
                 gc.collect()
                 df = t_probe.get("dense_info", {}).get("dense_frac", 0.0)
+                # per-skew within-job anchor (VERDICT r4 #5): re-time the
+                # SAME skewed dataset under the r3 all-dense policy so
+                # each skew entry carries its own throttle-free
+                # speedup_vs_anchor — "auto carving wins at this skew" is
+                # measured, not asserted from the headline-skew anchor
+                anchor_s = None
+                if cfg.sgd.dense_chi != 0.0002:
+                    gen_sa = train_epochs_blocked(
+                        init_model(
+                            cfg.model.seed, coo.num_users, coo.num_items,
+                            cfg.model.rank, global_mean=tr_s.global_mean,
+                        ),
+                        tr_s, _dc.replace(cfg.sgd, epochs=4,
+                                          dense_chi=0.0002),
+                        use_bias, seed=cfg.data.seed, tpg=tpg,
+                        replan_every=0, interpret=interpret,
+                    )
+                    _, m_sa, _ = next(gen_sa)
+                    m_sa.block_until_ready()
+                    a_times = []
+                    for _, m_sa, _ in gen_sa:
+                        t0 = time.time()
+                        m_sa.block_until_ready()
+                        a_times.append(time.time() - t0)
+                    gen_sa.close()
+                    del m_sa
+                    gc.collect()
+                    anchor_s = min(a_times)
                 skew_spread[f"user_zipf_{s_user:g}"] = {
                     "ups": round(tr_s.n_ratings / min(epoch_times), 1),
                     "epoch_s": round(min(epoch_times), 3),
                     "dense_frac": round(df, 4),
                     "thresh_ratings": t_probe.get("dense_info", {}).get(
                         "thresh_ratings"
+                    ),
+                    "anchor_epoch_s": None if anchor_s is None else round(
+                        anchor_s, 3
+                    ),
+                    "speedup_vs_anchor": None if anchor_s is None else round(
+                        anchor_s / min(epoch_times), 3
                     ),
                 }
             except Exception as exc:  # auxiliary metric only
@@ -493,6 +530,20 @@ def run_bench(
             timings.get("dense_info", {}).get("dense_frac", 0.0), 4
         ),
         "dense_strata": timings.get("dense_info", {}).get("num_strata"),
+        "dense_strata_padded": timings.get("dense_info", {}).get(
+            "strata_padded"
+        ),
+        "dense_spg": cfg.sgd.dense_spg,
+        # per-phase attribution (one-time standalone-phase probe; the
+        # fused epoch is one XLA program, so dense+sparse can sum to
+        # slightly more than epoch_s — the probe forgoes inter-phase
+        # overlap)
+        "dense_ms": None if "dense_s" not in timings else round(
+            timings["dense_s"] * 1e3, 1
+        ),
+        "sparse_ms": None if "sparse_s" not in timings else round(
+            timings["sparse_s"] * 1e3, 1
+        ),
         "dense_echo": echo,
         "updates_per_epoch": round(upd_per_epoch),
         # roofline self-attribution: the epoch's R-image stream rate vs

@@ -168,6 +168,15 @@ class SGDConfig:
     # per epoch (each stratum takes `dense_echo` Jacobi-style steps).
     # Requires bias_mode='lane' (or use_bias=False) when > 1.
     dense_echo: int = 1
+    # strata per dense-kernel grid step (dense_span='full' only). The
+    # dense phase is fixed-cost-bound per grid step on the bench chip
+    # (~10 µs/stratum vs a ~4 µs MXU floor — STATUS.md r4 roofline);
+    # batching spg strata into one grid invocation (one R/aux DMA, one
+    # pipeline step) amortizes it. The prep pads each (group, user-block)
+    # stratum run to a multiple of spg with exact-no-op null strata, so
+    # the trajectory is bitwise spg-invariant; the cost is streaming the
+    # padding's zero R blocks (reported via dense_info strata_padded).
+    dense_spg: int = 1
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
     replan_every: int = 4
@@ -246,6 +255,18 @@ class SGDConfig:
                 "sgd.dense_echo > 1 needs per-pass bias semantics: use "
                 "bias_mode='lane' (or 'tile', or a bias-free model) — "
                 "'epoch' consumes single-pass residual sums"
+            )
+        if self.dense_spg < 1 or self.dense_spg > 8:
+            raise ValueError(
+                f"sgd.dense_spg must be in [1, 8], got {self.dense_spg} "
+                "(spg R pipeline buffers scale VMEM linearly; 8 is the "
+                "16 MB envelope at the 1024-block int4 geometry)"
+            )
+        if self.dense_spg > 1 and self.dense_span != "full":
+            raise ValueError(
+                "sgd.dense_spg > 1 requires sgd.dense_span='full' (the "
+                "full-span prep pads stratum runs per user block; the "
+                "head split has no padding path)"
             )
 
 
@@ -535,6 +556,12 @@ class TrainConfig:
     checkpoint_async: bool = True
     log_path: str | None = None  # JSONL sink
     profile_dir: str | None = None  # jax.profiler trace output
+    # per-phase attribution in the JSONL records (single-device blocked
+    # SGD): a one-time probe device-times the dense phases and sparse
+    # sweeps standalone (dense_ms / sparse_ms), and every epoch record
+    # carries plan_ms and eval_ms — so perf A/Bs land in artifacts, not
+    # ad-hoc experiment logs (VERDICT r4 #7)
+    profile_phases: bool = False
 
 
 # ---- BASELINE.json config ladder (configs[0..4]) ---------------------------

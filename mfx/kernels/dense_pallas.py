@@ -84,7 +84,7 @@ def aux_width(pack: int) -> int:
 
 
 def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
-                 lane=False, echo=1):
+                 lane=False, echo=1, spg=1):
     # lane=True (sgd.bias_mode='lane'): biases ride in the factor lanes
     # (see sgd_pallas.py) — S already contains bu+bi, the per-stratum
     # E row/col sums and the post-phase bias update disappear, and the
@@ -163,20 +163,6 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
         def _():
             P_out[:, :] = P_in[:, :]
 
-        qs = sc_ref[g] * qstride
-        if use_bias:
-            bu = [aux_u_ref[0, :, a : a + 1] for a in range(pack)]  # (sup,1)
-            bi = [aux_i_ref[0, b : b + 1, :] for b in range(pack)]  # (1,sip)
-        else:
-            bu = [jnp.zeros((sup, 1), f32)] * pack
-            bi = [jnp.zeros((1, sip), f32)] * pack
-        # degrees (dense path requires su == si, so Di rides aux_u too)
-        Du = [aux_u_ref[0, :, pack + a : pack + a + 1] for a in range(pack)]
-        Di = [
-            aux_u_ref[0, :, 2 * pack + a : 2 * pack + a + 1]
-            for a in range(pack)
-        ]
-
         # E parity blocks: (sup, K) @ (K, sip) contractions over dim 1/1.
         # R is stored int8 as round(rating * R_SCALE), 0 = absent (see
         # R_SCALE above); decode is one VPU convert + multiply per cell.
@@ -195,17 +181,17 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
         dims_tn = ((0,), (0,))  # (sup,sip) ·ᵀ (sup,K) -> (sip,K)
         inv_scale = f32(1.0 / R_SCALE if rfmt == "int8" else 1.0 / R4_SCALE)
 
-        def load_R(p_idx):
+        def load_R(j, p_idx):
             if rfmt == "int8":
                 return R_ref[
-                    0, p_idx * sup : (p_idx + 1) * sup, :
+                    j, p_idx * sup : (p_idx + 1) * sup, :
                 ].astype(f32)
             # int4: two parity blocks share a byte block — low nibble =
             # even parity, high = odd. Mask to u8 semantics first (high
             # nibbles >= 8 make the stored int8 negative).
             half = p_idx // 2
             byte = (
-                R_ref[0, half * sup : (half + 1) * sup, :].astype(jnp.int32)
+                R_ref[j, half * sup : (half + 1) * sup, :].astype(jnp.int32)
                 & 255
             )
             nib = (byte >> 4) if (p_idx % 2) else (byte & 15)
@@ -219,86 +205,111 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
         else:
             mP = mQ = None
 
-        # trust scaling for heavy rows (see DSTAR)
-        s_u = [jnp.minimum(1.0, DSTAR / jnp.maximum(Du[a], 1.0))
-               for a in range(pack)]
-        s_i = [jnp.minimum(1.0, DSTAR / jnp.maximum(Di[a], 1.0))
-               for a in range(pack)]
+        # ``spg`` strata share this grid step (same user block — the prep
+        # pads each (group, user-block) run to a multiple of spg with
+        # exact-no-op null strata): one R/aux DMA of spg strata amortizes
+        # the per-grid-step fixed cost the phase is bound by. Strata run
+        # SEQUENTIALLY (the j loop chains through P_out/Qseg), so the
+        # update order — and the trajectory, bitwise — equals spg=1.
+        for j in range(spg):
+            qs = sc_ref[g * spg + j] * qstride
+            if use_bias:
+                bu = [aux_u_ref[j, :, a : a + 1]
+                      for a in range(pack)]  # (sup,1)
+                bi = [aux_i_ref[j, b : b + 1, :]
+                      for b in range(pack)]  # (1,sip)
+            else:
+                bu = [jnp.zeros((sup, 1), f32)] * pack
+                bi = [jnp.zeros((1, sip), f32)] * pack
+            # degrees (dense path needs su == si, so Di rides aux_u too)
+            Du = [aux_u_ref[j, :, pack + a : pack + a + 1]
+                  for a in range(pack)]
+            Di = [
+                aux_u_ref[j, :, 2 * pack + a : 2 * pack + a + 1]
+                for a in range(pack)
+            ]
+            # trust scaling for heavy rows (see DSTAR)
+            s_u = [jnp.minimum(1.0, DSTAR / jnp.maximum(Du[a], 1.0))
+                   for a in range(pack)]
+            s_i = [jnp.minimum(1.0, DSTAR / jnp.maximum(Di[a], 1.0))
+                   for a in range(pack)]
 
-        # ``echo`` > 1 repeats the whole batch step on the VMEM-resident
-        # R block (unrolled; iteration n+1 re-reads the tables n just
-        # wrote). The R stream — what the phase is HBM-bound on — is
-        # fetched once per stratum either way, so the extra SGD passes
-        # ride the idle MXU under the next stratum's DMA.
-        for it in range(echo):
-            Pblk = P_out[0:sup, :]
-            Qwin = Qseg[pl.ds(qs, sip), :]
-            Pa = [Pblk[:, a * K : (a + 1) * K] for a in range(pack)]
-            Qb = [Qwin[:, b * K : (b + 1) * K] for b in range(pack)]
-            dP = [None] * pack
-            dQ = [None] * pack
-            ebu = [None] * pack  # per-a row sums of Σ_b E
-            ebi = [None] * pack  # per-b col sums of Σ_a E
-            sse_acc = None
-            for a in range(pack):
-                for b in range(pack):
-                    p_idx = a * pack + b
-                    Rab = load_R(p_idx)
-                    Sab = dotg(Pa[a], Qb[b], dims_nt)
-                    Eab = jnp.where(
-                        Rab > 0.0,
-                        Rab * inv_scale - Sab - bu[a] - bi[b] - mu,
-                        0.0,
-                    )
-                    ta = dotg(Eab, Qb[b], dims_nn)
-                    dP[a] = ta if dP[a] is None else dP[a] + ta
-                    tb = dotg(Eab, Pa[a], dims_tn)
-                    dQ[b] = tb if dQ[b] is None else dQ[b] + tb
-                    if emit_db:
-                        ru = jnp.sum(Eab, axis=1)
-                        ebu[a] = ru if ebu[a] is None else ebu[a] + ru
-                        ci = jnp.sum(Eab, axis=0)
-                        ebi[b] = ci if ebi[b] is None else ebi[b] + ci
-                    sq = jnp.sum(Eab**2)
-                    sse_acc = sq if sse_acc is None else sse_acc + sq
+            # ``echo`` > 1 repeats the whole batch step on the
+            # VMEM-resident R block (unrolled; iteration n+1 re-reads the
+            # tables n just wrote). The R stream — what the phase is
+            # HBM-bound on — is fetched once per stratum either way, so
+            # the extra SGD passes ride the idle MXU under the next
+            # stratum's DMA.
+            for it in range(echo):
+                Pblk = P_out[0:sup, :]
+                Qwin = Qseg[pl.ds(qs, sip), :]
+                Pa = [Pblk[:, a * K : (a + 1) * K] for a in range(pack)]
+                Qb = [Qwin[:, b * K : (b + 1) * K] for b in range(pack)]
+                dP = [None] * pack
+                dQ = [None] * pack
+                ebu = [None] * pack  # per-a row sums of Σ_b E
+                ebi = [None] * pack  # per-b col sums of Σ_a E
+                sse_acc = None
+                for a in range(pack):
+                    for b in range(pack):
+                        p_idx = a * pack + b
+                        Rab = load_R(j, p_idx)
+                        Sab = dotg(Pa[a], Qb[b], dims_nt)
+                        Eab = jnp.where(
+                            Rab > 0.0,
+                            Rab * inv_scale - Sab - bu[a] - bi[b] - mu,
+                            0.0,
+                        )
+                        ta = dotg(Eab, Qb[b], dims_nn)
+                        dP[a] = ta if dP[a] is None else dP[a] + ta
+                        tb = dotg(Eab, Pa[a], dims_tn)
+                        dQ[b] = tb if dQ[b] is None else dQ[b] + tb
+                        if emit_db:
+                            ru = jnp.sum(Eab, axis=1)
+                            ebu[a] = ru if ebu[a] is None else ebu[a] + ru
+                            ci = jnp.sum(Eab, axis=0)
+                            ebi[b] = ci if ebi[b] is None else ebi[b] + ci
+                        sq = jnp.sum(Eab**2)
+                        sse_acc = sq if sse_acc is None else sse_acc + sq
 
-            def upd_p(a):
-                d = dP[a] - reg * Du[a] * Pa[a]
-                if lane:
-                    d = d * mP
-                return Pa[a] + lr * s_u[a] * d
+                def upd_p(a):
+                    d = dP[a] - reg * Du[a] * Pa[a]
+                    if lane:
+                        d = d * mP
+                    return Pa[a] + lr * s_u[a] * d
 
-            def upd_q(b):
-                d = dQ[b] - reg * Di[b] * Qb[b]
-                if lane:
-                    d = d * mQ
-                return Qb[b] + lr * s_i[b] * d
+                def upd_q(b):
+                    d = dQ[b] - reg * Di[b] * Qb[b]
+                    if lane:
+                        d = d * mQ
+                    return Qb[b] + lr * s_i[b] * d
 
-            # full-width writes (lane sub-range stores need Mosaic masking)
-            P_out[0:sup, :] = jnp.concatenate(
-                [upd_p(a) for a in range(pack)], axis=1
-            ) if pack > 1 else upd_p(0)
-            Qseg[pl.ds(qs, sip), :] = jnp.concatenate(
-                [upd_q(b) for b in range(pack)], axis=1
-            ) if pack > 1 else upd_q(0)
+                # full-width writes (lane sub-range stores need Mosaic
+                # masking)
+                P_out[0:sup, :] = jnp.concatenate(
+                    [upd_p(a) for a in range(pack)], axis=1
+                ) if pack > 1 else upd_p(0)
+                Qseg[pl.ds(qs, sip), :] = jnp.concatenate(
+                    [upd_q(b) for b in range(pack)], axis=1
+                ) if pack > 1 else upd_q(0)
 
-            if it == 0:
-                # train-sse keeps first-pass (pre-update) semantics so the
-                # reported RMSE is echo-invariant in meaning
-                acc_ref[0] = acc_ref[0] + sse_acc
+                if it == 0:
+                    # train-sse keeps first-pass (pre-update) semantics so
+                    # the reported RMSE is echo-invariant in meaning
+                    acc_ref[0] = acc_ref[0] + sse_acc
 
-        if emit_db:
-            # per-stratum E sums for the post-phase bias update
-            dbu_ref[0, :, :] = jnp.concatenate(
-                [ebu[a][:, None] for a in range(pack)]
-                + [jnp.zeros((sup, auxw - pack), f32)],
-                axis=1,
-            )
-            dbi_ref[0, :, :] = jnp.concatenate(
-                [ebi[b][None, :] for b in range(pack)]
-                + [jnp.zeros((auxw - pack, sip), f32)],
-                axis=0,
-            )
+            if emit_db:
+                # per-stratum E sums for the post-phase bias update
+                dbu_ref[j, :, :] = jnp.concatenate(
+                    [ebu[a][:, None] for a in range(pack)]
+                    + [jnp.zeros((sup, auxw - pack), f32)],
+                    axis=1,
+                )
+                dbi_ref[j, :, :] = jnp.concatenate(
+                    [ebi[b][None, :] for b in range(pack)]
+                    + [jnp.zeros((auxw - pack, sip), f32)],
+                    axis=0,
+                )
 
         @pl.when(g == ng - 1)
         def _():
@@ -316,7 +327,7 @@ def _kernel_body(su, si, rank, pack, nwin, use_bias, exact, rfmt="int8",
     jax.jit,
     static_argnames=(
         "su", "si", "rank", "nwin", "use_bias", "exact", "interpret",
-        "rfmt", "lane", "echo",
+        "rfmt", "lane", "echo", "spg",
     ),
 )
 def dense_sgd_phase_pallas(
@@ -341,6 +352,7 @@ def dense_sgd_phase_pallas(
     rfmt: str = "int8",
     lane: bool = False,
     echo: int = 1,
+    spg: int = 1,
 ):
     """Run the dense phase. Returns (Pm, Qh, dbu, dbi, sse) where dbu/dbi
     are per-stratum E sums for the post-phase bias update (zeros with
@@ -353,9 +365,20 @@ def dense_sgd_phase_pallas(
     ``echo``: in-VMEM SGD passes per stratum (data echoing — the phase is
     HBM-bound on the R stream, so extra batch steps on the resident block
     are nearly free MXU time). Requires lane or bias-free mode: the
-    frozen-bias E sums are defined per single pass."""
+    frozen-bias E sums are defined per single pass.
+
+    ``spg``: strata per grid step. The phase is fixed-cost-bound per grid
+    step on this class of chip (~10 µs/stratum measured against a ~4 µs
+    MXU floor, STATUS.md r4 roofline); batching spg strata into one grid
+    invocation (one bigger R/aux DMA, one pipeline step) amortizes that
+    cost. Requires the prep to have padded every (group, user-block) run
+    of strata to a multiple of spg with null strata (zero R / degrees —
+    exact no-ops), so each grid step stays within ONE user block and the
+    trajectory is bitwise spg-invariant."""
     if echo < 1:
         raise ValueError(f"echo must be >= 1, got {echo}")
+    if spg < 1:
+        raise ValueError(f"spg must be >= 1, got {spg}")
     if echo > 1 and use_bias:
         raise NotImplementedError(
             "dense echo > 1 requires lane-carried biases "
@@ -370,24 +393,32 @@ def dense_sgd_phase_pallas(
     hp = jnp.stack(
         [jnp.asarray(lr, f32), jnp.asarray(reg, f32), jnp.asarray(mu, f32)]
     )
+    if nd % spg:
+        raise ValueError(
+            f"spg={spg} requires the stratum count ({nd}) to be a "
+            "multiple of spg — the dense prep pads runs with null strata"
+        )
     kernel = _kernel_body(su, si, rank, pack, nwin, use_bias, exact,
-                          rfmt=rfmt, lane=lane, echo=echo)
+                          rfmt=rfmt, lane=lane, echo=echo, spg=spg)
     pstride = sup + BIAS_ROWS
     r_rows = (pack * pack // (2 if rfmt == "int4" else 1)) * sup
+    # per-grid-step user block: the prep guarantees all spg strata of a
+    # grid step share one user block, so the strided slice is exact
+    sa_g = dense["sa"][::spg] if spg > 1 else dense["sa"]
     # aux_i / dbu / dbi are zero streams when biases are lane-carried (or
     # off): exclude them from the call — see _kernel_body. Placeholder
     # zeros keep the 5-tuple return shape for callers.
     has_bi = emit_db = use_bias
     in_specs = [
-        pl.BlockSpec((1, r_rows, sip), lambda g, *_: (g, 0, 0),
+        pl.BlockSpec((spg, r_rows, sip), lambda g, *_: (g, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
+        pl.BlockSpec((spg, sup, auxw), lambda g, *_: (g, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [hp, dense["sa"], dense["sc"], dense["R"], dense["aux_u"]]
+    operands = [hp, sa_g, dense["sc"], dense["R"], dense["aux_u"]]
     if has_bi:
         in_specs.append(
-            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((spg, auxw, sip), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         operands.append(dense["aux_i"])
@@ -409,9 +440,9 @@ def dense_sgd_phase_pallas(
     ]
     if emit_db:
         out_specs += [
-            pl.BlockSpec((1, sup, auxw), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((spg, sup, auxw), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, auxw, sip), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((spg, auxw, sip), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape += [
@@ -424,7 +455,7 @@ def dense_sgd_phase_pallas(
     out_shape.append(jax.ShapeDtypeStruct((1, 1), f32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nd,),
+        grid=(nd // spg,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[

@@ -197,32 +197,43 @@ def build_plan_skeleton(
 )
 def _epoch_tiles(
     u, i, r, key, strat_start, pos_base, offs_sweep, nw_arr,
-    *, su, si, tile, nwin, nt_total, with_slots=False,
+    *, su, si, tile, nwin, nt_total, with_slots=False, extras=(),
 ):
     n = u.shape[0]
     sid = _sid(u, i, offs_sweep, nw_arr, su=su, si=si, nwin=nwin)
     # two-key sort: (stratum, seeded random) — the random key realizes the
     # within-stratum shuffle; ties are resolved by lax.sort's stable order
-    # on the remaining operands, keeping the pass deterministic either way
+    # on the remaining operands, keeping the pass deterministic either way.
+    # ``extras`` are int32 per-rating payload streams that ride the sort
+    # and land as tile rows 3.. (the temporal planner passes tbin/dev —
+    # slot assignment is payload-independent, so rows 0-2 stay bitwise
+    # the MF plan's).
     rand = jax.random.bits(key, (n,), dtype=jnp.uint32).astype(jnp.int32)
     rb = lax.bitcast_convert_type(r.astype(jnp.float32), jnp.int32)
-    sid_s, _, u_s, i_s, rb = lax.sort(
-        (sid, rand, u.astype(jnp.int32), i.astype(jnp.int32), rb),
+    sorted_ops = lax.sort(
+        (sid, rand, u.astype(jnp.int32), i.astype(jnp.int32), rb)
+        + tuple(extras),
         num_keys=2, is_stable=True,
     )
+    sid_s, _, u_s, i_s, rb = sorted_ops[:5]
+    ex_s = sorted_ops[5:]
+    nrows = 3 + len(ex_s)
     ul = u_s % su
     il = i_s % si
     pos = jnp.arange(n, dtype=jnp.int32) - strat_start[sid_s]
     d = pos_base[sid_s] + pos  # strictly increasing padded slot per rating
-    o = (d // tile) * (3 * tile) + d % tile
+    o = (d // tile) * (nrows * tile) + d % tile
     flat = jnp.broadcast_to(
-        jnp.array([su, si, 0], jnp.int32)[None, :, None], (nt_total, 3, tile)
+        jnp.array([su, si] + [0] * (nrows - 2), jnp.int32)[None, :, None],
+        (nt_total, nrows, tile),
     ).reshape(-1)
     st = dict(mode="promise_in_bounds", unique_indices=True)
     flat = flat.at[o].set(ul, **st)
     flat = flat.at[o + tile].set(il, **st)
     flat = flat.at[o + 2 * tile].set(rb, **st)
-    tiles = flat.reshape(nt_total, 3, tile)
+    for k, ex in enumerate(ex_s):
+        flat = flat.at[o + (3 + k) * tile].set(ex, **st)
+    tiles = flat.reshape(nt_total, nrows, tile)
     if not with_slots:
         # the slot/id streams are only needed by the epoch-frozen bias
         # mode; keeping them out of the jitted outputs lets XLA fuse them
@@ -233,20 +244,29 @@ def _epoch_tiles(
 
 def epoch_tiles_device(
     skel: PlanSkeleton, u_dev, i_dev, r_dev, seed: int, epoch: int,
-    with_slots: bool = False,
+    with_slots: bool = False, extras: tuple = (),
 ):
-    """The per-epoch pass: (NT, 3, T) tile stream on device, within-stratum
-    order seeded by (seed, epoch). With ``with_slots``, also returns the
-    per-rating flat slot index ``d`` and the sorted global (u, i) id
-    streams — the state the epoch-frozen bias mode needs to refresh its
-    per-slot bias stream and segment-sum residuals each epoch
-    (mfx/solvers/blocked.py)."""
+    """The per-epoch pass: (NT, 3+len(extras), T) tile stream on device,
+    within-stratum order seeded by (seed, epoch). With ``with_slots``,
+    also returns the per-rating flat slot index ``d`` and the sorted
+    global (u, i) id streams — the state the epoch-frozen bias mode needs
+    to refresh its per-slot bias stream and segment-sum residuals each
+    epoch (mfx/solvers/blocked.py). ``extras`` — int32 per-rating payload
+    streams landing as tile rows 3.. (bitcast floats first); slot
+    assignment is payload-independent, so rows 0-2 are bitwise the plain
+    plan's."""
+    if extras and skel.nt_total * skel.tile * (3 + len(extras)) >= 2**31:
+        raise NotImplementedError(
+            "payload tile stream exceeds int32 addressing; split the "
+            "epoch into item-range shards"
+        )
     key = jax.random.fold_in(jax.random.key(seed), epoch)
     tiles, d, u_s, i_s = _epoch_tiles(
         u_dev, i_dev, r_dev, key,
         skel.strat_start, skel.pos_base, skel.offs_sweep, skel.nw_arr,
         su=skel.su, si=skel.si, tile=skel.tile, nwin=skel.nwin,
         nt_total=skel.nt_total, with_slots=with_slots,
+        extras=tuple(extras),
     )
     if with_slots:
         return tiles, d, u_s, i_s

@@ -98,7 +98,7 @@ def _plan_epoch(train: RatingsCOO, cfg: SGDConfig, tpg: int, nwin: int, seed, ep
     static_argnames=(
         "su", "si", "rank", "tpg", "use_bias", "exact", "interpret",
         "sweep_meta", "dense_meta", "mxu_bf16", "step_u", "rfmt",
-        "bias_mode", "pack_path", "dense_echo",
+        "bias_mode", "pack_path", "dense_echo", "dense_spg",
     ),
     donate_argnums=(0, 1),
 )
@@ -107,6 +107,7 @@ def _fused_epoch(
     *, su, si, rank, tpg, use_bias, exact, interpret, sweep_meta,
     dense_meta=(), mxu_bf16=False, step_u=False, rfmt="int8",
     bias_mode="tile", bias_aux=None, pack_path="roll", dense_echo=1,
+    dense_spg=1,
 ):
     """One whole epoch — dense phases + every item-sweep — as a single
     donated XLA program. One dispatch per epoch, no host sync inside, and
@@ -141,7 +142,7 @@ def _fused_epoch(
                 Pm, Qs, dt, lr, reg, mu,
                 su=su, si=si, rank=rank, use_bias=use_bias,
                 exact=exact, interpret=interpret, rfmt=rfmt, lane=lane,
-                echo=dense_echo,
+                echo=dense_echo, spg=dense_spg,
             )
             Qm = pk.q_segment_restore(Qm, Qs, win0, rank, si)
             sse = sse + s
@@ -234,7 +235,7 @@ def train_epochs_blocked(
     tpg: int = 4,
     replan_every: int | None = None,
     exact: bool = False,
-    interpret: bool = False,
+    interpret: bool | None = None,
     timings: dict | None = None,
     prep_cache: dict | None = None,
 ) -> Iterator[tuple[int, object, float]]:
@@ -251,7 +252,14 @@ def train_epochs_blocked(
     ``timings``, if given, is filled with {'planner': 'device'|'host',
     'plan_s': cumulative seconds spent building epoch plans (blocking on
     the device pass), 'prep_s': one-time dense-split/skeleton prep} so the
-    bench can report plan cost separately from compile cost.
+    bench can report plan cost separately from compile cost. Pass
+    ``timings={'phase_probe': True, ...}`` to additionally measure the
+    epoch's per-phase device time ONCE (before the first epoch): the
+    dense phases and the sparse sweeps each run standalone on table
+    copies (two dispatches each; the second is the timed one), filling
+    'dense_s' and 'sparse_s' — the per-phase attribution VERDICT r4 #7
+    asks for in artifacts (not supported for bias_mode='epoch', whose
+    phases are not separable).
 
     ``prep_cache``, if given (a plain dict the caller keeps), reuses the
     one-time device prep (dense split + tensors, plan skeleton) across
@@ -262,6 +270,10 @@ def train_epochs_blocked(
     epoch program, so reuse is safe."""
     import time as _time
 
+    if interpret is None:
+        # Mosaic interpret mode off-TPU (the training driver reaches this
+        # path without an explicit flag; compiled mode is TPU-only)
+        interpret = jax.default_backend() != "tpu"
     su, si = cfg.ublock, cfg.iblock
     U, I, rank = model.num_users, model.num_items, model.rank
     mu = float(model.mu)
@@ -331,7 +343,7 @@ def train_epochs_blocked(
             cache_key = (
                 "devprep", U, I, train.n_ratings, fp, su, si, rank,
                 cfg.tile, tpg, nwin, want_dense, rfmt, cfg.dense_chi,
-                cfg.dense_span, cfg.dense_nwd,
+                cfg.dense_span, cfg.dense_nwd, cfg.dense_spg,
             )
             if prep_cache is not None and prep_cache.get("key") == cache_key:
                 (dense_meta, dense_groups, u_dev, i_dev, r_dev, dinfo,
@@ -348,6 +360,7 @@ def train_epochs_blocked(
                             u_dev, i_dev, r_dev, U, I, su, si,
                             chi_min=cfg.dense_chi, nwd=nwd,
                             pack=128 // rank, rfmt=rfmt,
+                            spg=cfg.dense_spg,
                         )
                     )
                 elif want_dense:
@@ -390,7 +403,7 @@ def train_epochs_blocked(
                     jnp.asarray(train.user), jnp.asarray(train.item),
                     jnp.asarray(train.rating), U, I, su, si,
                     chi_min=cfg.dense_chi, nwd=nwd,
-                    pack=128 // rank, rfmt=rfmt,
+                    pack=128 // rank, rfmt=rfmt, spg=cfg.dense_spg,
                 )
             )
             if timings is not None and dinfo is not None:
@@ -483,6 +496,47 @@ def train_epochs_blocked(
                 if timings is not None:
                     jax.block_until_ready(sweep_args)
                     timings["plan_s"] += _time.time() - _t_plan
+            if (
+                timings is not None
+                and timings.get("phase_probe")
+                and "dense_s" not in timings
+                and cfg.bias_mode != "epoch"
+            ):
+                # one-time per-phase attribution (VERDICT r4 #7): run the
+                # dense phases and the sparse sweeps as STANDALONE
+                # programs on table copies — the fused epoch is one XLA
+                # program, so the split is only measurable this way. Two
+                # dispatches each; the first pays the compile.
+                common = dict(
+                    su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
+                    exact=exact, interpret=interpret,
+                    mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
+                    rfmt=rfmt, bias_mode=cfg.bias_mode, bias_aux=bias_aux,
+                    pack_path=cfg.pack_path, dense_echo=cfg.dense_echo,
+                    dense_spg=cfg.dense_spg,
+                )
+
+                def _probe_time(sw, sm, dg, dm):
+                    best = None
+                    for _ in range(2):
+                        Pc, Qc = Pm + 0.0, Qm + 0.0  # donated copies
+                        t0 = _time.time()
+                        out = _fused_epoch(
+                            Pc, Qc, sw, dg, lr, cfg.reg, mu,
+                            sweep_meta=sm, dense_meta=dm, **common,
+                        )
+                        jax.block_until_ready(out)
+                        best = _time.time() - t0
+                    return best
+
+                timings["dense_s"] = (
+                    _probe_time((), (), dense_groups, dense_meta)
+                    if dense_groups else 0.0
+                )
+                timings["sparse_s"] = (
+                    _probe_time(sweep_args, sweep_meta, (), ())
+                    if sweep_args else 0.0
+                )
             Pm, Qm, sse = _fused_epoch(
                 Pm, Qm, sweep_args, dense_groups, lr, cfg.reg, mu,
                 su=su, si=si, rank=rank, tpg=tpg, use_bias=use_bias,
@@ -491,6 +545,7 @@ def train_epochs_blocked(
                 mxu_bf16=cfg.mxu == "bf16", step_u=cfg.step_user_batch,
                 rfmt=rfmt, bias_mode=cfg.bias_mode, bias_aux=bias_aux,
                 pack_path=cfg.pack_path, dense_echo=cfg.dense_echo,
+                dense_spg=cfg.dense_spg,
             )
             # the yielded model is a lazy view over the live packed tables:
             # valid until the generator is resumed (the next epoch donates

@@ -32,32 +32,36 @@ __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
 
 # Chip-calibrated cost constants for dense_chi < 0 ("auto"): pick the
 # dense/sparse boundary from the per-stratum occupancy histogram instead
-# of a hand-swept chi. Measured on the bench v5e (STATUS.md roofline):
-# the dense phase streams su·si·slot bytes per stratum at the chip's
-# plain-XLA rate, the sparse one-hot path replaces carved-out strata at
-# its per-rating cost, and ANY sparse phase pays a fixed plan/dispatch
-# cost. The constants are FIT so the auto boundary lands at the
-# measured within-job optimum on the v6 user-skewed ML-25M benchmark
-# (chi sweep, STATUS.md r4: optimum chi 0.001-0.0015 ≈ 1000-1500
-# ratings/stratum at 1024² int4; the total-cost curve is flat ±30%
-# around it, so throttle drift doesn't move the pick materially).
-# AUTO_SPARSE_NS is the MARGINAL cost of the strata near the boundary —
-# they pack efficiently, so it sits below the sparse path's ~12 ns
-# average. On spec-bandwidth hardware recalibrate AUTO_STREAM_GBPS and
-# the boundary moves toward all-sparse automatically.
-AUTO_STREAM_GBPS = 60.0
+# of a hand-swept chi. Per-stratum dense cost decomposes into the R
+# stream (su·si·slot bytes at the chip's TRUE chained-read rate —
+# STATUS.md r4 ceiling probes: ~122 GB/s) plus a per-grid-step FIXED
+# cost (pipeline/DMA-issue overhead, measured ~4.5 µs via the r5 spg
+# A/B), amortized over ``spg`` strata per grid step. The sparse one-hot
+# path replaces carved-out strata at its per-rating cost, and ANY
+# sparse phase pays a fixed plan/dispatch cost. Calibration: at the
+# r4 preset geometry (1024² int4, spg=1) the decomposed model gives
+# breakeven ≈ 1257 ratings/stratum — the same boundary the r4 chi sweep
+# measured optimal (1000-1500; the old single-constant 60 GB/s model
+# encoded stream+fixed together and mis-extrapolated to other block
+# sizes). AUTO_SPARSE_NS is the MARGINAL cost of strata near the
+# boundary — they pack efficiently, so it sits below the sparse path's
+# ~12 ns average. On spec-bandwidth hardware recalibrate
+# AUTO_STREAM_GBPS/AUTO_FIXED_US and the boundary adapts.
+AUTO_STREAM_GBPS = 122.0
+AUTO_FIXED_US = 4.5
 AUTO_SPARSE_NS = 7.0
 AUTO_SPARSE_FIXED_MS = 6.5
 _SLOT_BYTES = {"int4": 0.5, "int8": 1.0}
 
 
 def auto_dense_threshold(
-    counts: np.ndarray, su: int, si: int, rfmt: str
+    counts: np.ndarray, su: int, si: int, rfmt: str, spg: int = 1
 ) -> float:
     """Cost-model stratum eligibility threshold (ratings/stratum).
 
     A stratum streams densely iff its rating count exceeds the
-    breakeven ``t_dense / t_sparse_per_rating``; if the ratings below
+    breakeven ``t_dense / t_sparse_per_rating``, where t_dense = R-image
+    stream + per-grid-step fixed cost / spg; if the ratings below
     breakeven would save less than the sparse phase's fixed cost, the
     whole epoch goes dense (threshold 1.0 = every non-empty stratum).
     This is what the hand-swept chi converged to on the flat iid-user
@@ -65,7 +69,10 @@ def auto_dense_threshold(
     v6) the cold region drops below breakeven and auto carves it out.
     """
     slot = _SLOT_BYTES.get(rfmt, 4.0)
-    t_dense = su * si * slot / (AUTO_STREAM_GBPS * 1e9)
+    t_dense = (
+        su * si * slot / (AUTO_STREAM_GBPS * 1e9)
+        + AUTO_FIXED_US * 1e-6 / max(1, spg)
+    )
     t_sparse = AUTO_SPARSE_NS * 1e-9
     breakeven = t_dense / t_sparse
     nz = counts[counts > 0]
@@ -76,9 +83,9 @@ def auto_dense_threshold(
     return float(breakeven)
 
 
-def _dense_thresh(chi_min: float, counts, su, si, rfmt) -> float:
+def _dense_thresh(chi_min: float, counts, su, si, rfmt, spg: int = 1) -> float:
     if chi_min < 0:
-        return auto_dense_threshold(counts, su, si, rfmt)
+        return auto_dense_threshold(counts, su, si, rfmt, spg=spg)
     return max(1.0, chi_min * su * si)
 
 
@@ -479,6 +486,7 @@ def prepare_dense_full(
     nwd: int,
     pack: int,
     rfmt: str = "int8",
+    spg: int = 1,
 ):
     """Full-item-span dense split (sgd.dense_span='full').
 
@@ -512,7 +520,7 @@ def prepare_dense_full(
             jnp.ones_like(strat), strat, num_segments=A * C
         )
     )
-    thresh = _dense_thresh(chi_min, counts, su, si, rfmt)
+    thresh = _dense_thresh(chi_min, counts, su, si, rfmt, spg=spg)
     idx = np.flatnonzero(counts >= thresh)
     if idx.size == 0:
         return (), (), (u_dev, i_dev, r_dev), {"dense_frac": 0.0}
@@ -522,12 +530,40 @@ def prepare_dense_full(
     idx, a_s, c_s, g_s = idx[order], a_s[order], c_s[order], g_s[order]
     nd = len(idx)
     ngr = -(-C // nwd)
-    gb = np.searchsorted(g_s, np.arange(ngr + 1))
+
+    # spg > 1: the dense kernel batches spg strata per grid step (one
+    # R/aux DMA, one pipeline step — amortizes the measured per-grid-step
+    # fixed cost). A grid step must stay within ONE user block (the P
+    # block is a per-step pipelined input), so every (group, user-block)
+    # run of strata pads to a multiple of spg with NULL strata: no
+    # ratings scatter into them, so their R rows and degree columns stay
+    # zero and the kernel computes an exact no-op (E = 0 everywhere,
+    # reg·deg = 0, bias sums 0). ``pos`` maps each real stratum to its
+    # padded slot; everything downstream (rating remap, degrees, R
+    # build, group bounds) indexes padded slots.
+    run_key = g_s * A + a_s  # unique, ascending per (group, user block)
+    run_start = np.concatenate(
+        [[0], np.flatnonzero(np.diff(run_key)) + 1]
+    )
+    run_len = np.diff(np.concatenate([run_start, [nd]]))
+    pad_len = -(-run_len // spg) * spg
+    new_start = np.concatenate([[0], np.cumsum(pad_len)])
+    ndp = int(new_start[-1])
+    pos = (
+        np.arange(nd)
+        - np.repeat(run_start, run_len)
+        + np.repeat(new_start[:-1], run_len)
+    ).astype(np.int64)
+    sa_pad = np.repeat(a_s[run_start], pad_len).astype(np.int32)
+    g_pad = np.repeat(g_s[run_start], pad_len).astype(np.int32)
+    sc_pad = np.zeros(ndp, np.int32)  # null strata hit window 0 (no-op)
+    sc_pad[pos] = (c_s - g_s * nwd).astype(np.int32)
+    gb = np.searchsorted(g_pad, np.arange(ngr + 1))
 
     sup, sip = su // pack, si // pack
     cells = pack * pack * sup * sip
     remap = np.full(A * C, -1, np.int32)
-    remap[idx] = np.arange(nd, dtype=np.int32)
+    remap[idx] = pos.astype(np.int32)
 
     st_full = jnp.asarray(remap)[strat]
     dense_mask = st_full >= 0
@@ -548,11 +584,11 @@ def prepare_dense_full(
             jnp.ones_like(ids, jnp.float32), ids, num_segments=n
         )
 
-    deg_us = seg(st * su + lu, nd * su).reshape(nd, su)
-    deg_is = seg(st * si + li, nd * si).reshape(nd, si)
+    deg_us = seg(st * su + lu, ndp * su).reshape(ndp, su)
+    deg_is = seg(st * si + li, ndp * si).reshape(ndp, si)
     # per-group totals for the batched bias trust scaling: a group's
     # phase must see exactly the degrees of the ratings it processes
-    g_r = jnp.asarray(g_s.astype(np.int32))[st]
+    g_r = jnp.asarray(g_pad)[st]
     du_tot = seg(
         g_r * (A * su) + (ud // su).astype(i32) * su + lu, ngr * A * su
     ).reshape(ngr, A, su)
@@ -561,14 +597,14 @@ def prepare_dense_full(
 
     # R built per group (bounds_nd): a monolithic image sliced per group
     # would transiently double the multi-GB R footprint
-    R_parts = _build_r_tensor(st, inner, rd, nd, cells, pack, sup, sip,
+    R_parts = _build_r_tensor(st, inner, rd, ndp, cells, pack, sup, sip,
                               rfmt, bounds_nd=gb)
 
     def dec(deg, blocks, size):
         return deg.reshape(blocks, size // pack, pack)
 
-    sa_all = jnp.asarray(a_s.astype(np.int32))
-    sc_loc = jnp.asarray((c_s - g_s * nwd).astype(np.int32))
+    sa_all = jnp.asarray(sa_pad)
+    sc_loc = jnp.asarray(sc_pad)
     dense_meta = []
     dense_groups = []
     for g in range(ngr):
@@ -590,6 +626,11 @@ def prepare_dense_full(
     info = {
         "dense_frac": n_dense / max(1, int(u_dev.shape[0])),
         "num_strata": nd,
+        # padded slot count (spg > 1: includes the no-op null strata the
+        # per-run padding adds — they stream zero R blocks, so the pad
+        # overhead is visible as r_stream_bytes / strata_padded)
+        "strata_padded": ndp,
+        "spg": spg,
         "num_groups": len(dense_groups),
         # the eligibility boundary actually applied (ratings/stratum) —
         # with dense_chi < 0 this is the auto cost-model breakeven
@@ -918,12 +959,12 @@ import functools
 @functools.partial(
     jax.jit,
     static_argnames=("su", "si", "rank", "use_bias", "exact", "interpret",
-                     "rfmt", "lane", "echo"),
+                     "rfmt", "lane", "echo", "spg"),
     donate_argnums=(0, 1),
 )
 def run_dense_phase(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False, rfmt="int8", lane=False, echo=1,
+    exact=False, interpret=False, rfmt="int8", lane=False, echo=1, spg=1,
 ):
     """One dense phase over all dense strata. Qm is the FULL merged item
     table, donated; the kernel addresses only its head rows. Returns
@@ -938,13 +979,13 @@ def run_dense_phase(
     return dense_phase_core(
         Pm, Qm, tensors, lr, reg, mu, su=su, si=si, rank=rank,
         use_bias=use_bias, exact=exact, interpret=interpret, rfmt=rfmt,
-        lane=lane, echo=echo,
+        lane=lane, echo=echo, spg=spg,
     )
 
 
 def dense_phase_core(
     Pm, Qm, tensors, lr, reg, mu, *, su, si, rank, use_bias,
-    exact=False, interpret=False, rfmt="int8", lane=False, echo=1,
+    exact=False, interpret=False, rfmt="int8", lane=False, echo=1, spg=1,
 ):
     # lane (sgd.bias_mode='lane'): biases ride in the factor lanes —
     # the aux bias columns stay zero, the kernel's S carries bu+bi, the
@@ -993,6 +1034,7 @@ def dense_phase_core(
         su=su, si=si, rank=rank, nwin=nwin,
         use_bias=use_bias and not lane,
         exact=exact, interpret=interpret, rfmt=rfmt, lane=lane, echo=echo,
+        spg=spg,
     )
 
     if use_bias and not lane:

@@ -157,6 +157,7 @@ def train_epochs(
     use_bias: bool,
     seed: int = 0,
     start_epoch: int = 0,
+    timings: dict | None = None,
 ) -> Iterator[tuple[int, object, float]]:
     """Generator driving SGD epochs; yields (epoch, model, train_rmse).
     On the blocked path train_rmse is a lazy 0-d device array (reading it
@@ -171,7 +172,8 @@ def train_epochs(
         from mfx.solvers.blocked import train_epochs_blocked
 
         yield from train_epochs_blocked(
-            model, train, cfg, use_bias, seed=seed, start_epoch=start_epoch
+            model, train, cfg, use_bias, seed=seed, start_epoch=start_epoch,
+            timings=timings,
         )
         return
     epoch_fn = make_epoch_fn(cfg, use_bias)

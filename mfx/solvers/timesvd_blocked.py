@@ -53,7 +53,8 @@ from mfx.solvers.blocked import sweep_geometry
 
 __all__ = [
     "train_epochs_timesvd_blocked", "plan_temporal_epoch",
-    "run_temporal_epoch",
+    "run_temporal_epoch", "build_temporal_plan_skeleton",
+    "plan_temporal_epoch_device",
 ]
 
 
@@ -166,8 +167,25 @@ def train_epochs_timesvd_blocked(
     mu = jnp.asarray(ts.mu, jnp.float32)
     nwin = sweep_geometry(I, rank, si)
 
-    # plan with the RATING INDEX as the payload: tl row 2 then holds the
-    # original rating position, so rating/bin/dev assemble by gathers
+    # planning: device on TPU backends (seeded sort + scatter per replan,
+    # O(strata) host work — the skeleton is built once and reused across
+    # replans; VERDICT r4 #9), host elsewhere. Host path plans with the
+    # RATING INDEX as the payload: tl row 2 then holds the original
+    # rating position, so rating/bin/dev assemble by gathers.
+    use_dev_plan = jax.default_backend() == "tpu"
+    if use_dev_plan:
+        _t0 = _time.time()
+        dev_plan = build_temporal_plan_skeleton(
+            train, tbins, devs, su=su, si=si, tile=tile, tpg=tpg, nwin=nwin
+        )
+        if timings is not None:
+            jax.block_until_ready(dev_plan[0].strat_start)
+            timings["prep_s"] = (
+                timings.get("prep_s", 0.0) + _time.time() - _t0
+            )
+            timings["planner"] = "device"
+    elif timings is not None:
+        timings["planner"] = "host"
     idx_payload = np.arange(train.n_ratings, dtype=np.int32).view(np.float32)
     rating = np.asarray(train.rating, np.float32)
     f32v = np.float32
@@ -184,10 +202,16 @@ def train_epochs_timesvd_blocked(
             pass
         else:
             _t0 = _time.time()
-            sweep_args, sweep_meta = _plan_tsvd_epoch(
-                train, idx_payload, rating, tbins, devs, U, I, su, si,
-                tile, tpg, nwin, seed, epoch,
-            )
+            if use_dev_plan:
+                sweep_args, sweep_meta = plan_temporal_epoch_device(
+                    *dev_plan, seed, epoch
+                )
+                jax.block_until_ready(sweep_args)
+            else:
+                sweep_args, sweep_meta = _plan_tsvd_epoch(
+                    train, idx_payload, rating, tbins, devs, U, I, su, si,
+                    tile, tpg, nwin, seed, epoch,
+                )
             if timings is not None:
                 timings["plan_s"] = (
                     timings.get("plan_s", 0.0) + _time.time() - _t0
@@ -227,9 +251,23 @@ def run_temporal_epoch(
 
 
 def plan_temporal_epoch(train, tbins, devs, *, su, si, tile, tpg, nwin,
-                        seed, epoch):
+                        seed, epoch, device: bool | None = None):
     """Public planning entry for the blocked temporal epoch (see
-    :func:`run_temporal_epoch`)."""
+    :func:`run_temporal_epoch`). ``device=None`` plans on the
+    accelerator on TPU backends (one seeded sort + scatter, O(strata)
+    host work — VERDICT r4 #9) and on the host elsewhere."""
+    if device is None:
+        device = jax.default_backend() == "tpu"
+    if device:
+        skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev = (
+            build_temporal_plan_skeleton(
+                train, tbins, devs, su=su, si=si, tile=tile, tpg=tpg,
+                nwin=nwin,
+            )
+        )
+        return plan_temporal_epoch_device(
+            skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev, seed, epoch
+        )
     idx_payload = np.arange(train.n_ratings, dtype=np.int32).view(
         np.float32
     )
@@ -239,6 +277,48 @@ def plan_temporal_epoch(train, tbins, devs, *, su, si, tile, tpg, nwin,
         train.num_users, train.num_items, su, si, tile, tpg, nwin, seed,
         epoch,
     )
+
+
+def build_temporal_plan_skeleton(train, tbins, devs, *, su, si, tile, tpg,
+                                 nwin):
+    """Once-per-run device constants for temporal device planning: the MF
+    plan skeleton (stratum membership is payload-independent) plus the
+    device-resident id/payload streams. Returns
+    ``(skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev)``."""
+    from mfx.kernels import plan_device as pdv
+
+    u_dev = jnp.asarray(train.user)
+    i_dev = jnp.asarray(train.item)
+    r_dev = jnp.asarray(train.rating, jnp.float32)
+    tb_dev = jnp.asarray(tbins, jnp.int32)
+    dvb_dev = jax.lax.bitcast_convert_type(
+        jnp.asarray(devs, jnp.float32), jnp.int32
+    )
+    skel = pdv.build_plan_skeleton(
+        u_dev, i_dev, train.num_users, train.num_items, su, si, tile, tpg,
+        nwin,
+    )
+    return skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev
+
+
+def plan_temporal_epoch_device(skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev,
+                               seed, epoch):
+    """Per-epoch device pass: the (NT, 5, T) temporal tile stream via the
+    generalized payload planner (mfx/kernels/plan_device.py extras).
+    Rows 0-2 are bitwise the MF device plan's (slot assignment is
+    payload-independent); rows 3-4 carry each rating's (tbin, dev bits).
+    O(strata) host work per replan — the round-1 host-planning cost
+    class the MF path eliminated (STATUS.md #7)."""
+    from mfx.kernels import plan_device as pdv
+
+    tl_all = pdv.epoch_tiles_device(
+        skel, u_dev, i_dev, r_dev, seed, epoch, extras=(tb_dev, dvb_dev)
+    )
+    sweeps = [s for s in skel.sweeps if s.t1 > s.t0]
+    sweep_args = [
+        {"sa": p.sa, "tc": p.tc, "tl": tl_all[p.t0 : p.t1]} for p in sweeps
+    ]
+    return sweep_args, tuple((p.win0, p.nwin) for p in sweeps)
 
 
 def _plan_tsvd_epoch(train, idx_payload, rating, tbins, devs, U, I, su, si,

@@ -86,7 +86,7 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
 
 
 def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch,
-                     mesh, feats=None):
+                     mesh, feats=None, timings=None):
     use_bias = cfg.model.use_bias
     if cfg.solver == "sgd":
         mode = cfg.parallel.mode
@@ -97,7 +97,7 @@ def _make_epoch_iter(cfg: TrainConfig, model, train_coo, seed, start_epoch,
 
             return train_epochs(
                 model, train_coo, cfg.sgd, use_bias, seed=seed,
-                start_epoch=start_epoch,
+                start_epoch=start_epoch, timings=timings,
             )
         if mode == "dp":
             from mfx.parallel.data_parallel import train_epochs_dp
@@ -512,8 +512,18 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
             f"{cfg.ranking_protocol!r}"
         )
 
+    # per-phase attribution (cfg.profile_phases): the blocked trainer
+    # fills dense_s/sparse_s once (standalone-phase probe) and plan_s
+    # cumulatively; the loop below turns them into per-epoch record
+    # fields (plan_ms as the per-epoch delta)
+    timings = {"phase_probe": True, "plan_s": 0.0} if (
+        cfg.profile_phases
+        and cfg.solver == "sgd"
+        and cfg.parallel.mode == "single"
+    ) else None
+    plan_s_seen = 0.0
     it = _make_epoch_iter(cfg, model, train_coo, seed, start_epoch, mesh,
-                          feats=feats)
+                          feats=feats, timings=timings)
     epochs_run = 0
     last_ups = 0.0
     test_rmse = test_mae = test_auc = test_ranking = None
@@ -535,6 +545,14 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
                 "updates_per_sec": round(last_ups, 1),
                 "updates_per_sec_per_chip": round(last_ups / n_chips, 1),
             }
+            if timings is not None:
+                plan_total = timings.get("plan_s", 0.0)
+                rec["plan_ms"] = round((plan_total - plan_s_seen) * 1e3, 2)
+                plan_s_seen = plan_total
+                if "dense_s" in timings:
+                    rec["dense_ms"] = round(timings["dense_s"] * 1e3, 2)
+                    rec["sparse_ms"] = round(timings["sparse_s"] * 1e3, 2)
+            t_eval = time.time()
             if cfg.eval_every and (epoch + 1) % cfg.eval_every == 0:
                 if implicit:
                     test_auc = _auc(model)
@@ -549,6 +567,8 @@ def train(cfg: TrainConfig, resume: bool = True) -> TrainResult:
                         f"test_{n}@{cfg.ranking_k}": round(v, 5)
                         for n, v in test_ranking.items()
                     })
+                if timings is not None:
+                    rec["eval_ms"] = round((time.time() - t_eval) * 1e3, 2)
             log.log(**rec)
             if cfg.checkpoint_dir and cfg.checkpoint_every and (
                 (epoch + 1) % cfg.checkpoint_every == 0

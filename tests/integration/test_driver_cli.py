@@ -403,3 +403,31 @@ def test_cli_help_of_every_subcommand():
         with pytest.raises(SystemExit) as e:
             _run_cli([cmd, "--help"])
         assert e.value.code == 0, cmd
+
+
+def test_driver_profile_phases_emits_breakdown(tmp_path):
+    """cfg.profile_phases: every blocked-SGD epoch record carries
+    plan_ms + eval_ms, and the one-time standalone-phase probe fills
+    dense_ms/sparse_ms (VERDICT r4 #7 — per-phase attribution lands in
+    the JSONL artifact, not ad-hoc experiment logs)."""
+    log = tmp_path / "log.jsonl"
+    cfg = preset("ml100k_rank16")
+    cfg = apply_overrides(cfg, [
+        "sgd.epochs=2", "sgd.partitioner=blocked", "sgd.kernel=pallas",
+        "sgd.ublock=128", "sgd.iblock=128", "sgd.tile=64",
+        "sgd.dense_chi=0.01", "sgd.dense_span=full", "model.rank=64",
+        "data.dataset=synthetic-small", f"data.root={tmp_path}",
+        f"log_path={log}", "profile_phases=true",
+    ])
+    res = train(cfg)
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    epochs = [r for r in recs if "epoch" in r and "train_metric" in r]
+    assert len(epochs) == 2
+    for r in epochs:
+        assert "plan_ms" in r and r["plan_ms"] >= 0
+        assert "eval_ms" in r and r["eval_ms"] >= 0
+        assert r["dense_ms"] >= 0 and r["sparse_ms"] >= 0
+    # the probe measured real phases: this config has both dense strata
+    # and a sparse remainder
+    assert epochs[0]["dense_ms"] > 0
+    assert epochs[0]["sparse_ms"] > 0

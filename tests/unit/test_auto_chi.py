@@ -27,22 +27,47 @@ def test_auto_threshold_uniform_counts_goes_all_dense():
     assert t == 1.0
 
 
+def _model_breakeven(su, si, slot, spg=1):
+    t_dense = su * si * slot / (dp.AUTO_STREAM_GBPS * 1e9) + (
+        dp.AUTO_FIXED_US * 1e-6 / spg
+    )
+    return t_dense / (dp.AUTO_SPARSE_NS * 1e-9)
+
+
 def test_auto_threshold_skewed_counts_carves():
     # hot corner + long empty-ish tail: the tail goes sparse
     counts = np.concatenate([np.full(8, 50_000.0), np.full(4096, 30.0)])
     t = dp.auto_dense_threshold(counts, 1024, 1024, "int4")
-    breakeven = 1024 * 1024 * 0.5 / (dp.AUTO_STREAM_GBPS * 1e9) / (
-        dp.AUTO_SPARSE_NS * 1e-9
-    )
-    assert t == pytest.approx(breakeven)
+    assert t == pytest.approx(_model_breakeven(1024, 1024, 0.5))
     assert 30.0 < t < 50_000.0
+    # calibration pin: the decomposed model must keep the r4-measured
+    # optimum boundary at the preset geometry (chi sweep optimum was
+    # 1000-1500 ratings/stratum at 1024^2 int4)
+    assert 1000.0 < t < 1500.0
 
 
-def test_auto_threshold_int8_doubles_breakeven():
+def test_auto_threshold_int8_adds_stream_term():
+    # int8 doubles the R-STREAM term only; the per-grid-step fixed cost
+    # is byte-format-independent
     counts = np.concatenate([np.full(8, 50_000.0), np.full(4096, 30.0)])
     t4 = dp.auto_dense_threshold(counts, 1024, 1024, "int4")
     t8 = dp.auto_dense_threshold(counts, 1024, 1024, "int8")
-    assert t8 == pytest.approx(2 * t4)
+    extra = 1024 * 1024 * 0.5 / (dp.AUTO_STREAM_GBPS * 1e9) / (
+        dp.AUTO_SPARSE_NS * 1e-9
+    )
+    assert t8 == pytest.approx(t4 + extra)
+
+
+def test_auto_threshold_spg_amortizes_fixed_cost():
+    # spg strata per grid step amortize the fixed cost -> lower breakeven
+    counts = np.concatenate([np.full(8, 50_000.0), np.full(4096, 30.0)])
+    t1 = dp.auto_dense_threshold(counts, 512, 512, "int4", spg=1)
+    t4 = dp.auto_dense_threshold(counts, 512, 512, "int4", spg=4)
+    saved = dp.AUTO_FIXED_US * 1e-6 * (1 - 1 / 4) / (
+        dp.AUTO_SPARSE_NS * 1e-9
+    )
+    assert t4 == pytest.approx(t1 - saved)
+    assert t4 < t1
 
 
 def test_auto_chi_trains_bitwise_like_equivalent_explicit_chi():

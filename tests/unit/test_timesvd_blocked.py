@@ -286,3 +286,97 @@ def test_timesvdpp_blocked_validation():
     wide = TimeSVDPPConfig(kernel="pallas", n_bins=30)
     with pytest.raises(ValueError, match="n_bins"):
         next(iter(train_epochs_timesvdpp(model, coo, wide)))
+
+
+def test_temporal_device_plan_rows_match_mf_plan_and_payload():
+    """Temporal device planning (VERDICT r4 #9): rows 0-2 of the
+    (NT, 5, T) payload tile stream must be BITWISE the MF device plan's
+    (slot assignment is payload-independent), and rows 3-4 must carry
+    exactly each slotted rating's (tbin, dev bits) — verified via an
+    index-payload pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfx.kernels import plan_device as pdv
+    from mfx.solvers.timesvd_blocked import (
+        build_temporal_plan_skeleton, plan_temporal_epoch_device,
+    )
+
+    coo = _coo_with_temporal_structure()
+    feats = fit_time_features(coo, n_bins=8)
+    tbins, devs = feats.features(coo.user, coo.timestamp)
+    skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev = (
+        build_temporal_plan_skeleton(
+            coo, tbins, devs, su=128, si=128, tile=64, tpg=4, nwin=2
+        )
+    )
+    tl5 = pdv.epoch_tiles_device(
+        skel, u_dev, i_dev, r_dev, 7, 0, extras=(tb_dev, dvb_dev)
+    )
+    tl3 = pdv.epoch_tiles_device(skel, u_dev, i_dev, r_dev, 7, 0)
+    np.testing.assert_array_equal(
+        np.asarray(tl5[:, :3]), np.asarray(tl3)
+    )
+    # index-payload pass recovers which rating landed in each slot
+    idx_f32 = jax.lax.bitcast_convert_type(
+        jnp.arange(coo.n_ratings, dtype=jnp.int32), jnp.float32
+    )
+    tl_idx = np.asarray(
+        pdv.epoch_tiles_device(skel, u_dev, i_dev, idx_f32, 7, 0)
+    )
+    real = tl_idx[:, 0, :] < 128
+    slot_idx = tl_idx[:, 2, :].view(np.int32)[real]
+    t5 = np.asarray(tl5)
+    np.testing.assert_array_equal(t5[:, 3, :][real], tbins[slot_idx])
+    np.testing.assert_array_equal(
+        t5[:, 4, :][real].view(np.float32), devs[slot_idx]
+    )
+    # pad slots carry the sentinel payload (0)
+    assert (t5[:, 3, :][~real] == 0).all()
+    assert (t5[:, 4, :][~real] == 0).all()
+
+    # sweep slicing covers the whole stream in order
+    sweep_args, meta = plan_temporal_epoch_device(
+        skel, u_dev, i_dev, r_dev, tb_dev, dvb_dev, 7, 0
+    )
+    assert sum(a["tl"].shape[0] for a in sweep_args) == skel.nt_total
+
+
+def test_temporal_device_planned_training_is_deterministic():
+    """End-to-end: the blocked temporal epoch over DEVICE-planned sweeps
+    trains (decreasing RMSE) and two seeded runs are bitwise equal.
+    (Host vs device plans differ only in the within-stratum shuffle
+    stream — the same seeded-determinism contract as the MF planner.)"""
+    from mfx.solvers.timesvd_blocked import (
+        build_temporal_plan_skeleton, plan_temporal_epoch_device,
+        run_temporal_epoch,
+    )
+
+    coo = _coo_with_temporal_structure()
+    feats = fit_time_features(coo, n_bins=8)
+    tbins, devs = feats.features(coo.user, coo.timestamp)
+    plan = build_temporal_plan_skeleton(
+        coo, tbins, devs, su=128, si=128, tile=64, tpg=4, nwin=3
+    )
+    sweep_args, meta = plan_temporal_epoch_device(*plan, 0, 0)
+    outs = []
+    for _ in range(2):
+        ts = init_timesvd(
+            0, U, I, RANK, 8,
+            base=init_model(0, U, I, RANK, global_mean=coo.global_mean),
+        )
+        first = last = None
+        for _ in range(3):
+            ts, sse = run_temporal_epoch(
+                ts, sweep_args, meta, 0.02, 0.02, 8,
+                su=128, si=128, tpg=4, interpret=True,
+            )
+            rm = float(np.sqrt(np.asarray(sse) / coo.n_ratings))
+            first = rm if first is None else first
+            last = rm
+        assert last < first
+        outs.append(ts)
+    np.testing.assert_array_equal(np.asarray(outs[0].P),
+                                  np.asarray(outs[1].P))
+    np.testing.assert_array_equal(np.asarray(outs[0].bt),
+                                  np.asarray(outs[1].bt))
