@@ -34,9 +34,12 @@ __all__ = ["DenseSplit", "split_dense_strata", "build_dense_tensors",
 # dense/sparse boundary from the per-stratum occupancy histogram instead
 # of a hand-swept chi. Per-stratum dense cost decomposes into the R
 # stream (su·si·slot bytes at the chip's TRUE chained-read rate —
-# STATUS.md r4 ceiling probes: ~122 GB/s) plus a per-grid-step FIXED
-# cost (pipeline/DMA-issue overhead, measured ~4.5 µs via the r5 spg
-# A/B), amortized over ``spg`` strata per grid step. The sparse one-hot
+# STATUS.md r4 ceiling probes: ~122 GB/s) plus a per-STRATUM fixed cost
+# (~4.5 µs at 1024² — measured to be per-CELL VPU work (int4 decode +
+# E elementwise), NOT per-grid-step overhead: the r5 spg A/B showed
+# grid-step batching does not amortize it, and dividing it by spg
+# over-carves — su=1024 spg=2 carved 3,077 strata and ran 79 ms vs the
+# spg-independent model's 2,299/71.8 ms within-job). The sparse one-hot
 # path replaces carved-out strata at its per-rating cost, and ANY
 # sparse phase pays a fixed plan/dispatch cost. Calibration: at the
 # r4 preset geometry (1024² int4, spg=1) the decomposed model gives
@@ -61,17 +64,21 @@ def auto_dense_threshold(
 
     A stratum streams densely iff its rating count exceeds the
     breakeven ``t_dense / t_sparse_per_rating``, where t_dense = R-image
-    stream + per-grid-step fixed cost / spg; if the ratings below
+    stream + the per-stratum fixed cost (spg-INDEPENDENT — it is
+    per-cell VPU work, see the constants note); if the ratings below
     breakeven would save less than the sparse phase's fixed cost, the
     whole epoch goes dense (threshold 1.0 = every non-empty stratum).
     This is what the hand-swept chi converged to on the flat iid-user
     synthetic (chi→0, 100% dense); with 2-D activity skew (generator
     v6) the cold region drops below breakeven and auto carves it out.
     """
+    del spg  # measured: grid-step batching does NOT amortize the fixed
+    # term (it is per-cell VPU work); kept in the signature so carving
+    # stays geometry-aware if a future kernel changes that
     slot = _SLOT_BYTES.get(rfmt, 4.0)
     t_dense = (
         su * si * slot / (AUTO_STREAM_GBPS * 1e9)
-        + AUTO_FIXED_US * 1e-6 / max(1, spg)
+        + AUTO_FIXED_US * 1e-6
     )
     t_sparse = AUTO_SPARSE_NS * 1e-9
     breakeven = t_dense / t_sparse

@@ -27,9 +27,9 @@ def test_auto_threshold_uniform_counts_goes_all_dense():
     assert t == 1.0
 
 
-def _model_breakeven(su, si, slot, spg=1):
+def _model_breakeven(su, si, slot):
     t_dense = su * si * slot / (dp.AUTO_STREAM_GBPS * 1e9) + (
-        dp.AUTO_FIXED_US * 1e-6 / spg
+        dp.AUTO_FIXED_US * 1e-6
     )
     return t_dense / (dp.AUTO_SPARSE_NS * 1e-9)
 
@@ -58,16 +58,15 @@ def test_auto_threshold_int8_adds_stream_term():
     assert t8 == pytest.approx(t4 + extra)
 
 
-def test_auto_threshold_spg_amortizes_fixed_cost():
-    # spg strata per grid step amortize the fixed cost -> lower breakeven
+def test_auto_threshold_is_spg_invariant():
+    # MEASURED (r5 su-x-spg sweep): grid-step batching does not amortize
+    # the per-stratum fixed cost (it is per-cell VPU work), so spg must
+    # NOT move the carving boundary — dividing it by spg over-carved
+    # (3,077 strata / 79 ms vs 2,299 / 71.8 ms within-job)
     counts = np.concatenate([np.full(8, 50_000.0), np.full(4096, 30.0)])
     t1 = dp.auto_dense_threshold(counts, 512, 512, "int4", spg=1)
     t4 = dp.auto_dense_threshold(counts, 512, 512, "int4", spg=4)
-    saved = dp.AUTO_FIXED_US * 1e-6 * (1 - 1 / 4) / (
-        dp.AUTO_SPARSE_NS * 1e-9
-    )
-    assert t4 == pytest.approx(t1 - saved)
-    assert t4 < t1
+    assert t4 == t1
 
 
 def test_auto_chi_trains_bitwise_like_equivalent_explicit_chi():

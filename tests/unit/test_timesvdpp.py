@@ -308,3 +308,59 @@ def test_timesvdpp_validation():
         )))
     with pytest.raises(ValueError, match="partitioner"):
         TimeSVDPPConfig(partitioner="blocked")
+
+
+def test_y_gradient_step_tiles_matches_chunked_form():
+    """The tile-plan one-hot Y step must equal the chunked streaming
+    form up to f32 summation order — same residuals, same per-item
+    pulls, same trust-capped application (both production eta and the
+    exact-gradient tr_eta=0 contract)."""
+    import jax.numpy as jnp
+
+    from mfx.solvers.timesvd_blocked import plan_temporal_epoch
+    from mfx.solvers.timesvdpp import (
+        _coo_chunks_t, y_gradient_step_t, y_gradient_step_tiles,
+    )
+
+    coo = _coo(n=6000, nu=300, ni=200, seed=2)
+    feats = fit_time_features(coo, n_bins=8)
+    tbins, devs = feats.features(coo.user, coo.timestamp)
+    rng = np.random.default_rng(0)
+    U_, I_, K_ = coo.num_users, coo.num_items, 16
+    X = jnp.asarray(rng.standard_normal((U_, K_)).astype(np.float32) * 0.3)
+    Q = jnp.asarray(rng.standard_normal((I_, K_)).astype(np.float32) * 0.3)
+    Y = jnp.asarray(rng.standard_normal((I_, K_)).astype(np.float32) * 0.05)
+    bu = jnp.asarray(rng.standard_normal(U_).astype(np.float32) * 0.1)
+    bi = jnp.asarray(rng.standard_normal(I_).astype(np.float32) * 0.1)
+    bt = jnp.asarray(rng.standard_normal((I_, 8)).astype(np.float32) * 0.05)
+    alpha = jnp.asarray(rng.standard_normal(U_).astype(np.float32) * 0.02)
+    nu = jnp.asarray(rng.uniform(0.1, 1.0, U_).astype(np.float32))
+    deg_i = jnp.asarray(
+        np.bincount(coo.item, minlength=I_).astype(np.float32)
+    )
+    y_scale = jnp.asarray(rng.uniform(0.3, 1.0, I_).astype(np.float32))
+    mu = jnp.asarray(3.5, jnp.float32)
+
+    su = si = 128
+    sweep_args, sweep_meta = plan_temporal_epoch(
+        coo, tbins, devs, su=su, si=si, tile=64, tpg=4, nwin=2,
+        seed=0, epoch=0, device=False,
+    )
+    chunks = _coo_chunks_t(coo, 64, tbins, devs)
+    for eta in (None, 0):
+        want, sse_w = y_gradient_step_t(
+            Y, X, Q, bu, bi, mu, bt, alpha, nu, deg_i, y_scale, chunks,
+            0.01, 0.02, tr_eta=eta,
+        )
+        got, sse_g = y_gradient_step_tiles(
+            Y, X, Q, bu, bi, mu, bt, alpha, nu, deg_i, y_scale,
+            tuple(sweep_args), 0.01, 0.02,
+            su=su, si=si, tpg=4, n_bins=8, sweep_meta=tuple(sweep_meta),
+            tr_eta=eta,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(sse_g), float(sse_w), rtol=1e-4
+        )
