@@ -128,6 +128,18 @@ def run_bench(
     skew_probe: bool = False,
 ) -> dict:
     cfg = apply_overrides(get_preset(preset), list(overrides))
+
+    import sys as _sys
+    _t_run = time.time()
+
+    def _stage(name):
+        # stderr progress breadcrumbs (the artifact JSON goes to stdout):
+        # the bench spans many chip stages and tunnel stalls are a known
+        # failure mode — a silent 25-minute run is undebuggable
+        print(f"[bench +{time.time() - _t_run:.0f}s] {name}",
+              file=_sys.stderr, flush=True)
+
+    _stage("load dataset")
     t0 = time.time()
     coo = load_dataset(dataset or cfg.data.dataset, root=cfg.data.root)
     train, test = train_test_split(coo, cfg.data.test_frac, seed=cfg.data.seed)
@@ -167,6 +179,7 @@ def run_bench(
     # the headline, convergence-probe and replan generators — at
     # full-span ML-25M scale each rebuild costs minutes of device time
     prep_cache: dict = {}
+    _stage("headline warmup (prep + plan + compile + epoch 0)")
     gen = train_epochs_blocked(
         model, train, sgd_cfg, use_bias, seed=cfg.data.seed,
         tpg=tpg, replan_every=0, interpret=interpret, timings=timings,
@@ -191,6 +204,7 @@ def run_bench(
     # BEST of `windows` back-to-back windows (sustained peak — measures
     # the software, not transient tunnel contention); every window is
     # reported in the JSON.
+    _stage("timed windows")
     window_s: list[float] = []
     for _ in range(windows):
         t0 = time.time()
@@ -234,6 +248,7 @@ def run_bench(
     # observe counts > epochs+1 — the preset actually reaches the gate in
     # ONE epoch (everything is compiled by now, so this probe costs a
     # few epoch-times plus evals).
+    _stage("convergence probe")
     epochs_to_target = None
     if convergence:
         gen3 = train_epochs_blocked(
@@ -259,6 +274,7 @@ def run_bench(
     # device time per epoch). Each aux stage frees its predecessor's
     # device arrays first; a failure here is reported as null rather
     # than sinking the headline.
+    _stage("replan steady state")
     epoch_s_replan = None
     replan_s = None
     if convergence:
@@ -287,6 +303,7 @@ def run_bench(
     # carries a throttle-free measure of what the current policy buys —
     # bench-to-bench headline comparisons swing ±20% with the chip's
     # throttle phase, within-job ratios do not.
+    _stage("r3-policy anchor")
     anchor = None
     if skew_probe and cfg.sgd.dense_chi != 0.0002:
         try:
@@ -328,6 +345,7 @@ def run_bench(
     # default s=0.6) IN THE SAME PROCESS, so the spread is
     # throttle-comparable and the JSON shows whether the preset's stratum
     # carving holds across occupancy structures it was not tuned on.
+    _stage("skew spread probes")
     skew_spread = None
     if skew_probe and coo.synthetic:
         from mfx.data import synthetic as _syn
@@ -455,6 +473,7 @@ def run_bench(
     # TPU-only: the virtual-CPU smoke path reports nulls for the probes
     # AND for the epoch stream rate (interpret-mode rates are
     # meaningless).
+    _stage("ceiling probes")
     hbm_ceiling_gbps = None
     hbm_read_gbps = None
     stream_gbps = None
