@@ -60,6 +60,12 @@ def _validate_parallel_sgd(cfg: TrainConfig) -> None:
             f"parallel.mode={mode!r} supports sgd.kernel='pallas' (fused "
             f"kernel in the DSGD ring) or 'jnp' (scatter); got {sgd.kernel!r}"
         )
+    if mode in ("sharded", "hybrid") and sgd.dense_spg > 1:
+        raise ValueError(
+            "sgd.dense_spg > 1 is single-chip only (the ring's per-cell "
+            "dense prep has no run-padding path); set dense_spg=1 for "
+            f"parallel.mode={mode!r}"
+        )
     if mode in ("sharded", "hybrid") and sgd.bias_mode == "epoch":
         raise ValueError(
             "sgd.bias_mode='epoch' is single-chip only (its bias stream "

@@ -94,3 +94,18 @@ def test_sharded_dense_echo_needs_lane():
         _cfg("sharded", kernel="pallas", partitioner="blocked",
              dense_chi=0.001, dense_echo=2)
     )
+
+
+def test_sharded_rejects_dense_spg():
+    """dense_spg > 1 has no ring prep path — the driver must reject it
+    loudly instead of silently training at spg=1."""
+    import pytest
+
+    from mfx.config import apply_overrides, preset
+    from mfx.train.driver import _validate_parallel_sgd
+
+    cfg = apply_overrides(preset("ml25m_rank64"), [
+        "parallel.mode=sharded", "sgd.dense_spg=2",
+    ])
+    with pytest.raises(ValueError, match="dense_spg"):
+        _validate_parallel_sgd(cfg)
