@@ -176,6 +176,12 @@ class SGDConfig:
     # stratum run to a multiple of spg with exact-no-op null strata, so
     # the trajectory is bitwise spg-invariant; the cost is streaming the
     # padding's zero R blocks (reported via dense_info strata_padded).
+    # MEASURED on the bench chip (r5): the dense phase standalone
+    # improves ~16% at spg=2 but the full epoch does NOT (padding +
+    # stream growth offset it) — the preset stays 1. spg>2 at the
+    # 1024-block geometry also needs dense_nwd lowered (the R double
+    # buffers scale with spg against the 16 MB scoped-VMEM limit;
+    # spg=4 compiles at dense_nwd<=4).
     dense_spg: int = 1
     # blocked paths: rebuild the epoch plan every N epochs (0 = plan
     # once and reuse; stratified order already randomizes within strata)
