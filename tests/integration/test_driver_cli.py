@@ -431,3 +431,37 @@ def test_driver_profile_phases_emits_breakdown(tmp_path):
     # and a sparse remainder
     assert epochs[0]["dense_ms"] > 0
     assert epochs[0]["sparse_ms"] > 0
+
+
+def test_bench_skew_probe_fields(tmp_path):
+    """run_bench(skew_probe=True) must emit the r5 artifact fields: the
+    r3-policy anchor and per-skew entries each carrying their own
+    within-job speedup_vs_anchor (VERDICT r4 #5/#10), plus the phase
+    attribution pair."""
+    from mfx.bench import run_bench
+
+    r = run_bench(
+        preset="ml100k_rank16",
+        epochs=1,
+        convergence=False,
+        skew_probe=True,
+        dataset="synthetic-small",
+        overrides=[
+            f"data.root={tmp_path}", "sgd.partitioner=blocked",
+            "sgd.kernel=pallas", "sgd.ublock=128", "sgd.iblock=128",
+            "sgd.tile=64", "model.rank=64", "sgd.dense_span=full",
+            "sgd.dense_chi=-1",
+        ],
+    )
+    assert r["value"] > 0
+    assert "dense_ms" in r and "sparse_ms" in r
+    assert r["dense_spg"] == 1
+    spread = r["skew_spread"]
+    assert set(spread) == {"user_zipf_0", "user_zipf_0.8"}
+    for entry in spread.values():
+        assert entry is not None
+        assert entry["ups"] > 0
+        # per-skew within-job anchor (None only when the headline policy
+        # IS the anchor policy, which this config is not)
+        assert entry["speedup_vs_anchor"] is not None
+        assert entry["speedup_vs_anchor"] > 0
